@@ -1,0 +1,33 @@
+"""Query surface registry.
+
+Each operator module registers named queries (PySpark callables
+``(spark, sf_dir) -> DataFrame``) and, where ANSI-SQL-expressible, a
+DuckDB oracle twin. ``all_queries()`` / ``all_oracles()`` merge them for
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from . import dedup, multimodal, relational, similarity, text
+
+    out: dict[str, QueryFn] = {}
+    for mod in (relational, dedup, similarity, text, multimodal):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from . import dedup, multimodal, relational, similarity, text
+
+    out: dict[str, str] = {}
+    for mod in (relational, dedup, similarity, text, multimodal):
+        out.update(mod.ORACLES)
+    return out

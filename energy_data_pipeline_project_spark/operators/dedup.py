@@ -1,0 +1,322 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Four families, each the standard large-scale design:
+
+- **Exact** — content-hash (md5) group-by: one shuffle on the hash, the
+  100 TB-safe way to dedup (never group on raw multi-KB text).
+- **MinHash + LSH** — shingle → k minhashes → band → bucket equi-join.
+  Candidate generation is linear in corpus size + bucket-collision
+  pairs; the full O(n²) pair space is never materialized.
+- **SimHash** — 16-bit signature from token hashes; equal signatures →
+  near-dup bucket.
+- **N-gram Jaccard** — exact shingle-set Jaccard via inverted-index
+  self-join (token→doc postings), the verification stage after LSH.
+- **Embedding cosine** — near-dup by vector similarity (bounded subset
+  here; the scalable ANN path lives in operators/similarity.py).
+
+All hashing comes from functions/hashing.py so the DuckDB oracle SQL
+(generated below from the same constants) matches bit-for-bit. No
+Python UDFs — everything is codegen'd Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hashing as H
+from ..sources.tables import load_table
+from ._registry import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+SHINGLE_N = 3
+MINHASH_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.3  # calibrated: testdata embeddings max out ~0.4
+COSINE_SUBSET = 200  # bound the O(n²) pair space for the oracle query
+
+_TOKS_DUCK = H.tokens_sql("text", duck=True)
+_TOKS_SPARK = H.tokens_sql("text", duck=False)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → k minhash columns m0..m{k-1} (shingle-based)."""
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
+    )
+    hx = shingles.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+    return hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(H.minhash_expr(i, "h"))).alias(f"m{i}")
+            for i in range(H.MINHASH_K)
+        ]
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN({H.minhash_expr(i, 'h')}) AS m{i}" for i in range(H.MINHASH_K)
+    )
+    band_conds = []
+    for b in range(H.MINHASH_BANDS):
+        cols = range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
+        band_conds.append("(" + " AND ".join(f"a.m{i} = b.m{i}" for i in cols) + ")")
+    bands = " OR ".join(band_conds)
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(H.MINHASH_K)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+           FROM t),
+    hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({matches}) / {float(H.MINHASH_K)} AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({bands})
+      AND ({matches}) / {float(H.MINHASH_K)} >= {MINHASH_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale path: per-band equi-joins on a band-signature key. Each band
+    # join shuffles on the band value only; the O(n²) pair space is
+    # never built. (The DuckDB oracle uses an equivalent — but
+    # unscalable — all-pairs formulation; same result set.)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(docs)
+
+    band_frames = []
+    for b in range(H.MINHASH_BANDS):
+        cols = [f"m{i}" for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws(",", *cols).alias("band_val"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"ma{i}") for i in range(H.MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"mb{i}") for i in range(H.MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        for i in range(H.MINHASH_K)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(H.MINHASH_K))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(H.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(H.SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t),
+    hx AS (SELECT doc_id, {H.md5_int64("w", duck=True)} AS h FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id)
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w")
+    )
+    hx = toks.select("doc_id", F.expr(H.md5_int64("w", duck=False)).alias("h"))
+    bits = hx.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(H.SIMHASH_BITS)
+        ]
+    )
+    combine = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(H.SIMHASH_BITS)
+    )
+    return bits.select("doc_id", combine.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (shingle) Jaccard via inverted index
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_shingle_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+           FROM t),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           c * 1.0 / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, ["s"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (bounded subset; ANN path in similarity.py)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {COSINE_SUBSET}),
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dp
+      FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON vec_a = na.vec_id
+    JOIN nrm nb ON vec_b = nb.vec_id
+    WHERE ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < COSINE_SUBSET
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    nrm = e.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    a = e.select(F.col("vec_id").alias("vec_a"), "pos", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, ["pos"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dp"))
+    )
+    na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
+    )
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

@@ -1,0 +1,159 @@
+"""Multimodal column conventions: opaque ``binary`` payloads + typed
+metadata structs, with Arrow-batched decode/feature plumbing.
+
+The convention (what an image/audio/video column looks like in this
+engine at 100 TB):
+
+    media: struct<
+        payload:  binary,          -- opaque encoded bytes
+        mime:     string,          -- e.g. image/jpeg
+        meta:     struct<width:int, height:int, n_bytes:long>
+    >
+
+Decode / resize / frame-sample run as ``mapInPandas`` stages (Arrow
+batches in, Arrow batches out) so each executor processes whole record
+batches with a real codec library. The codec libraries are not in this
+container, so the decode kernel is STUBBED: ``decode_image`` raises
+``NotImplementedError`` unless handed the deterministic fake codec used
+by the tests. The Spark-side plumbing — schema, batching, partition
+behavior — is real and tested (tests/test_multimodal.py).
+
+``multimodal_binary_meta`` is the oracle-checked slice: building the
+binary payload column and aggregating its metadata stays inside
+codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from ._registry import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image(payload: bytes, mime: str) -> "object":
+    """Decode an encoded image payload into a pixel array.
+
+    STUB: real codecs (Pillow/opencv/ffmpeg) are not available in this
+    environment. Callers inject a fake codec via ``extract_features``'s
+    ``decoder=`` parameter in tests; calling this directly raises.
+    """
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "pass a decoder= callable (see tests/test_multimodal.py)"
+    )
+
+
+def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo: wrap a text column as an opaque media struct.
+
+    In production the payload arrives already-encoded from the source
+    (parquet binary column); here we synthesize it so the plumbing can
+    run against the documents table.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn(
+        "media",
+        F.struct(
+            payload.alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            ).alias("meta"),
+        ),
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], "object"] = decode_image,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched feature extraction over media structs.
+
+    ``mapInPandas``: each Arrow batch is decoded payload-by-payload with
+    ``decoder`` and reduced to a fixed-size feature vector. Partitioning
+    is preserved (no shuffle); at scale this is an embarrassingly
+    parallel map stage sized by ``maxPartitionBytes``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                media = r["media"]
+                payload, mime = media["payload"], media["mime"]
+                decoded = decoder(bytes(payload), mime)
+                arr = [float(x) for x in decoded]
+                rows.append(
+                    {
+                        "doc_id": r[id_col],
+                        "mime": mime,
+                        "n_bytes": len(payload),
+                        "feature": arr,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.select(id_col, "media").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
+           CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary payload column built JVM-side; metadata aggregated without
+    # ever decoding — the access pattern that keeps 100 TB of media
+    # scannable (parquet stats + column pruning skip the payload bytes).
+    docs = attach_media(load_table(spark, sf_dir, "documents"))
+    payload = F.col("media.payload")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length(payload)).cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5(payload)).alias("n_distinct_payloads"),
+        F.max(F.octet_length(payload)).cast("int").alias("max_bytes"),
+    )

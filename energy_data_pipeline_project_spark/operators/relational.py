@@ -1,0 +1,823 @@
+"""Core relational query surface (SURVEY.md §2 + §7 phases 0/1/3).
+
+Every active operator in the reference — projection/alias (P1-P3),
+null-drop filter (P4), normalized-equality filter (P5), casts (P6), the
+date-keyed inner join (J1), group-by SUM/AVG (A1/A2), counts (A3),
+distinct (A4), JSON path extraction + coalesce probing (F1-F3), explode
+(F4), epoch→timestamp→date bucketing (F6/F7), string normalization (F8)
+— re-expressed over the star-schema testdata, plus the wider relational
+surface a real engine needs (outer/semi/anti joins, windows, rollup/
+cube, top-k, set ops, sessionization).
+
+Cross-engine determinism rules (the DuckDB oracle must hash-match):
+
+- Money sums use integer cents: ``CAST(ROUND(expr*100, 0) AS BIGINT)``
+  per row, then integer SUM. Float sums of ~1e5 rows differ between
+  engines in the last bits, and rounding after the fact is unsafe at
+  large magnitudes; per-row double math is bitwise deterministic, so
+  cents are exact in both engines.
+- Money averages are NEVER rounded: fixed-decimal inputs land exactly
+  on half-way rounding boundaries (e.g. avg of cents over 8 rows ends
+  in ...125) where Spark's BigDecimal HALF_UP and DuckDB's float round
+  disagree. Instead: ``CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*)``
+  — integer→double conversion and IEEE division are bitwise identical
+  in both engines. Same for any ratio of exact integers (ttr, jaccard).
+- ROUND(x, 4) only on genuinely continuous statistics (stddev, cosine,
+  avg of continuous doubles) where a half-way tie has measure zero.
+- Timestamps are never emitted directly: dates (DATE) and hour-of-day
+  (INT) avoid ns-vs-µs precision mismatches with the oracle.
+- Every computed column is aliased identically in both engines.
+
+Scale posture (100 TB): filters are applied before joins so Catalyst
+pushes them into the parquet scan; fixed-size dims (nation, region) are
+explicitly broadcast; everything else is plain shuffled hash/sort-merge
+join territory where AQE picks the strategy; no Python UDFs anywhere in
+this module — all expressions are whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _cents(expr_sql: str) -> F.Column:
+    return F.expr(f"CAST(ROUND(({expr_sql}) * 100, 0) AS BIGINT)")
+
+
+REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+_REV_CENTS_DUCK = f"CAST(ROUND(({REVENUE_SQL}) * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's gold join (silver_to_gold.py:78-123) mapped onto
+# the star schema — daily aggregate ⋈ daily aggregate on a date key, with the
+# normalized-string filter (P5) feeding one side.
+# ---------------------------------------------------------------------------
+@query(
+    "gold_daily_join",
+    f"""
+    WITH rev AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents,
+             COUNT(*) AS n_items
+      FROM lineitem
+      WHERE lower(trim(l_returnflag)) = 'n'
+      GROUP BY 1
+    ), avo AS (
+      SELECT CAST(o_orderdate AS DATE) AS ship_date,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS avg_order_value
+      FROM orders GROUP BY 1
+    )
+    SELECT r.ship_date, r.revenue_cents, r.n_items, a.avg_order_value
+    FROM rev r JOIN avo a USING (ship_date)
+    """,
+)
+def gold_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        li.where(F.lower(F.trim("l_returnflag")) == "n")
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            F.sum(_cents(REVENUE_SQL)).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    avo = orders.groupBy(F.to_date("o_orderdate").alias("ship_date")).agg(
+        (
+            F.sum(_cents("o_totalprice")).cast("double") / 100.0 / F.count("*")
+        ).alias("avg_order_value")
+    )
+    return rev.join(avo, "ship_date", "inner").select(
+        "ship_date", "revenue_cents", "n_items", "avg_order_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored analytics (A1/A2/A3 at scale)
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(_cents(REVENUE_SQL)).alias("sum_disc_cents"),
+            F.sum(_cents(f"{REVENUE_SQL} * (1 + l_tax)")).alias("sum_charge_cents"),
+            (F.sum(_cents("l_quantity")).cast("double") / 100.0 / F.count("*")).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(_cents("l_extendedprice")).cast("double") / 100.0 / F.count("*")
+            ).alias("avg_price"),
+            (
+                F.sum(F.expr("CAST(ROUND(l_discount * 10000, 0) AS BIGINT)")).cast(
+                    "double"
+                )
+                / 10000.0
+                / F.count("*")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue",
+    f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_cents(REVENUE_SQL)).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # nation⋈region is a tiny dim: broadcast so the big fact join shuffles
+    # only on the fact keys.
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dim, cust.c_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(REVENUE_SQL)).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / cast primitives (P1-P6)
+# ---------------------------------------------------------------------------
+@query(
+    "proj_cast_alias",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS p_name_upper,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) * 11.0 / 1000.0
+             AS uplift_price,
+           'catalog' AS src,
+           p_brand || ':' || p_type AS brand_type
+    FROM part
+    """,
+)
+def proj_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("p_name_upper"),
+        F.col("p_size").cast("string").alias("size_str"),
+        (_cents("p_retailprice") * 11.0 / 1000.0).alias("uplift_price"),
+        F.lit("catalog").alias("src"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "filter_null_drop",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE value IS NOT NULL AND props IS NOT NULL
+    """,
+)
+def filter_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        F.col("value").isNotNull() & F.col("props").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+
+@query(
+    "filter_normalized_eq",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE lower(trim(c_mktsegment)) = 'building'
+    """,
+)
+def filter_normalized_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where(F.lower(F.trim("c_mktsegment")) == "building").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants (A3/A4 + stats)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@query(
+    "agg_order_stats",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100.0 / F.count("*")).alias(
+            "avg_price"
+        ),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+
+
+@query(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def flag(status: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
+        ).cast("bigint")
+
+    return orders.groupBy("o_orderpriority").agg(
+        flag("F").alias("n_f"),
+        flag("O").alias("n_o"),
+        flag("P").alias("n_p"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (ship_year, ship_month)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        _cents(REVENUE_SQL).alias("rev_cents"),
+    )
+    return li.rollup("ship_year", "ship_month").agg(
+        F.sum("rev_cents").alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "cube_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family beyond J1: outer / semi / anti
+# ---------------------------------------------------------------------------
+@query(
+    "join_left_outer_counts",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi_nations",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def join_semi_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "join_anti_nations",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def join_anti_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions, top-k, dedup-by-window
+# ---------------------------------------------------------------------------
+@query(
+    "window_rank_topk",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    f"""
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS day_cents
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, ship_date, day_cents,
+           CAST(SUM(day_cents) OVER (PARTITION BY l_returnflag ORDER BY ship_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+    FROM daily
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.to_date("l_shipdate").alias("ship_date")
+    ).agg(F.sum(_cents(REVENUE_SQL)).alias("day_cents"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("ship_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "ship_date",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("cum_cents"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS avg_price
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, avg_price,
+           avg_price - LAG(avg_price) OVER (ORDER BY order_date)
+             AS delta_vs_prev
+    FROM daily
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        (F.sum(_cents("o_totalprice")).cast("double") / 100.0 / F.count("*")).alias(
+            "avg_price"
+        )
+    )
+    w = Window.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        "avg_price",
+        (F.col("avg_price") - F.lag("avg_price").over(w)).alias("delta_vs_prev"),
+    )
+
+
+@query(
+    "dedup_latest_order",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+        )
+    )
+
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy+limit compiles to TakeOrderedAndProject: a per-partition
+    # top-k followed by a driver-side merge of k*num_partitions rows —
+    # exactly the scalable plan for top-k at 100 TB.
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@query(
+    "setop_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"))
+        .intersect(orders.select(F.col("o_custkey").alias("k")))
+    )
+
+
+@query(
+    "setop_except",
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    return cust.exceptAll(orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# JSON / semi-structured (F1-F3) and time bucketing (F6/F7) over events
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "json_coalesce_probe",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(COALESCE(json_extract_string(props, '$.k'),
+                                  json_extract_string(props, '$.key'),
+                                  json_extract_string(props, '$.data'),
+                                  '-1') AS BIGINT)) AS BIGINT) AS sum_probed
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirrors the reference's schema-drift tolerance (F3): probe several
+    # candidate JSON paths, take the first non-null
+    # (/root/reference/src/transformations/bronze_to_silver.py:124-132).
+    ev = load_table(spark, sf_dir, "events")
+    probed = F.coalesce(
+        F.get_json_object("props", "$.k"),
+        F.get_json_object("props", "$.key"),
+        F.get_json_object("props", "$.data"),
+        F.lit("-1"),
+    ).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(probed).cast("bigint").alias("sum_probed")
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(extract(hour FROM ts) AS INT) AS event_hour,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "events_daily",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch sessionization via gap detection — the batch oracle for the
+    # streaming session_window job in streaming/jobs.py.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL '30' MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / unnest (F4) over documents
+# ---------------------------------------------------------------------------
+@query(
+    "explode_tokens",
+    """
+    SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("tok"),
+    )
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -1,0 +1,223 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Three paths:
+
+- ``ann_topk_bruteforce`` — exact top-k cosine for a small query set,
+  expressed entirely in Catalyst higher-order functions (zip_with +
+  aggregate → codegen'd JVM loops, no Python). Broadcast the query
+  side; candidates stream by. This is the correctness baseline.
+- ``ann_topk_lsh`` — the scale path: random-hyperplane LSH buckets
+  (deterministic integer hyperplanes), candidates only within a
+  query's bucket, then exact cosine re-rank. At 100 TB this turns an
+  all-pairs scan into a bucket equi-join.
+- ``ann_topk_numpy`` — Arrow-batched mapInPandas brute force (numpy
+  matrix multiply per batch). Fastest single-node throughput; kept as
+  a rows-only check (the SQL oracle covers correctness via the
+  bruteforce twin above).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import vectors as V
+from ..sources.tables import load_table
+from ._registry import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+N_QUERY_VECS = 8
+TOP_K = 5
+
+# Deterministic integer hyperplanes for sign-LSH (same literals embedded
+# in Spark exprs and oracle SQL; zero-mean components in [-1024, 1024)).
+LSH_PLANES = 8
+LSH_DIM = 64
+
+
+def _plane(j: int) -> list[int]:
+    return [
+        ((1103515245 * (j * LSH_DIM + d) + 12345) % 2048) - 1024
+        for d in range(LSH_DIM)
+    ]
+
+
+def _bucket_expr_spark(emb_col: str) -> str:
+    terms = []
+    for j in range(LSH_PLANES):
+        lits = ", ".join(f"{c}.0D" for c in _plane(j))
+        dot = (
+            f"aggregate(zip_with({emb_col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"IF({dot} > 0.0, {1 << j}, 0)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _bucket_expr_duck(emb_col: str) -> str:
+    terms = []
+    for j in range(LSH_PLANES):
+        lits = ", ".join(f"{c}.0" for c in _plane(j))
+        dot = f"list_dot_product(CAST({emb_col} AS DOUBLE[]), [{lits}]::DOUBLE[])"
+        terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@query(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 list_cosine_similarity(qe, ce) AS cos
+          FROM q, c WHERE query_id != neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+           ROUND(cos, 4) AS cosine
+    FROM r WHERE rn <= {TOP_K}
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    s = (
+        c.crossJoin(q)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", V.cosine("qe", "ce").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+                      {_bucket_expr_duck("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, de AS qe, bucket FROM e
+          WHERE vec_id < {N_QUERY_VECS}),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, e.de) AS cos
+          FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id != q.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+           ROUND(cos, 4) AS cosine
+    FROM r WHERE rn <= {TOP_K}
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("de"),
+        F.expr(_bucket_expr_spark("embedding")).alias("bucket"),
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("de").alias("qe"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    s = (
+        e.join(
+            q,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine("qe", "de").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# Rows-only check (no SQL oracle): Arrow-batched numpy brute force.
+@query("ann_topk_numpy")
+def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k via mapInPandas + numpy matrix multiply.
+
+    The query matrix (small) is broadcast to every Arrow batch; each
+    batch computes a (batch × queries) cosine matrix in one BLAS call
+    and emits per-batch local top-k, which are then globally re-ranked.
+    This is the high-throughput single-node path; at cluster scale each
+    executor does the same with zero shuffle before the final top-k.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = spark.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def topk_batches(it):
+        ids, qm = bq.value
+        for pdf in it:
+            c_ids = pdf["vec_id"].to_numpy()
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qm.T  # (batch, nq)
+            for qi, qid in enumerate(ids):
+                col = sims[:, qi]
+                mask = c_ids != qid
+                cand_ids, cand_cos = c_ids[mask], col[mask]
+                if len(cand_ids) == 0:
+                    continue
+                k = min(TOP_K, len(cand_ids))
+                idx = np.argpartition(-cand_cos, k - 1)[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[idx],
+                        "cos": cand_cos[idx],
+                    }
+                )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        topk_batches, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + regex "BPE-ish" pieces), and positional fingerprinting —
+all as codegen'd Catalyst expressions (no Python UDFs), each with a
+DuckDB oracle twin built from the same constants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hashing as H
+from ..sources.tables import load_table
+from ._registry import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_TOKS_DUCK = H.tokens_sql("text", duck=True)
+_TOKS_SPARK = H.tokens_sql("text", duck=False)
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Order is the deterministic tie-break priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "la", "de", "y", "que", "los", "una"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+# "BPE-ish" tokenizer: letter runs, single digits, single punctuation
+# marks — the classic pre-tokenization regex shape (same semantics in
+# Java regex and RE2).
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+QUALITY_MIN_TOKENS = 20
+
+
+def _stop_count(lang: str, *, duck: bool) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    if duck:
+        return f"len(list_filter(toks, x -> x IN ({words})))"
+    return f"size(filter(toks, x -> x IN ({words})))"
+
+
+def _langid_case(*, duck: bool) -> str:
+    # argmax over stopword hit counts with fixed priority order; 'und'
+    # (undetermined) when nothing hits.
+    langs = list(STOPWORDS)
+    conds = []
+    for i, lang in enumerate(langs):
+        others = [langs[j] for j in range(len(langs)) if j != i]
+        ge = " AND ".join(f"c_{lang} >= c_{o}" for o in others)
+        conds.append(f"WHEN c_{lang} > 0 AND {ge} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    c AS (SELECT doc_id, lang,
+          {", ".join(f"{_stop_count(lg, duck=True)} AS c_{lg}" for lg in STOPWORDS)}
+          FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           {_langid_case(duck=True)} AS pred_lang,
+           CAST(({_langid_case(duck=True)}) = lang AS INT) AS is_match
+    FROM c
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.expr(_TOKS_SPARK).alias("toks"))
+    c = t.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(_stop_count(lg, duck=False)).alias(f"c_{lg}")
+            for lg in STOPWORDS
+        ],
+    )
+    pred = F.expr(_langid_case(duck=False))
+    return c.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_types,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+           n_chars * 1.0 / len(toks) AS chars_per_token,
+           CAST(len(toks) >= {QUALITY_MIN_TOKENS} AS INT) AS passes_min_len
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "n_chars", F.expr(_TOKS_SPARK).alias("toks"))
+    n_tok = F.size("toks")
+    n_typ = F.size(F.array_distinct("toks"))
+    return t.where(n_tok > 0).select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        n_typ.cast("int").alias("n_types"),
+        (n_typ * 1.0 / n_tok).alias("ttr"),
+        (F.col("n_chars") * 1.0 / n_tok).alias("chars_per_token"),
+        (n_tok >= QUALITY_MIN_TOKENS).cast("int").alias("passes_min_len"),
+    )
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS_DUCK})) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.expr(_TOKS_SPARK))).cast("bigint").alias("total_ws_tokens"),
+        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w
+            FROM t)
+    SELECT doc_id,
+           CAST(SUM(({H.md5_int64("w", duck=True)} % {H.FINGERPRINT_MOD}) * i)
+                % {H.FINGERPRINT_MOD} AS BIGINT) AS fingerprint
+    FROM pos GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positional rolling-hash-style fingerprint: order-sensitive (the
+    # same bag of words in a different order fingerprints differently),
+    # cheap, and pure integer math → exact in both engines.
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    pos = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "w")
+    h = F.expr(H.md5_int64("w", duck=False))
+    return pos.groupBy("doc_id").agg(
+        (F.sum((h % H.FINGERPRINT_MOD) * F.col("i")) % H.FINGERPRINT_MOD)
+        .cast("bigint")
+        .alias("fingerprint")
+    )

@@ -1,0 +1,59 @@
+"""Parquet testdata loaders (the engine's relational catalog).
+
+Mirrors the reference's path-addressed table model
+(/root/reference/src/utils/paths.py:20-32 — tables are directories on
+disk, not catalog entries) over the driver's star-schema testdata.
+
+Scale posture: these are thin ``spark.read.parquet`` scans so Catalyst
+keeps predicate pushdown / column pruning / partition pruning intact —
+no caching, no collect, no schema inference surprises.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# engine targets (region/nation are fixed-size; supplier/part grow with
+# sf but stay far below fact tables). Used by operators to hint joins.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    cannot read natively; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as epoch-nanosecond longs and is converted to a proper
+    TimestampType (microsecond precision — Spark's maximum) here so
+    downstream operators see a normal timestamp column.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: ts is epoch-nanos (~1.7e18); float division
+        # would lose sub-microsecond precision past 2^53.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,87 @@
+"""Oracle-parity harness replicating the driver's correctness gate.
+
+Runs a Spark query and its DuckDB oracle over the same parquet tables
+and compares row count, sorted column names, and the order-insensitive
+multiset of row values. The engine's queries are designed for *exact*
+cross-engine equality (integer cents, bounded rounding, no raw
+timestamps), so the comparison is equality on canonical reprs — with
+the single normalization of -0.0 → 0.0.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+
+from .sources.tables import TABLES
+
+
+def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if v == 0.0:
+            return "0.0"
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, bool):
+        return repr(int(v))
+    return repr(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str) -> ParityResult:
+    sdf = query_fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    try:
+        res = con.execute(oracle)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+
+    if sorted(s_cols) != sorted(o_cols):
+        return ParityResult(
+            name, False, len(s_rows), len(o_rows),
+            f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
+        )
+    if len(s_rows) != len(o_rows):
+        return ParityResult(
+            name, False, len(s_rows), len(o_rows), "row count differs"
+        )
+    cs, co = canonical_rows(s_cols, s_rows), canonical_rows(o_cols, o_rows)
+    if cs != co:
+        diffs = [
+            (a, b) for a, b in zip(cs, co) if a != b
+        ][:3]
+        return ParityResult(
+            name, False, len(s_rows), len(o_rows),
+            f"values differ; first diffs (spark vs oracle): {diffs}",
+        )
+    return ParityResult(name, True, len(s_rows), len(o_rows))

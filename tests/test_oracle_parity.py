@@ -1,0 +1,29 @@
+"""Local replica of the driver's correctness gate: every query with an
+oracle must match DuckDB exactly (count + schema + value multiset) at
+sf0.001. Queries without oracles just need to run and return rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from energy_data_pipeline_project_spark.operators import all_oracles, all_queries
+from energy_data_pipeline_project_spark.testing import compare_query
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    res = compare_query(spark, SF_SMOKE, name, QUERIES[name], ORACLES[name])
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows} oracle={res.oracle_rows})"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0
