@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark the headline query surface.
+
+Runs the representative queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the ``noop`` sink (all columns
+computed, nothing collected to the driver) so timings reflect real
+execution, not partial column pruning against a count().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from energy_data_pipeline_project_spark.operators import all_queries
+from energy_data_pipeline_project_spark.session import get_spark_session
+
+HEADLINE = [
+    "gold_daily_join",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "rollup_revenue",
+    "window_running_sum",
+    "join_left_outer_counts",
+    "events_sessionize",
+    "json_extract_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "text_token_stats",
+    "text_fingerprint",
+    "ann_topk_bruteforce",
+    "ann_topk_numpy",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark_session(app_name="bench")
+    queries = all_queries()
+
+    # Warm the JVM/codegen once with the cheapest query so the first
+    # measured entry doesn't pay session spin-up.
+    materialize(queries["agg_distinct_pairs"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
