@@ -1,0 +1,146 @@
+"""Config model for the medallion pipeline.
+
+Schema-compatible with the reference's config
+(/root/reference/config/config.yaml: project timezone, per-dataset
+endpoint/params, run.backfill date range) but loaded into typed
+dataclasses, with the payload-extraction semantics made *declarative*:
+each dataset carries an ``ExtractSpec`` describing how its raw JSON
+becomes long time-series rows, instead of a hand-written per-dataset
+transform script. One generic Catalyst plan (pipeline/silver.py)
+serves every dataset shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import date, timedelta
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ExtractSpec:
+    """How to turn one payload_json into long rows.
+
+    Two shapes, mirroring the reference:
+
+    - ``entity_array`` set (power): payload has a time array plus an
+      array of {name, data[]} entity structs → one row per
+      (entity, timestamp).
+    - ``value_probes`` set (price): payload has a time array plus a
+      flat value array under one of several candidate field names
+      (schema drift) → first non-null probe wins, one row per
+      timestamp.
+    """
+
+    time_field: str = "unix_seconds"
+    entity_array: str | None = None
+    entity_name_field: str = "name"
+    entity_values_field: str = "data"
+    value_probes: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    name: str  # table name, e.g. "public_power_de"
+    endpoint: str  # REST endpoint, e.g. "public_power"
+    key_column: str  # bronze key column name: "country" / "market"
+    key_value: str  # e.g. "de" / "DE-LU"
+    params: dict[str, Any] = field(default_factory=dict)
+    extract: ExtractSpec = field(default_factory=ExtractSpec)
+    # silver output column renames: payload value column → silver name
+    value_column: str = "value"
+    entity_column: str | None = None
+    # reference quirk: silver power keeps the bronze date string, silver
+    # price does not (SURVEY.md §1.1)
+    include_date: bool = True
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    lake_root: str
+    start_date: str
+    end_date: str
+    timezone: str = "UTC"
+    table_format: str = "parquet"  # "delta" if delta-spark is installed
+    api_base_url: str = "https://api.energy-charts.info"
+    request_timeout_s: int = 30
+    datasets: tuple[DatasetSpec, ...] = ()
+
+    def dates(self) -> list[date]:
+        start = date.fromisoformat(self.start_date)
+        end = date.fromisoformat(self.end_date)
+        if start > end:
+            raise ValueError(f"start_date {start} after end_date {end}")
+        return [start + timedelta(days=i) for i in range((end - start).days + 1)]
+
+
+def default_datasets() -> tuple[DatasetSpec, ...]:
+    """The reference's two datasets, declaratively."""
+    return (
+        DatasetSpec(
+            name="public_power_de",
+            endpoint="public_power",
+            key_column="country",
+            key_value="de",
+            extract=ExtractSpec(entity_array="production_types"),
+            value_column="value",
+            entity_column="production_type",
+        ),
+        DatasetSpec(
+            name="price_de_lu",
+            endpoint="price",
+            key_column="market",
+            key_value="DE-LU",
+            # Schema-drift tolerance: probe three candidate field names
+            # (reference bronze_to_silver.py:124-132).
+            extract=ExtractSpec(value_probes=("price", "prices", "data")),
+            value_column="price_eur_mwh",
+            include_date=False,
+        ),
+    )
+
+
+def load_config(path_or_dict: "str | dict") -> PipelineConfig:
+    """Load from a YAML file or a plain dict (tests)."""
+    if isinstance(path_or_dict, str):
+        import yaml
+
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f)
+    else:
+        raw = dict(path_or_dict)
+
+    run = raw.get("run", {}).get("backfill", {})
+    datasets = []
+    for d in raw.get("datasets", []):
+        ex = d.get("extract", {})
+        datasets.append(
+            DatasetSpec(
+                name=d["name"],
+                endpoint=d.get("endpoint", d["name"]),
+                key_column=d.get("key_column", "country"),
+                key_value=d.get("key_value", "de"),
+                params=d.get("params", {}),
+                extract=ExtractSpec(
+                    time_field=ex.get("time_field", "unix_seconds"),
+                    entity_array=ex.get("entity_array"),
+                    entity_name_field=ex.get("entity_name_field", "name"),
+                    entity_values_field=ex.get("entity_values_field", "data"),
+                    value_probes=tuple(ex.get("value_probes", ())),
+                ),
+                value_column=d.get("value_column", "value"),
+                entity_column=d.get("entity_column"),
+            )
+        )
+    return PipelineConfig(
+        lake_root=raw.get("lake_root", "data"),
+        start_date=run.get("start_date", "2025-01-01"),
+        end_date=run.get("end_date", "2025-01-07"),
+        timezone=raw.get("project", {}).get("timezone", "UTC"),
+        table_format=raw.get("table_format", "parquet"),
+        api_base_url=raw.get("api", {}).get(
+            "base_url", "https://api.energy-charts.info"
+        ),
+        request_timeout_s=raw.get("api", {}).get("timeout_s", 30),
+        datasets=tuple(datasets) or default_datasets(),
+    )

@@ -1,0 +1,57 @@
+"""Silver → gold: daily aggregates + the date-keyed join.
+
+Reference semantics preserved exactly
+(/root/reference/src/transformations/silver_to_gold.py):
+
+- ``power_daily_by_type``: groupBy(to_date(timestamp), production_type)
+  SUM(value) — the sum is over raw 15-min MW readings, deliberately
+  NOT converted to MWh (no ×0.25) — reference quirk A1, kept as-is.
+- ``price_daily``: groupBy(to_date(timestamp)) AVG(price_eur_mwh).
+- ``power_price_daily``: offshore-wind rows selected with the
+  normalized predicate lower(trim(production_type)) == 'wind offshore'
+  (catches label variants like " Wind Offshore "), then inner join
+  USING(date) against price_daily.
+
+Both join inputs are day-grain aggregates (thousands of rows at most
+per year) → Catalyst broadcasts automatically; at 100 TB the
+aggregation is the only shuffle and it's partial-agg + AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def power_daily_by_type(silver_power: DataFrame) -> DataFrame:
+    return (
+        silver_power.groupBy(
+            F.to_date("timestamp").alias("date"),
+            "production_type",
+        )
+        .agg(F.sum("value").alias("daily_net_production"))
+    )
+
+
+def price_daily(silver_price: DataFrame) -> DataFrame:
+    return (
+        silver_price.groupBy(F.to_date("timestamp").alias("date"))
+        .agg(F.avg("price_eur_mwh").alias("avg_price_eur_mwh"))
+    )
+
+
+def power_price_daily(
+    power_daily: DataFrame, price_daily_df: DataFrame
+) -> DataFrame:
+    offshore = power_daily.where(
+        F.lower(F.trim("production_type")) == "wind offshore"
+    ).select(
+        F.to_date("date").alias("date"),
+        F.col("daily_net_production").alias("offshore_wind_daily"),
+    )
+    price = price_daily_df.select(
+        F.to_date("date").alias("date"), "avg_price_eur_mwh"
+    )
+    return offshore.join(price, on="date", how="inner").select(
+        "date", "offshore_wind_daily", "avg_price_eur_mwh"
+    )

@@ -1,0 +1,107 @@
+"""Medallion pipeline runner: bronze → silver → gold, materialized per
+layer.
+
+Layer hand-off is materialization on disk (each stage's output table
+is the next stage's scan), the reference's checkpoint-like property
+(SURVEY.md §3.1) kept deliberately: stages are independently
+re-runnable and a failed gold build never corrupts silver. Every write
+is an idempotent full overwrite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import apply_runtime_confs
+from ..sources.payloads import LocalJsonSource, PayloadSource
+from . import gold as G
+from .config import PipelineConfig
+from .ingestion import ingest_dataset
+from .lake import read_table, table_path, write_table
+from .silver import extract_timeseries
+
+
+@dataclass
+class PipelineResult:
+    bronze: dict[str, DataFrame] = field(default_factory=dict)
+    silver: dict[str, DataFrame] = field(default_factory=dict)
+    gold: dict[str, DataFrame] = field(default_factory=dict)
+
+    def counts(self) -> dict[str, int]:
+        out = {}
+        for layer in ("bronze", "silver", "gold"):
+            for name, df in getattr(self, layer).items():
+                out[f"{layer}/{name}"] = df.count()
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    source: PayloadSource | None = None,
+) -> PipelineResult:
+    apply_runtime_confs(spark)
+    source = source or LocalJsonSource()
+    fmt = config.table_format
+    result = PipelineResult()
+
+    # bronze: fetch + persist raw payloads (empty-input guard H6: a
+    # dataset with no payloads writes nothing and is skipped downstream)
+    ingested = set()
+    for ds in config.datasets:
+        if ingest_dataset(spark, config, ds, source) is not None:
+            ingested.add(ds.name)
+
+    # silver: re-scan bronze from disk, flatten to long time series
+    for ds in config.datasets:
+        if ds.name not in ingested:
+            continue
+        bpath = table_path(config.lake_root, "bronze", ds.name)
+        bronze = read_table(spark, bpath, fmt)
+        result.bronze[ds.name] = bronze
+        silver = extract_timeseries(bronze, ds)
+        spath = table_path(config.lake_root, "silver", f"{ds.name}_silver")
+        write_table(silver, spath, fmt)
+        result.silver[ds.name] = read_table(spark, spath, fmt)
+
+    # gold: daily aggregates + join (assumes the reference's two dataset
+    # roles: one entity dataset (power), one probe dataset (price))
+    power_ds = next(
+        (d for d in config.datasets
+         if d.extract.entity_array and d.name in ingested),
+        None,
+    )
+    price_ds = next(
+        (d for d in config.datasets
+         if d.extract.value_probes and d.name in ingested),
+        None,
+    )
+    if power_ds is None or price_ds is None:
+        return result  # nothing ingested for one of the roles → no gold
+
+    pdaily = G.power_daily_by_type(result.silver[power_ds.name])
+    write_table(
+        pdaily, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
+    )
+    result.gold["power_daily_by_type"] = read_table(
+        spark, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
+    )
+
+    prdaily = G.price_daily(result.silver[price_ds.name])
+    write_table(prdaily, table_path(config.lake_root, "gold", "price_daily"), fmt)
+    result.gold["price_daily"] = read_table(
+        spark, table_path(config.lake_root, "gold", "price_daily"), fmt
+    )
+
+    joined = G.power_price_daily(
+        result.gold["power_daily_by_type"], result.gold["price_daily"]
+    )
+    write_table(
+        joined, table_path(config.lake_root, "gold", "power_price_daily"), fmt
+    )
+    result.gold["power_price_daily"] = read_table(
+        spark, table_path(config.lake_root, "gold", "power_price_daily"), fmt
+    )
+    return result

@@ -1,0 +1,111 @@
+"""Bronze → silver: one generic Catalyst plan for every payload shape.
+
+Replaces the reference's two hand-written transforms
+(/root/reference/src/transformations/bronze_to_silver.py:50-106 power,
+:108-159 price) with a single declarative extractor driven by
+``ExtractSpec``. Semantics preserved exactly:
+
+- schema-on-read ``from_json`` with an explicit payload schema; the
+  time array is declared ``array<double>`` then cast to ``array<long>``
+  (the reference's defensive "type laundering", SURVEY.md §1.3).
+- entity shape: explode the entity-struct array (Generate #1), zip the
+  time array against each entity's values (``arrays_zip`` pads the
+  shorter array with nulls), explode the pairs (Generate #2).
+- probe shape: ``get_json_object`` JSONPath probes over candidate
+  field names, first non-null via ``coalesce`` (schema drift
+  tolerance).
+- epoch→timestamp via ``to_timestamp(from_unixtime(...))`` — session
+  TZ dependent in the reference; this engine pins UTC (session.py).
+- rows with null timestamp OR null value are dropped (this is the
+  late/misaligned-data policy: zip-padded tails vanish here).
+
+Cardinality: 1 bronze row/day → ×|entities| → ×|time slots|. At
+100 TB this plan is two Generates inside one codegen stage — no
+shuffle at all until the gold aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .config import DatasetSpec
+
+
+def _payload_schema(spec) -> T.StructType:
+    fields = [T.StructField(spec.time_field, T.ArrayType(T.DoubleType()))]
+    if spec.entity_array:
+        fields.append(
+            T.StructField(
+                spec.entity_array,
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(spec.entity_name_field, T.StringType()),
+                            T.StructField(
+                                spec.entity_values_field,
+                                T.ArrayType(T.DoubleType()),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        )
+    return T.StructType(fields)
+
+
+def extract_timeseries(bronze: DataFrame, dataset: DatasetSpec) -> DataFrame:
+    """Long-format rows from bronze payload_json, per ``ExtractSpec``."""
+    spec = dataset.extract
+    keep = [dataset.key_column] + (["date"] if dataset.include_date else [])
+
+    if spec.entity_array:
+        payload = F.from_json("payload_json", _payload_schema(spec))
+        exploded = (
+            bronze.withColumn("payload", payload)
+            .select(
+                *keep,
+                F.col(f"payload.{spec.time_field}")
+                .cast("array<long>")
+                .alias("_t"),
+                F.explode(f"payload.{spec.entity_array}").alias("_e"),
+            )
+            .select(
+                *keep,
+                "_t",
+                F.col(f"_e.{spec.entity_name_field}").alias(
+                    dataset.entity_column or "entity"
+                ),
+                F.col(f"_e.{spec.entity_values_field}").alias("_vals"),
+            )
+        )
+        entity_cols = [dataset.entity_column or "entity"]
+    else:
+        time_json = F.get_json_object("payload_json", f"$.{spec.time_field}")
+        probes = [
+            F.from_json(
+                F.get_json_object("payload_json", f"$.{p}"),
+                T.ArrayType(T.DoubleType()),
+            )
+            for p in spec.value_probes
+        ]
+        exploded = bronze.select(
+            *keep,
+            F.from_json(time_json, T.ArrayType(T.DoubleType()))
+            .cast("array<long>")
+            .alias("_t"),
+            F.coalesce(*probes).alias("_vals"),
+        )
+        entity_cols = []
+
+    zipped = exploded.withColumn("_p", F.explode(F.arrays_zip("_t", "_vals")))
+    out = zipped.select(
+        *keep,
+        *entity_cols,
+        F.to_timestamp(F.from_unixtime(F.col("_p._t"))).alias("timestamp"),
+        F.col("_p._vals").cast("double").alias(dataset.value_column),
+    )
+    return out.where(
+        F.col("timestamp").isNotNull() & F.col(dataset.value_column).isNotNull()
+    )

@@ -1,0 +1,214 @@
+"""Medallion pipeline fidelity tests (SURVEY.md §5.2).
+
+Hermetic: fixture payloads stand in for the live Energy-Charts API.
+Asserts the reference's exact layer schemas and the semantic quirks
+that define correctness: arrays_zip misalignment handling, null-drop,
+coalesce field-name probing, normalized offshore filter, overwrite
+idempotency, UTC-pinned day bucketing.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+from energy_data_pipeline_project_spark import schemas as S
+from energy_data_pipeline_project_spark.pipeline.config import (
+    PipelineConfig,
+    default_datasets,
+)
+from energy_data_pipeline_project_spark.pipeline.runner import run_pipeline
+from energy_data_pipeline_project_spark.sources.fixtures import (
+    OFFSHORE_VARIANT,
+    POWER_TYPES,
+    fixture_payloads,
+    power_payload,
+    price_payload,
+)
+from energy_data_pipeline_project_spark.sources.payloads import LocalJsonSource
+
+DAYS = [f"2025-01-0{i}" for i in range(1, 8)]
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake"))
+    config = PipelineConfig(
+        lake_root=root,
+        start_date=DAYS[0],
+        end_date=DAYS[-1],
+        datasets=default_datasets(),
+    )
+    source = LocalJsonSource(fixture_payloads(DAYS))
+    res = run_pipeline(spark, config, source)
+    return config, source, res
+
+
+def _clean_schema(df):
+    # compare names+types, not nullability (parquet round-trip relaxes it)
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def _expected(schema):
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def test_silver_schemas(result):
+    _, _, res = result
+    assert _clean_schema(res.silver["public_power_de"]) == _expected(S.SILVER_POWER)
+    assert _clean_schema(res.silver["price_de_lu"]) == _expected(S.SILVER_PRICE)
+
+
+def test_gold_schemas(result):
+    _, _, res = result
+    assert _clean_schema(res.gold["power_daily_by_type"]) == _expected(
+        S.GOLD_POWER_DAILY
+    )
+    assert _clean_schema(res.gold["price_daily"]) == _expected(S.GOLD_PRICE_DAILY)
+    assert _clean_schema(res.gold["power_price_daily"]) == _expected(
+        S.GOLD_POWER_PRICE
+    )
+
+
+def test_silver_power_row_math(result):
+    """Row count = days × types × 96 slots − nulls − misaligned tail."""
+    _, _, res = result
+    expected = 0
+    for i, day in enumerate(DAYS):
+        p = power_payload(day, misaligned=(i == 1))
+        for t in p["production_types"]:
+            expected += sum(1 for v in t["data"] if v is not None)
+    assert res.silver["public_power_de"].count() == expected
+
+
+def test_zip_misalignment_drops_tail(result):
+    """Day 2's second production type has 5 fewer values: arrays_zip
+    pads with nulls and the null filter drops exactly those rows."""
+    _, _, res = result
+    sp = res.silver["public_power_de"]
+    day2 = power_payload(DAYS[1], misaligned=True)
+    name = day2["production_types"][1]["name"]
+    n_valid = sum(1 for v in day2["production_types"][1]["data"] if v is not None)
+    got = sp.where(
+        (sp.date == DAYS[1]) & (sp.production_type == name)
+    ).count()
+    assert got == n_valid  # 91 slots minus embedded nulls, not 96
+
+
+def test_price_coalesce_probes_all_variants(result):
+    """Fixture rotates price/prices/data field names across days; every
+    day must still land 24 hourly rows."""
+    _, _, res = result
+    sp = res.silver["price_de_lu"]
+    assert sp.count() == len(DAYS) * 24
+    # spot-check exact values for one day of each variant
+    rows = {r["timestamp"]: r["price_eur_mwh"] for r in sp.collect()}
+    for day in DAYS[:3]:
+        p = price_payload(day)
+        field = next(k for k in ("price", "prices", "data") if k in p)
+        for epoch, price in zip(p["unix_seconds"], p[field]):
+            match = [v for ts, v in rows.items() if ts.timestamp() == epoch]
+            assert match and math.isclose(match[0], price)
+
+
+def test_gold_sum_preserves_mw_quirk(result):
+    """daily_net_production sums raw 15-min MW readings (no ×0.25
+    energy conversion) — reference quirk A1 preserved."""
+    _, _, res = result
+    p = power_payload(DAYS[0])
+    t0 = p["production_types"][2]
+    expected = sum(v for v in t0["data"] if v is not None)
+    got = (
+        res.gold["power_daily_by_type"]
+        .where(
+            (res.gold["power_daily_by_type"].production_type == t0["name"])
+            & (res.gold["power_daily_by_type"].date.cast("string") == DAYS[0])
+        )
+        .collect()
+    )
+    assert len(got) == 1
+    assert math.isclose(got[0]["daily_net_production"], expected)
+
+
+def test_offshore_normalization(result):
+    """' Wind Offshore ' label variants must be captured by the
+    normalized lower(trim()) filter feeding the gold join."""
+    _, _, res = result
+    variant_days = [
+        d
+        for i, d in enumerate(DAYS)
+        if power_payload(d, misaligned=(i == 1))["production_types"][0]["name"]
+        == OFFSHORE_VARIANT
+    ]
+    assert variant_days, "fixture should produce at least one variant day"
+    joined = res.gold["power_price_daily"]
+    assert joined.count() == len(DAYS)  # every day joins, variants included
+
+
+def test_overwrite_idempotency(spark, result, tmp_path_factory):
+    """Running the pipeline twice produces identical tables (S6)."""
+    from dataclasses import replace
+
+    config, source, _ = result
+    config2 = replace(
+        config, lake_root=str(tmp_path_factory.mktemp("lake-idem"))
+    )
+    r1 = run_pipeline(spark, config2, source)
+    counts1 = r1.counts()  # materialize before the overwrite
+    r2 = run_pipeline(spark, config2, source)
+    assert counts1 == r2.counts()
+
+
+def test_gold_against_duckdb(result):
+    """Cross-engine oracle: recompute gold from the silver parquet with
+    DuckDB and compare the joined table exactly."""
+    import duckdb
+
+    config, _, res = result
+    root = config.lake_root
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+        WITH power AS (
+          SELECT CAST(timestamp AS DATE) AS date, production_type,
+                 SUM(value) AS daily
+          FROM parquet_scan('{root}/silver/public_power_de_silver/*.parquet')
+          GROUP BY 1, 2
+        ), price AS (
+          SELECT CAST(timestamp AS DATE) AS date, AVG(price_eur_mwh) AS avg_p
+          FROM parquet_scan('{root}/silver/price_de_lu_silver/*.parquet')
+          GROUP BY 1
+        )
+        SELECT p.date, p.daily, pr.avg_p
+        FROM power p JOIN price pr USING (date)
+        WHERE lower(trim(production_type)) = 'wind offshore'
+        ORDER BY p.date
+        """
+    ).fetchall()
+    want = sorted(
+        (r["date"], r["offshore_wind_daily"], r["avg_price_eur_mwh"])
+        for r in res.gold["power_price_daily"].collect()
+    )
+    assert len(got) == len(want)
+    for (gd, gdaily, gavg), (wd, wdaily, wavg) in zip(got, want):
+        assert gd == wd
+        assert math.isclose(gdaily, wdaily, rel_tol=1e-12)
+        assert math.isclose(gavg, wavg, rel_tol=1e-12)
+
+
+def test_bronze_payload_roundtrip(result):
+    """Bronze keeps the raw payload byte-for-byte (schema-on-read)."""
+    _, _, res = result
+    row = (
+        res.bronze["public_power_de"]
+        .where(res.bronze["public_power_de"].date == DAYS[0])
+        .collect()[0]
+    )
+    assert row["country"] == "de"
+    assert row["source"] == "energy-charts"
+    payload = json.loads(row["payload_json"])
+    assert payload == power_payload(DAYS[0])
+    assert len(payload["unix_seconds"]) == 96
+    assert len(payload["production_types"]) == len(POWER_TYPES)
