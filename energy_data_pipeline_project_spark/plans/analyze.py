@@ -1,0 +1,79 @@
+"""Physical-plan inspection: assert the plan properties that matter at
+100 TB instead of hoping for them.
+
+``plan_report`` parses ``explain(formatted)`` output into the facts the
+scale posture depends on: did filters push into the parquet scan, which
+joins broadcast vs shuffle, how wide the whole-stage-codegen spans are,
+and whether any Python row-at-a-time evaluation leaked into the plan.
+tests/test_plans.py pins these properties for the headline queries so a
+regression (e.g. a lost broadcast, a filter that stopped pushing) fails
+CI rather than shipping as a 100× slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@dataclass
+class PlanReport:
+    plan: str
+    n_scans: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    broadcast_joins: int = 0
+    shuffle_joins: int = 0
+    exchanges: int = 0
+    codegen_stages: int = 0
+    python_eval: bool = False  # row-at-a-time Python UDF — the slow path
+    arrow_eval: bool = False  # pandas/Arrow eval — acceptable when needed
+
+    @property
+    def joins(self) -> int:
+        return self.broadcast_joins + self.shuffle_joins
+
+
+def plan_report(df: DataFrame) -> PlanReport:
+    text = formatted_plan(df)
+    rep = PlanReport(plan=text)
+    # formatted explain lists each node twice (tree + numbered detail
+    # section); count the "(N) NodeName" detail entries, once per node.
+    rep.n_scans = len(re.findall(r"^\(\d+\) Scan parquet", text, re.M))
+    rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    rep.read_schemas = re.findall(r"ReadSchema: (\S+)", text)
+    rep.broadcast_joins = len(
+        re.findall(r"^\(\d+\) Broadcast(?:Hash|NestedLoop)Join", text, re.M)
+    )
+    rep.shuffle_joins = len(
+        re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", text, re.M)
+    )
+    rep.exchanges = len(re.findall(r"^\(\d+\) Exchange", text, re.M))
+    rep.codegen_stages = len(set(re.findall(r"codegen id : (\d+)", text)))
+    rep.python_eval = "BatchEvalPython" in text
+    rep.arrow_eval = (
+        "ArrowEvalPython" in text
+        or "MapInPandas" in text
+        or "FlatMapGroupsInPandas" in text
+    )
+    return rep
+
+
+def assert_scan_pruned(rep: PlanReport, must_not_contain: tuple[str, ...]) -> None:
+    """Column pruning check: no ReadSchema may include these columns."""
+    for schema in rep.read_schemas:
+        for col in must_not_contain:
+            assert col not in schema, (
+                f"column {col!r} read but never needed: {schema}"
+            )

@@ -1,0 +1,107 @@
+"""Structured Streaming jobs mirroring the batch operators.
+
+The reference has no streaming — its "streaming-ness" is a driver-side
+batch loop over days (SURVEY.md §2.7). This module is the engine's
+streaming extension: the same event-shaped data as an unbounded
+stream, with watermarks for late data and windowed/stateful
+aggregations whose results must equal the batch operators
+(stream-batch parity is the test oracle — tests/test_streaming.py).
+
+Jobs:
+
+- ``windowed_counts``    — tumbling daily windows (batch twin: the
+  day-grain groupBy aggregations, A1/A2 incrementally).
+- ``sliding_avg``        — 1h windows sliding every 30min.
+- ``session_counts``     — ``session_window`` with a 30-minute gap
+  (batch twin: events_sessionize's lag-based gap detection).
+
+Late-data policy: watermark 1 hour — rows later than (max event time
+− 1h) are dropped from open windows; at 100 TB the watermark bounds
+state size per key, which is what makes these aggregations runnable
+forever.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+WATERMARK = "1 hour"
+SESSION_GAP = "30 minutes"
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded so a backlog
+    replays incrementally instead of as one giant batch.
+    """
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.to_date("win.start").alias("event_date"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Stateful session windows: a session closes after a 30-min gap."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into an
+    in-memory table and return the batch result."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)

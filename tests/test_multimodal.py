@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: media struct schema, Arrow-batched
+feature extraction with an injected fake codec, and the stubbed real
+codec path."""
+
+from __future__ import annotations
+
+import pytest
+
+from energy_data_pipeline_project_spark.operators import multimodal as M
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def fake_decoder(payload: bytes, mime: str):
+    """Deterministic fake codec: 4 summary stats of the raw bytes."""
+    n = max(len(payload), 1)
+    return [
+        float(len(payload)),
+        float(sum(payload) % 997),
+        float(payload[0] if payload else 0),
+        float(payload[-1] if payload else 0),
+    ]
+
+
+def test_media_struct_schema(spark):
+    docs = M.attach_media(load_table(spark, SF_SMOKE, "documents"))
+    field = dict(zip(docs.schema.names, docs.schema.fields))["media"]
+    assert field.dataType.simpleString() == (
+        "struct<payload:binary,mime:string,"
+        "meta:struct<width:int,height:int,n_bytes:bigint>>"
+    )
+    row = docs.select("text", "media").first()
+    assert bytes(row["media"]["payload"]) == row["text"].encode("utf-8")
+    assert row["media"]["meta"]["n_bytes"] == len(row["text"].encode("utf-8"))
+
+
+def test_extract_features_with_fake_codec(spark):
+    docs = M.attach_media(load_table(spark, SF_SMOKE, "documents")).limit(50)
+    feats = M.extract_features(docs, decoder=fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 50
+    by_id = {r["doc_id"]: r for r in rows}
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for doc_id, r in by_id.items():
+        expected = fake_decoder(src[doc_id].encode("utf-8"), r["mime"])
+        assert r["feature"] == expected
+        assert r["n_bytes"] == len(src[doc_id].encode("utf-8"))
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...", "image/png")
+
+
+def test_extract_features_partition_parallel(spark):
+    """The map stage must preserve partitioning (no shuffle)."""
+    docs = M.attach_media(load_table(spark, SF_SMOKE, "documents")).repartition(4)
+    feats = M.extract_features(docs, decoder=fake_decoder)
+    assert feats.rdd.getNumPartitions() == 4
+    assert feats.count() == docs.count()

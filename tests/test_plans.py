@@ -1,0 +1,75 @@
+"""Scale-posture regression tests: pin the physical-plan properties
+the 100 TB design depends on (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from energy_data_pipeline_project_spark.operators import dedup, relational, similarity
+from energy_data_pipeline_project_spark.plans.analyze import (
+    assert_scan_pruned,
+    plan_report,
+)
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_function_predicate_does_not_push(spark):
+    """Documented Catalyst behavior worth pinning: a predicate wrapped
+    in functions (lower(trim(x)) = c) canNOT push into the parquet
+    scan — parquet stats only serve plain column predicates. The engine
+    therefore prefers normalizing at WRITE time when a column is a
+    frequent filter target (see DESIGN.md); this test keeps us honest
+    about what the read side actually does."""
+    df = relational.QUERIES["filter_normalized_eq"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.n_scans == 1
+    assert rep.pushed_filters in ([], [""])  # nothing pushes
+    assert_scan_pruned(rep, ("c_nationkey",))  # but pruning still works
+
+
+def test_simple_predicate_pushes_to_parquet(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    rep = plan_report(df)
+    assert any("l_quantity" in f for f in rep.pushed_filters)
+    assert_scan_pruned(rep, ("l_extendedprice", "l_shipdate"))
+
+
+def test_q5_broadcasts_dims(spark):
+    rep = plan_report(relational.QUERIES["q5_region_revenue"](spark, SF_SMOKE))
+    # the nation⋈region dim join must be broadcast to the fact side
+    assert rep.broadcast_joins >= 1
+    # 4 joins total: li⋈orders, ⋈customer, ⋈(nation⋈region); the fact
+    # joins may be shuffle or AQE-converted broadcast — either is fine
+    assert rep.joins == 4
+
+
+def test_gold_daily_join_no_python(spark):
+    rep = plan_report(relational.QUERIES["gold_daily_join"](spark, SF_SMOKE))
+    assert not rep.python_eval
+    assert not rep.arrow_eval
+    # pre-execution AQE plans don't annotate codegen ids; two shuffle
+    # exchanges (one per day-grain aggregation) is the expected shape
+    assert rep.exchanges == 2
+
+
+def test_no_python_eval_in_core_surface(spark):
+    """Row-at-a-time Python must never appear in the declared surface;
+    Arrow eval only in the explicitly-pandas paths."""
+    for name, fn in {**relational.QUERIES, **dedup.QUERIES}.items():
+        rep = plan_report(fn(spark, SF_SMOKE))
+        assert not rep.python_eval, f"{name} fell back to BatchEvalPython"
+        assert not rep.arrow_eval, f"{name} unexpectedly uses pandas eval"
+
+
+def test_numpy_path_is_arrow_not_row_python(spark):
+    rep = plan_report(similarity.QUERIES["ann_topk_numpy"](spark, SF_SMOKE))
+    assert rep.arrow_eval
+    assert not rep.python_eval
+
+
+def test_topk_is_take_ordered(spark):
+    rep = plan_report(relational.QUERIES["topk_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in rep.plan  # per-partition top-k, no full sort
