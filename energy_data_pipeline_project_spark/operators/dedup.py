@@ -116,22 +116,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join shuffles on the band value only; the O(n²) pair space is
     # never built. (The DuckDB oracle uses an equivalent — but
     # unscalable — all-pairs formulation; same result set.)
+    #
+    # The signature frame is tiny relative to the corpus (k ints/doc)
+    # and feeds four subplans (both candidate sides + both est sides):
+    # persist it so the shingle explode+groupBy runs once, not 4-10×.
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs)
+    sig = _minhash_signatures(docs).persist()
 
-    band_frames = []
-    for b in range(H.MINHASH_BANDS):
-        cols = [f"m{i}" for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.concat_ws(",", *cols).alias("band_val"),
+    # melt to (doc_id, band_id, band_val) in ONE pass over sig
+    band_vals = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    f"m{i}"
+                    for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
+                ],
             )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionAll(bf)
+            for b in range(H.MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -223,10 +230,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
            FROM t),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -238,17 +246,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Postings are (doc_id, shingle-hash): the self-join shuffles 8-byte
+    # ints, not shingle strings, and the exploded postings frame feeds
+    # three subplans (both join sides + sizes) → persist it.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     sh = toks.select(
         "doc_id",
         F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
     )
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    hx = sh.select(
+        "doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h")
+    ).persist()
+    sz = hx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = hx.select(F.col("doc_id").alias("doc_a"), "h")
+    b = hx.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
-        a.join(b, ["s"])
+        a.join(b, ["h"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
