@@ -30,7 +30,9 @@ HEADLINE = [
     "q5_region_revenue",
     "rollup_revenue",
     "window_running_sum",
+    "window_range_7day",
     "join_left_outer_counts",
+    "join_asof_prev_purchase",
     "events_sessionize",
     "json_extract_events",
     "dedup_exact",

@@ -797,6 +797,112 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_prev_purchase",
+    """
+    SELECT e.event_id,
+           CASE WHEN p.ts IS NULL THEN 0 ELSE 1 END AS has_prior,
+           (epoch_us(e.ts) - epoch_us(p.ts)) // 60000000 AS gap_minutes
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed from
+    existing DataFrame ops (SURVEY.md §2.10 custom-operator path (a)).
+
+    For every event, the most recent 'purchase' by the same user at or
+    before the event time. Formulation: union the right side in as
+    marker rows, then one forward-fill window (``last(..., ignorenulls)``)
+    per user ordered by time with markers sorting before same-instant
+    events. One shuffle on (user_id), no range explosion — this is the
+    scalable shape for 100 TB as-of joins (vs. the O(n·m) theta-join a
+    naive formulation produces). Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    markers = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_marker"),
+        F.col("ts").alias("pts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    lefts = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_marker"),
+        F.lit(None).cast("timestamp").alias("pts"),
+        "event_id",
+    )
+    u = markers.unionByName(lefts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.desc("is_marker"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("prev_pts", F.last("pts", ignorenulls=True).over(w))
+    return filled.where(F.col("is_marker") == 0).select(
+        "event_id",
+        F.col("prev_pts").isNotNull().cast("int").alias("has_prior"),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(prev_pts)) div 60000000"
+        ).alias("gap_minutes"),
+    )
+
+
+@query(
+    "window_range_7day",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_date, n_orders,
+           CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,
+           CAST(SUM(day_cents) OVER w AS BIGINT) AS cents_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day RANGE frame (value-based, not row-based: gaps in
+    the date sequence are handled correctly)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "day_no"
+        ),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("day_cents"),
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_date",
+        "n_orders",
+        F.sum("n_orders").over(w).cast("bigint").alias("n_orders_7d"),
+        F.sum("day_cents").over(w).cast("bigint").alias("cents_7d"),
+    )
+
+
+# Rows-only (no oracle: approximate by construction). HyperLogLog++
+# sketch — the 100 TB way to count distincts without a full shuffle of
+# the distinct keys; relative error ~2.3% at the default rsd=0.05.
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Explode / unnest (F4) over documents
 # ---------------------------------------------------------------------------

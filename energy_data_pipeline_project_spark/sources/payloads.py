@@ -13,7 +13,7 @@ the unit the upstream Energy-Charts API serves. Two implementations:
   environments never need it.
 
 At 100 TB these driver-side loops are the wrong shape — the scale path
-is documented in plans/scale_notes.md: distribute (dataset, day) fetch
+is documented in DESIGN.md: distribute (dataset, day) fetch
 tasks over executors via ``spark.range(...).repartition(...)`` +
 ``mapInPandas`` fetch, or a DataSource V2 reader.
 """

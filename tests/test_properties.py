@@ -1,0 +1,166 @@
+"""Property-based tests (SURVEY.md §5.2): the invariants that define
+the engine's semantics, under randomized inputs.
+
+- arrays_zip + null-drop: for ANY payload shape (misaligned arrays,
+  embedded nulls, empty arrays) silver row counts equal the
+  Python-computed expectation.
+- coalesce probing: whichever candidate field the payload uses, the
+  first present one (in probe order) wins.
+- cross-engine hashing: Spark's md5→int64 and minhash permutations
+  agree with DuckDB bit-for-bit on arbitrary unicode tokens.
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from energy_data_pipeline_project_spark.functions import hashing as H
+from energy_data_pipeline_project_spark.pipeline.config import default_datasets
+from energy_data_pipeline_project_spark.pipeline.silver import extract_timeseries
+from energy_data_pipeline_project_spark.schemas import BRONZE_POWER, BRONZE_PRICE
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+epoch = st.integers(min_value=0, max_value=4_000_000_000)
+mw = st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False).map(lambda x: round(x, 3)))
+
+
+@st.composite
+def power_payloads(draw):
+    n_t = draw(st.integers(0, 8))
+    times = draw(st.lists(epoch, min_size=n_t, max_size=n_t))
+    types = []
+    for i in range(draw(st.integers(0, 4))):
+        n_v = draw(st.integers(0, 12))  # may be shorter/longer than times
+        types.append(
+            {
+                "name": f"type_{i}",
+                "data": draw(st.lists(mw, min_size=n_v, max_size=n_v)),
+            }
+        )
+    return {"unix_seconds": [float(t) for t in times], "production_types": types}
+
+
+@SETTINGS
+@given(payload=power_payloads())
+def test_zip_nulldrop_invariant(spark, payload):
+    power_ds = default_datasets()[0]
+    bronze = spark.createDataFrame(
+        [("de", "2025-01-01", json.dumps(payload))], schema=BRONZE_POWER
+    )
+    got = extract_timeseries(bronze, power_ds).count()
+    times = payload["unix_seconds"]
+    expected = sum(
+        1
+        for t in payload["production_types"]
+        for i in range(min(len(times), len(t["data"])))
+        if times[i] is not None and t["data"][i] is not None
+    )
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    fields=st.lists(
+        st.sampled_from(["price", "prices", "data"]), min_size=1, max_size=3, unique=True
+    ),
+    n=st.integers(1, 8),
+    data=st.data(),
+)
+def test_coalesce_probe_first_present_wins(spark, fields, n, data):
+    price_ds = default_datasets()[1]
+    times = [float(3600 * i) for i in range(n)]
+    payload = {"unix_seconds": times}
+    values = {}
+    for f in fields:
+        values[f] = [
+            round(data.draw(st.floats(-500, 500, allow_nan=False)), 2)
+            for _ in range(n)
+        ]
+        payload[f] = values[f]
+    bronze = spark.createDataFrame(
+        [("DE-LU", "2025-01-01", json.dumps(payload))], schema=BRONZE_PRICE
+    )
+    rows = extract_timeseries(bronze, price_ds).orderBy("timestamp").collect()
+    winner = next(p for p in ("price", "prices", "data") if p in values)
+    assert [r["price_eur_mwh"] for r in rows] == values[winner]
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="'\"\\\x00"
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_hash_parity_spark_duckdb(spark, tokens):
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame([(t,) for t in tokens], "w string").select(
+        "w",
+        F.expr(H.md5_int64("w", duck=False)).alias("h"),
+        F.expr(H.minhash_expr(0, H.md5_int64("w", duck=False))).alias("m0"),
+        F.expr(H.minhash_expr(7, H.md5_int64("w", duck=False))).alias("m7"),
+    )
+    got = {r["w"]: (r["h"], r["m0"], r["m7"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    for t in tokens:
+        h, m0, m7 = con.execute(
+            f"SELECT {H.md5_int64('?', duck=True)},"
+            f" {H.minhash_expr(0, H.md5_int64('?', duck=True))},"
+            f" {H.minhash_expr(7, H.md5_int64('?', duck=True))}",
+            [t, t, t],
+        ).fetchone()
+        assert got[t] == (h, m0, m7), t
+    con.close()
+
+
+def test_shingle_parity_spark_duckdb(spark):
+    """Same shingling in both engines for assorted edge-case docs."""
+    import pyspark.sql.functions as F
+
+    docs = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "a  b   c d",  # repeated separators → empty tokens filtered
+        "x " * 50,
+        "α β γ δ ε",
+    ]
+    sdf = (
+        spark.createDataFrame([(d,) for d in docs], "text string")
+        .withColumn("toks", F.expr(H.tokens_sql("text", duck=False)))
+        .select(
+            "text",
+            F.expr(H.shingles_sql("toks", 3, duck=False)).alias("sh"),
+        )
+    )
+    got = {r["text"]: sorted(r["sh"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    for d in docs:
+        (sh,) = con.execute(
+            f"SELECT {H.shingles_sql('toks', 3, duck=True)} FROM "
+            f"(SELECT {H.tokens_sql('?', duck=True)} AS toks)",
+            [d],
+        ).fetchone()
+        assert sorted(sh) == got[d], repr(d)
+    con.close()
