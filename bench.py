@@ -59,8 +59,13 @@ def main() -> None:
     spark = get_spark_session(app_name="bench")
     queries = all_queries()
 
-    # Warm the JVM/codegen once with the cheapest query so the first
-    # measured entry doesn't pay session spin-up.
+    # Warm the session once: file-listing/footer reads for every table
+    # plus one tiny materialization, so the first measured query pays
+    # its own execution, not JVM spin-up or catalog cold-start.
+    from energy_data_pipeline_project_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).schema
     materialize(queries["agg_distinct_pairs"](spark, sf_dir))
 
     timings: dict[str, float] = {}

@@ -1,0 +1,68 @@
+"""CLI entry point: run the full medallion pipeline.
+
+Mirrors the reference's ``python -m src.main`` flow
+(/root/reference/src/main.py: config → session → ingest → silver →
+gold → verification counts) as ``python -m
+energy_data_pipeline_project_spark``:
+
+    python -m energy_data_pipeline_project_spark \
+        --config examples/config.yaml --source fixtures
+
+``--source fixtures`` runs hermetically on the deterministic payload
+generator; ``--source rest`` ingests from the live Energy-Charts API
+with the reference's request semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .pipeline.config import load_config
+from .pipeline.runner import run_pipeline
+from .session import get_spark_session
+from .sources.fixtures import fixture_payloads
+from .sources.payloads import LocalJsonSource, RestSource
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="energy_data_pipeline_project_spark")
+    ap.add_argument("--config", required=True, help="pipeline YAML config")
+    ap.add_argument(
+        "--source",
+        choices=("fixtures", "rest", "dir"),
+        default="fixtures",
+        help="payload source: deterministic fixtures, live REST API, "
+        "or a directory of {dataset}/{date}.json files",
+    )
+    ap.add_argument("--payload-dir", help="payload directory for --source dir")
+    args = ap.parse_args(argv)
+
+    config = load_config(args.config)
+    if args.source == "fixtures":
+        days = [d.isoformat() for d in config.dates()]
+        source = LocalJsonSource(fixture_payloads(days))
+    elif args.source == "dir":
+        if not args.payload_dir:
+            ap.error("--source dir requires --payload-dir")
+        source = LocalJsonSource(root_dir=args.payload_dir)
+    else:
+        source = RestSource(config)
+
+    spark = get_spark_session(app_name="energy-pipeline")
+    try:
+        result = run_pipeline(spark, config, source)
+        # verification block, like the reference's main.py:83-110
+        for table, n in sorted(result.counts().items()):
+            print(f"{table}: {n} rows")
+        if "power_price_daily" in result.gold:
+            result.gold["power_price_daily"].orderBy("date").show(
+                10, truncate=False
+            )
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

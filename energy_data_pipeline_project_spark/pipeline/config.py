@@ -130,6 +130,7 @@ def load_config(path_or_dict: "str | dict") -> PipelineConfig:
                 ),
                 value_column=d.get("value_column", "value"),
                 entity_column=d.get("entity_column"),
+                include_date=d.get("include_date", True),
             )
         )
     return PipelineConfig(
