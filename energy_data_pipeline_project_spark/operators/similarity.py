@@ -162,6 +162,112 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
+               FROM embeddings),
+    ep AS (SELECT vec_id, label, i AS pos, de[i] AS v
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(de))) AS i)),
+    cent AS (SELECT label, pos, AVG(v) AS c FROM ep GROUP BY label, pos),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, carr.label,
+             list_cosine_similarity(e.de, carr.cv) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.de, carr.cv) DESC,
+                           carr.label) AS rn
+      FROM e, carr
+    ),
+    cells AS (SELECT vec_id, label AS cell FROM scored WHERE rn = 1),
+    q AS (SELECT e.vec_id AS query_id, e.de AS qe, cells.cell
+          FROM e JOIN cells USING (vec_id) WHERE e.vec_id < {N_QUERY_VECS}),
+    cand AS (SELECT e.vec_id AS neighbor_id, e.de AS ce, cells.cell
+             FROM e JOIN cells USING (vec_id)),
+    s AS (SELECT q.query_id, cand.neighbor_id,
+                 list_cosine_similarity(q.qe, cand.ce) AS cos
+          FROM q JOIN cand ON q.cell = cand.cell
+                          AND cand.neighbor_id != q.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+           ROUND(cos, 4) AS cosine
+    FROM r WHERE rn <= {TOP_K}
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: build a coarse quantizer (one centroid per label
+    group — a deterministic stand-in for k-means training), assign every
+    vector to its nearest centroid (the inverted file), then search only
+    within the query's cell (nprobe=1).
+
+    This is the scale path beyond sign-LSH: at 100 TB the assignment is
+    a broadcast join against k centroid arrays (k ≪ corpus) + one
+    zip_with cosine per vector, and search touches ~1/k of the corpus
+    per query. Recall loss at cell boundaries is the standard IVF
+    trade-off (raise nprobe to trade speed for recall); on this
+    near-random test corpus (max pairwise cosine ~0.4, weakly
+    clustered) recall@5 vs exact brute force measures ~20% at nprobe=1
+    — the operator's value here is the verified plumbing + scale
+    shape, not tuned recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", V.as_double("embedding").alias("de"))
+
+    ep = e.select(
+        "vec_id", "label", F.posexplode("de").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = ep.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    carr = F.broadcast(
+        cent.groupBy("label").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+            ).alias("cv")
+        )
+    )
+
+    scored = e.crossJoin(carr.select(F.col("label").alias("clabel"), "cv")).select(
+        "vec_id",
+        "clabel",
+        V.cosine("de", "cv").alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+
+    ec = e.join(cells, "vec_id")
+    q = F.broadcast(
+        ec.where(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("de").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    s = (
+        ec.join(
+            q,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine("qe", "de").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
 # Rows-only check (no SQL oracle): Arrow-batched numpy brute force.
 @query("ann_topk_numpy")
 def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,7 @@ DuckDB oracle twin built from the same constants.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import hashing as H
 from ..sources.tables import load_table
@@ -140,6 +140,62 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_bpe_tokens"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df USING (term), n
+    ),
+    r AS (SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rn
+          FROM scored)
+    SELECT doc_id, term, CAST(rn AS INT) AS rank, ROUND(score, 4) AS tfidf
+    FROM r WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Ranking happens on the score rounded to 6 decimals (libm ``ln``
+    may differ by 1 ulp between engines; rounding first makes the
+    ordering — with the term tie-break — engine-independent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) * 1.0 / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rn").cast("int").alias("rank"),
+            F.round("score", 4).alias("tfidf"),
+        )
     )
 
 
