@@ -720,7 +720,8 @@ def json_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(extract(hour FROM ts) AS INT) AS event_hour,
            event_type,
            COUNT(*) AS n,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -733,7 +734,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # events.value is fixed 2-decimal → cents rule, never ROUND(AVG)
+        (F.sum(_cents("value")).cast("double") / 100.0 / F.count("*")).alias(
+            "avg_value"
+        ),
     )
 
 
@@ -743,7 +747,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS event_date,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -753,7 +758,7 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.sum(_cents("value")).cast("double") / 100.0).alias("sum_value"),
     )
 
 
