@@ -74,6 +74,37 @@ def main() -> None:
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The reference's own workload: a 7-day medallion backfill
+    # (bronze ingest → silver flatten → gold aggregates+join, all
+    # layers written to disk). Hermetic fixture payloads, same data
+    # volume as the reference's default config.
+    import shutil
+    import tempfile
+
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        PipelineConfig,
+        default_datasets,
+    )
+    from energy_data_pipeline_project_spark.pipeline.runner import run_pipeline
+    from energy_data_pipeline_project_spark.sources.fixtures import fixture_payloads
+    from energy_data_pipeline_project_spark.sources.payloads import LocalJsonSource
+
+    lake = tempfile.mkdtemp(prefix="bench-lake-")
+    try:
+        cfg = PipelineConfig(
+            lake_root=lake,
+            start_date="2025-01-01",
+            end_date="2025-01-07",
+            datasets=default_datasets(),
+        )
+        days = [d.isoformat() for d in cfg.dates()]
+        src = LocalJsonSource(fixture_payloads(days))
+        t0 = time.perf_counter()
+        run_pipeline(spark, cfg, src)
+        timings["pipeline_medallion_7d"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
