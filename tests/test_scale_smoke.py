@@ -1,0 +1,85 @@
+"""Scale smoke: run the heavy operators on a 20×-replicated derived
+corpus (≈200k events, 10k documents) laid out like a testdata sf dir.
+
+Guards against super-linear blowups (a quadratic pair space or a
+collapsed single-partition stage turns this from seconds into minutes)
+and verifies the dedup operators actually find the duplicates that
+replication plants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from energy_data_pipeline_project_spark.operators import dedup, relational
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+N_COPIES = 20
+
+
+@pytest.fixture(scope="module")
+def big_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sf-big"))
+    copies = spark.range(N_COPIES).select(F.col("id").alias("copy"))
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("copy") * 10_000_000).alias("event_id"),
+            "ts",
+            # disjoint user cohorts per copy → per-user session structure
+            # identical to the base corpus
+            (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{root}/events.parquet")
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+            "text",  # exact duplicates across copies, planted on purpose
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{root}/documents.parquet")
+    )
+    return root
+
+
+def test_sessionize_scales_linearly_in_output(spark, big_dir):
+    out = relational.QUERIES["events_sessionize"](spark, big_dir)
+    base = relational.QUERIES["events_sessionize"](spark, SF_CORRECT)
+    assert out.count() == N_COPIES * base.count()
+    # replicated cohorts must reproduce the base session structure
+    total = out.agg(F.sum("n_sessions")).first()[0]
+    base_total = base.agg(F.sum("n_sessions")).first()[0]
+    assert total == N_COPIES * base_total
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, big_dir):
+    out = dedup.QUERIES["dedup_exact"](spark, big_dir)
+    rows = out.collect()
+    assert len(rows) == 500  # distinct texts unchanged
+    assert all(r["n_copies"] == N_COPIES for r in rows)
+
+
+def test_minhash_lsh_on_10k_docs(spark, big_dir):
+    out = dedup.QUERIES["dedup_minhash_lsh"](spark, big_dir)
+    n = out.count()
+    # every planted copy-pair is an exact near-dup: C(20,2) per text
+    planted = 500 * N_COPIES * (N_COPIES - 1) // 2
+    assert n >= planted
+    # and the candidate space stayed bucket-bounded, not O(n²)/2 ≈ 50M
+    assert n < planted * 2
