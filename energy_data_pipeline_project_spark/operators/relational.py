@@ -347,18 +347,21 @@ def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real relational pivot: explicit value list so the plan is a single
+    # pass (no extra job to discover pivot values — important at scale).
     orders = load_table(spark, sf_dir, "orders")
-
-    def flag(status: str) -> F.Column:
-        return F.sum(
-            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
-        ).cast("bigint")
-
-    return orders.groupBy("o_orderpriority").agg(
-        flag("F").alias("n_f"),
-        flag("O").alias("n_o"),
-        flag("P").alias("n_p"),
-        F.count("*").alias("n_total"),
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    totals = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
+    return pivoted.join(totals, "o_orderpriority").select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce("O", F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce("P", F.lit(0)).cast("bigint").alias("n_p"),
+        "n_total",
     )
 
 

@@ -37,6 +37,10 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 QUALITY_MIN_TOKENS = 20
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
 
 def _stop_count(lang: str, *, duck: bool) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -140,6 +144,58 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_bpe_tokens"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1),
+                                    {CHUNK_STEP})) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STEP} AS INT) AS chunk_id,
+           CAST(len(toks[start : start + {CHUNK_TOKENS - 1}]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[start : start + {CHUNK_TOKENS - 1}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks ({CHUNK}=32, overlap=8) — the
+    document→training-sample windowing step of an LLM data pipeline.
+    Pure Catalyst (sequence + slice + explode): a map-side Generate,
+    embarrassingly parallel at any corpus size. A chunk never starts
+    within the final overlap region, so no emitted chunk is fully
+    contained in its predecessor (no duplicate training content), and
+    dechunking (drop the first `overlap` tokens of every chunk after
+    the first) reconstructs the document exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(toks) - {CHUNK_OVERLAP}, 1), "
+                f"{CHUNK_STEP})"
+            )
+        ).alias("start"),
+    )
+    chunk = F.expr(f"slice(toks, start, {CHUNK_TOKENS})")
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STEP).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )
 
 
