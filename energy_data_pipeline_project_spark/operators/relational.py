@@ -341,7 +341,8 @@ def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           COUNT(*) AS n_total
+           CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_total
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -349,19 +350,24 @@ def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Real relational pivot: explicit value list so the plan is a single
     # pass (no extra job to discover pivot values — important at scale).
+    # n_total is the sum of the pivoted columns (both engines define it
+    # over the same explicit status domain), keeping this one scan + one
+    # aggregation — no second pass over the fact table.
     orders = load_table(spark, sf_dir, "orders")
     pivoted = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
     )
-    totals = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
-    return pivoted.join(totals, "o_orderpriority").select(
+    n_f = F.coalesce("F", F.lit(0)).cast("bigint")
+    n_o = F.coalesce("O", F.lit(0)).cast("bigint")
+    n_p = F.coalesce("P", F.lit(0)).cast("bigint")
+    return pivoted.select(
         "o_orderpriority",
-        F.coalesce("F", F.lit(0)).cast("bigint").alias("n_f"),
-        F.coalesce("O", F.lit(0)).cast("bigint").alias("n_o"),
-        F.coalesce("P", F.lit(0)).cast("bigint").alias("n_p"),
-        "n_total",
+        n_f.alias("n_f"),
+        n_o.alias("n_o"),
+        n_p.alias("n_p"),
+        (n_f + n_o + n_p).alias("n_total"),
     )
 
 

@@ -167,7 +167,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size overlapping token chunks ({CHUNK}=32, overlap=8) — the
+    """Fixed-size overlapping token chunks (32 tokens, 8 overlap) — the
     document→training-sample windowing step of an LLM data pipeline.
     Pure Catalyst (sequence + slice + explode): a map-side Generate,
     embarrassingly parallel at any corpus size. A chunk never starts
