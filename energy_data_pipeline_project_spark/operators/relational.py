@@ -905,6 +905,32 @@ def window_range_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear-interpolate on the sorted
+    values; rounded to absorb 1-ulp interpolation-formula noise). At
+    100 TB exact percentiles require a per-group sort — switch to
+    ``approx_percentile`` (KLL/GK sketch) when groups stop fitting;
+    kept exact here because the oracle must match."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 # Rows-only (no oracle: approximate by construction). HyperLogLog++
 # sketch — the 100 TB way to count distincts without a full shuffle of
 # the distinct keys; relative error ~2.3% at the default rsd=0.05.
