@@ -255,6 +255,45 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_key_duck = H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)
+_key_spark = H.md5_int64("CAST(doc_id AS STRING)", duck=False)
+_SPLIT_BUCKET_DUCK = f"({_key_duck} % 100)"
+_SPLIT_BUCKET_SPARK = f"({_key_spark} % 100)"
+
+
+@query(
+    "data_split_hash",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source, {_SPLIT_BUCKET_DUCK} AS bucket FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-independent
+    key hash — the reproducible-split idiom for training data at scale:
+    no shuffle, no sampling state, stable under reruns and appends, and
+    any engine (here: DuckDB) derives the identical assignment.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 @query(
     "text_fingerprint",
     f"""
