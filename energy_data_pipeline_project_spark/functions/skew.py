@@ -1,0 +1,46 @@
+"""Skew mitigation: salted equi-join.
+
+AQE's skew-join splitting (on by default, session.py) handles most
+skew at runtime. Salting is the explicit fallback when a single key is
+so hot that even a split partition overwhelms one task — the classic
+case at 100 TB being a null-ish or default-valued join key holding
+whole percents of the fact table.
+
+``salted_join(big, small, key, n_salt)``: the big side gets a
+per-row salt in [0, n_salt); the small side is replicated n_salt
+times; the join runs on (key, salt), spreading each hot key over
+n_salt tasks. Cost: small side shuffled n_salt×, so keep n_salt
+modest and the small side small (or broadcast and skip salting
+entirely — salting only matters for shuffle joins).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column ``on`` with key salting.
+
+    Result is identical to ``big.join(small, on, how)`` for inner and
+    left joins (each big-side row matches exactly the same small-side
+    rows; the salt only routes rows to partitions).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = F.pmod(F.hash(F.col(on), F.monotonically_increasing_id()), F.lit(n_salt))
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = big_s.join(small_s, [on, "_salt"], how)
+    return out.drop("_salt")

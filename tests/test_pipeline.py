@@ -198,6 +198,34 @@ def test_gold_against_duckdb(result):
         assert math.isclose(gavg, wavg, rel_tol=1e-12)
 
 
+def test_malformed_payloads_drop_not_crash(spark):
+    """Garbage payload_json (broken JSON, wrong shape, null) must yield
+    zero silver rows for those bronze rows — never an exception
+    (schema-on-read with explicit schemas: from_json → null → explode
+    drops)."""
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries,
+    )
+    from energy_data_pipeline_project_spark.schemas import BRONZE_POWER
+
+    good = power_payload(DAYS[0])
+    rows = [
+        ("de", DAYS[0], json.dumps(good)),
+        ("de", DAYS[1], "{this is not json"),
+        ("de", DAYS[2], json.dumps({"unexpected": [1, 2, 3]})),
+        ("de", DAYS[3], None),
+        ("de", DAYS[4], json.dumps({"unix_seconds": "not-an-array"})),
+    ]
+    bronze = spark.createDataFrame(rows, schema=BRONZE_POWER)
+    out = extract_timeseries(bronze, default_datasets()[0])
+    per_day = {r["date"]: r["n"] for r in out.groupBy("date").count().withColumnRenamed("count", "n").collect()}
+    expected_good = sum(
+        1 for t in good["production_types"] for v in t["data"] if v is not None
+    )
+    assert per_day.get(DAYS[0]) == expected_good
+    assert all(d not in per_day for d in DAYS[1:5])
+
+
 def test_bronze_payload_roundtrip(result):
     """Bronze keeps the raw payload byte-for-byte (schema-on-read)."""
     _, _, res = result
