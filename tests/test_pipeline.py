@@ -198,6 +198,41 @@ def test_gold_against_duckdb(result):
         assert math.isclose(gavg, wavg, rel_tol=1e-12)
 
 
+def test_new_dataset_shape_needs_no_code(spark):
+    """A third dataset (grid load: flat value array under a single
+    field) flows through the generic extractor purely via config — the
+    engine is not hardcoded to the reference's two datasets."""
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        DatasetSpec,
+        ExtractSpec,
+    )
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries,
+    )
+    from energy_data_pipeline_project_spark.schemas import BRONZE_POWER
+
+    load_ds = DatasetSpec(
+        name="load_de",
+        endpoint="total_load",
+        key_column="country",
+        key_value="de",
+        extract=ExtractSpec(value_probes=("load",)),
+        value_column="load_mw",
+        include_date=False,
+    )
+    payload = {
+        "unix_seconds": [1735689600.0 + 900 * i for i in range(4)],
+        "load": [42000.5, 41800.0, None, 43210.75],
+    }
+    bronze = spark.createDataFrame(
+        [("de", "2025-01-01", json.dumps(payload))], schema=BRONZE_POWER
+    )
+    out = extract_timeseries(bronze, load_ds)
+    assert [f.name for f in out.schema.fields] == ["country", "timestamp", "load_mw"]
+    rows = out.orderBy("timestamp").collect()
+    assert [r["load_mw"] for r in rows] == [42000.5, 41800.0, 43210.75]
+
+
 def test_malformed_payloads_drop_not_crash(spark):
     """Garbage payload_json (broken JSON, wrong shape, null) must yield
     zero silver rows for those bronze rows — never an exception
