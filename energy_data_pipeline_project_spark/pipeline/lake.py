@@ -27,8 +27,11 @@ def table_path(root: str, layer: str, name: str) -> str:
 
 
 def delta_available(spark: SparkSession) -> bool:
+    # NB: plain attribute access on spark._jvm returns a lazy
+    # JavaPackage even for classes that don't exist — only Class.forName
+    # actually proves the Delta jars are on the classpath.
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
         return True
     except Exception:
         return False
