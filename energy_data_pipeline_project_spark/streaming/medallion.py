@@ -1,0 +1,70 @@
+"""Streaming medallion: the reference's daily batch backfill re-expressed
+as Structured Streaming (SURVEY.md §2.7 / §7 phase 4).
+
+The reference emulates streaming with a driver-side loop of daily API
+calls. Here the same bronze payload rows arrive as an unbounded file
+stream and flow through the *identical* silver extraction plan
+(pipeline/silver.py works unchanged on a streaming DataFrame — the
+explode/arrays_zip/from_json chain is stateless), then a watermarked
+tumbling daily window reproduces the gold aggregate incrementally.
+Batch gold remains the oracle (tests/test_streaming.py parity).
+
+At scale this is the always-on ingestion topology: new payload files
+land → micro-batch flattens them → the day's aggregate updates; the
+1-day watermark bounds state to ~2 open days per production type.
+
+Ops note: AQE is disabled inside stateful streaming queries, so the
+state-store partition count is pinned to ``spark.sql.shuffle.partitions``
+at the first checkpoint — size it deliberately (it cannot be changed
+without a new checkpoint).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..pipeline.config import DatasetSpec
+from ..pipeline.silver import extract_timeseries
+
+BRONZE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("ingested_at", T.TimestampType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_bronze_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(BRONZE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(bronze_dir)
+    )
+
+
+def stream_silver(bronze_stream: DataFrame, dataset: DatasetSpec) -> DataFrame:
+    """The batch silver plan applied to a stream — same code path."""
+    return extract_timeseries(bronze_stream, dataset)
+
+
+def stream_power_daily(silver_stream: DataFrame) -> DataFrame:
+    """Incremental gold: watermarked tumbling daily window, same
+    day-grain SUM as pipeline/gold.py::power_daily_by_type."""
+    return (
+        silver_stream.withWatermark("timestamp", "1 day")
+        .groupBy(
+            F.window("timestamp", "1 day").alias("win"),
+            "production_type",
+        )
+        .agg(F.sum("value").alias("daily_net_production"))
+        .select(
+            F.to_date("win.start").alias("date"),
+            "production_type",
+            "daily_net_production",
+        )
+    )

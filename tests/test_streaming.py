@@ -53,6 +53,67 @@ def test_sliding_window_counts(spark, event_dir):
     assert sum(r["n"] for r in rows) == 2 * total_events
 
 
+def test_streaming_medallion_matches_batch_gold(spark, tmp_path_factory):
+    """Bronze payloads streamed through the SAME silver plan + a
+    watermarked daily window must reproduce the batch gold aggregate
+    exactly (modulo float-sum ordering)."""
+    import math
+
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        default_datasets,
+    )
+    from energy_data_pipeline_project_spark.pipeline.gold import (
+        power_daily_by_type,
+    )
+    from energy_data_pipeline_project_spark.pipeline.ingestion import (
+        bronze_schema,
+        ingest_dataset,
+    )
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries,
+    )
+    from energy_data_pipeline_project_spark.sources.fixtures import (
+        fixture_payloads,
+    )
+    from energy_data_pipeline_project_spark.streaming import medallion
+
+    days = [f"2025-01-0{i}" for i in range(1, 6)]
+    payloads = fixture_payloads(days)
+    power_ds = default_datasets()[0]
+
+    import json as _json
+
+    rows = [
+        ("de", d, _json.dumps(payloads[power_ds.name][d])) for d in days
+    ]
+    bronze = (
+        spark.createDataFrame(rows, schema=bronze_schema(power_ds))
+        .withColumn("ingested_at", F.current_timestamp())
+        .withColumn("source", F.lit("energy-charts"))
+    )
+    bronze_dir = str(tmp_path_factory.mktemp("bronze-stream"))
+    bronze.repartition(5).write.mode("overwrite").parquet(bronze_dir)
+
+    stream = medallion.read_bronze_stream(spark, bronze_dir)
+    assert stream.isStreaming
+    gold_stream = medallion.stream_power_daily(
+        medallion.stream_silver(stream, power_ds)
+    )
+    got = {
+        (r["date"], r["production_type"]): r["daily_net_production"]
+        for r in jobs.run_to_memory(gold_stream, "stream_gold").collect()
+    }
+    want = {
+        (r["date"], r["production_type"]): r["daily_net_production"]
+        for r in power_daily_by_type(
+            extract_timeseries(bronze, power_ds)
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), k
+
+
 def test_session_window_parity(spark, event_dir):
     """session_window(30min) must agree with the batch lag-gap
     sessionization on both session count and events per user."""
