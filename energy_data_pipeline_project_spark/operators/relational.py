@@ -906,6 +906,127 @@ def window_range_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_revenue",
+    f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           l_returnflag,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((ship_year), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    year totals, flag totals, and the grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_returnflag",
+        _cents(REVENUE_SQL).alias("rev_cents"),
+    )
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT ship_year, l_returnflag,
+               SUM(rev_cents) AS revenue_cents
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((ship_year), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                  / 100.0 / COUNT(*)
+           FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Uncorrelated scalar subquery: computed once, broadcast into the
+    # filter. The threshold is the exact cents-average (bitwise equal
+    # in both engines) — a fixed-decimal price could otherwise sit
+    # inside the fp noise of a plain AVG and flip the comparison.
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM _orders_sq
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                      / 100.0 / COUNT(*)
+               FROM _orders_sq)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "proj_string_ops",
+    """
+    SELECT p_partkey,
+           substring(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           split_part(p_brand, '_', 1) AS brand_head,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           reverse(p_brand) AS brand_rev,
+           CAST(length(p_name) AS INT) AS name_len
+    FROM part
+    """,
+)
+def proj_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split_part(F.col("p_brand"), F.lit("_"), F.lit(1)).alias("brand_head"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "proj_date_ops",
+    """
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def proj_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        d.alias("order_date"),
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofmonth(d).cast("int").alias("d"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("plus_30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    ).distinct()
+
+
+@query(
     "agg_percentiles",
     """
     SELECT o_orderpriority,
