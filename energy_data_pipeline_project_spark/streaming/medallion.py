@@ -52,6 +52,38 @@ def stream_silver(bronze_stream: DataFrame, dataset: DatasetSpec) -> DataFrame:
     return extract_timeseries(bronze_stream, dataset)
 
 
+def write_gold_stream_to_lake(gold_stream: DataFrame, path: str):
+    """Incremental lake sink: every micro-batch's updated day-aggregates
+    replace exactly the affected date partitions (dynamic partition
+    overwrite inside foreachBatch). Re-delivered micro-batches rewrite
+    the same partitions with the same data → idempotent, preserving the
+    engine's overwrite-refresh semantics (S6) at streaming granularity.
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        gold_stream.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_power_daily(silver_stream: DataFrame) -> DataFrame:
     """Incremental gold: watermarked tumbling daily window, same
     day-grain SUM as pipeline/gold.py::power_daily_by_type."""

@@ -114,6 +114,57 @@ def test_streaming_medallion_matches_batch_gold(spark, tmp_path_factory):
         assert math.isclose(got[k], want[k], rel_tol=1e-9), k
 
 
+def test_stream_gold_lake_sink_idempotent(spark, tmp_path_factory):
+    """foreachBatch dynamic-partition-overwrite sink: streamed gold on
+    disk equals batch gold, and re-running the stream over the same
+    source leaves identical contents (idempotent refresh)."""
+    import json as _json
+
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        default_datasets,
+    )
+    from energy_data_pipeline_project_spark.pipeline.ingestion import (
+        bronze_schema,
+    )
+    from energy_data_pipeline_project_spark.sources.fixtures import (
+        fixture_payloads,
+    )
+    from energy_data_pipeline_project_spark.streaming import medallion
+
+    days = [f"2025-02-0{i}" for i in range(1, 4)]
+    ds = default_datasets()[0]
+    payloads = fixture_payloads(days)
+    rows = [("de", d, _json.dumps(payloads[ds.name][d])) for d in days]
+    bronze = (
+        spark.createDataFrame(rows, schema=bronze_schema(ds))
+        .withColumn("ingested_at", F.current_timestamp())
+        .withColumn("source", F.lit("energy-charts"))
+    )
+    bdir = str(tmp_path_factory.mktemp("bronze-sink"))
+    bronze.repartition(3).write.mode("overwrite").parquet(bdir)
+    gold_dir = str(tmp_path_factory.mktemp("gold-sink")) + "/power_daily"
+
+    def run_once():
+        q = medallion.write_gold_stream_to_lake(
+            medallion.stream_power_daily(
+                medallion.stream_silver(
+                    medallion.read_bronze_stream(spark, bdir), ds
+                )
+            ),
+            gold_dir,
+        )
+        q.awaitTermination()
+        return sorted(
+            (str(r["date"]), r["production_type"], round(r["daily_net_production"], 6))
+            for r in spark.read.parquet(gold_dir).collect()
+        )
+
+    first = run_once()
+    assert len(first) == len(days) * 8  # days × production types
+    second = run_once()
+    assert first == second
+
+
 def test_session_window_parity(spark, event_dir):
     """session_window(30min) must agree with the batch lag-gap
     sessionization on both session count and events per user."""
