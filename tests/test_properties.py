@@ -24,8 +24,11 @@ from energy_data_pipeline_project_spark.pipeline.config import default_datasets
 from energy_data_pipeline_project_spark.pipeline.silver import extract_timeseries
 from energy_data_pipeline_project_spark.schemas import BRONZE_POWER, BRONZE_PRICE
 
+import os
+
+# PROPERTY_EXAMPLES=100 for a deep fuzz run; 12 keeps the suite fast.
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("PROPERTY_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
