@@ -43,7 +43,9 @@ def _day_epochs(day: str, step_s: int) -> list[int]:
 
 def power_payload(day: str, seed: int = 42, misaligned: bool = False) -> dict:
     """One day of 15-min production data (96 slots × len(POWER_TYPES))."""
-    rng = random.Random((seed, "power", day).__hash__())
+    # str seeding is process-stable (SHA-512 based); tuple.__hash__ is
+    # PYTHONHASHSEED-randomized and would change the corpus per process.
+    rng = random.Random(f"{seed}:power:{day}")
     epochs = _day_epochs(day, 900)
     types = []
     for i, name in enumerate(POWER_TYPES):
@@ -69,7 +71,7 @@ def power_payload(day: str, seed: int = 42, misaligned: bool = False) -> dict:
 
 def price_payload(day: str, seed: int = 42, variant: int | None = None) -> dict:
     """One day of hourly prices under a rotating field-name variant."""
-    rng = random.Random((seed, "price", day).__hash__())
+    rng = random.Random(f"{seed}:price:{day}")
     epochs = _day_epochs(day, 3600)
     prices = [round(rng.uniform(-20, 180), 2) for _ in epochs]
     field = PRICE_FIELD_VARIANTS[

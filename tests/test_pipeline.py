@@ -275,3 +275,45 @@ def test_bronze_payload_roundtrip(result):
     assert payload == power_payload(DAYS[0])
     assert len(payload["unix_seconds"]) == 96
     assert len(payload["production_types"]) == len(POWER_TYPES)
+
+
+def test_fixture_payloads_stable_across_processes():
+    """Fixture corpus must be identical in every process.
+
+    Round-1 regression: seeding from ``tuple.__hash__()`` made payloads
+    PYTHONHASHSEED-dependent, so each pytest run built a different
+    corpus.  The seed is now a string (SHA-512-based seeding, stable);
+    this pins it by comparing an in-process digest against one computed
+    in a fresh interpreter.
+    """
+    import hashlib
+    import subprocess
+    import sys
+
+    snippet = (
+        "import json, hashlib;"
+        "from energy_data_pipeline_project_spark.sources.fixtures import fixture_payloads;"
+        "days=[f'2025-01-0{i}' for i in range(1,8)];"
+        "print(hashlib.md5(json.dumps(fixture_payloads(days), sort_keys=True).encode()).hexdigest())"
+    )
+    local = hashlib.md5(
+        json.dumps(fixture_payloads(DAYS), sort_keys=True).encode()
+    ).hexdigest()
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", snippet],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        assert out.stdout.strip() == local
+
+
+def test_fixture_has_offshore_variant_day():
+    """≥1 default-config day must carry the ' Wind Offshore ' variant."""
+    variants = [
+        d
+        for d in DAYS
+        if power_payload(d)["production_types"][0]["name"] == OFFSHORE_VARIANT
+    ]
+    assert variants, "fixture should produce at least one variant day"
