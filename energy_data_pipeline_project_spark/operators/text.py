@@ -234,13 +234,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) * 1.0 / F.col("df")), 6
-        ).alias("score"),
+    # Corpus size as a 1-row aggregate broadcast into the scoring plan
+    # (the oracle's `n` CTE) — NOT a driver-side .count(), which would
+    # run an extra job + full scan per invocation at 100 TB.
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (

@@ -73,3 +73,30 @@ def test_numpy_path_is_arrow_not_row_python(spark):
 def test_topk_is_take_ordered(spark):
     rep = plan_report(relational.QUERIES["topk_orders"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in rep.plan  # per-partition top-k, no full sort
+
+
+def test_tfidf_is_one_lazy_plan(spark):
+    """Corpus size must be a broadcast 1-row agg inside the plan, not a
+    driver-side .count() (which would run an extra full scan per
+    invocation). Building the DataFrame must launch zero Spark jobs."""
+    from energy_data_pipeline_project_spark.operators import text
+
+    sc = spark.sparkContext
+
+    def jobs_during(group, fn):
+        sc.setJobGroup(group, "plan construction only")
+        try:
+            df = fn(spark, SF_SMOKE)
+        finally:
+            sc.setJobGroup(None, None)
+        return df, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # Baseline: a single-scan query over the same table. Its only
+    # construction-time job is parquet schema inference. tfidf must not
+    # exceed it (the old .count() version ran one extra full-scan job).
+    _, base_jobs = jobs_during("langid-build", text.QUERIES["text_langid"])
+    df, tfidf_jobs = jobs_during("tfidf-build", text.QUERIES["text_tfidf"])
+    assert tfidf_jobs <= base_jobs
+    rep = plan_report(df)
+    assert "BroadcastNestedLoopJoin" in rep.plan or "BroadcastExchange" in rep.plan
+    assert not rep.python_eval
