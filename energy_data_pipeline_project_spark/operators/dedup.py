@@ -36,6 +36,33 @@ JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.3  # calibrated: testdata embeddings max out ~0.4
 COSINE_SUBSET = 200  # bound the O(n²) pair space for the oracle query
 
+# Hot-bucket skew caps (DESIGN.md "Known costs"). One boilerplate-heavy
+# band value / shingle otherwise creates a quadratic candidate bucket:
+# at 100 TB that is the difference between linear and quadratic work.
+# Buckets holding more than CAP docs are dropped from candidate
+# generation (standard LSH practice — such buckets are boilerplate, not
+# signal). Both the Spark plan AND the DuckDB oracle implement the cap,
+# so driver hash-checks stay exact even when it fires.
+LSH_BUCKET_CAP = 100  # docs per (band_id, band_val) bucket
+SHINGLE_DOC_CAP = 100  # distinct docs per shingle hash
+
+# Frames persisted during plan construction (signature/posting frames
+# feed several subplans). A long-lived session must be able to release
+# them: release_cached_frames() after consuming a query's result.
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_cached_frames() -> None:
+    """Unpersist every frame cached by dedup plan construction."""
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
+
 _TOKS_DUCK = H.tokens_sql("text", duck=True)
 _TOKS_SPARK = H.tokens_sql("text", duck=False)
 
@@ -88,40 +115,66 @@ def _minhash_oracle() -> str:
     mins = ",\n           ".join(
         f"MIN({H.minhash_expr(i, 'h')}) AS m{i}" for i in range(H.MINHASH_K)
     )
-    band_conds = []
-    for b in range(H.MINHASH_BANDS):
-        cols = range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
-        band_conds.append("(" + " AND ".join(f"a.m{i} = b.m{i}" for i in cols) + ")")
-    bands = " OR ".join(band_conds)
+    # Melted-band formulation mirroring the Spark plan (bucket equi-join
+    # + hot-bucket cap), not the old all-pairs band-OR — so the cap's
+    # semantics are hash-checked too.
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_val FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{i}" for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
+            ),
+        )
+        for b in range(H.MINHASH_BANDS)
+    )
     matches = " + ".join(
-        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(H.MINHASH_K)
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(H.MINHASH_K)
     )
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
            FROM t),
     hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
-    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+    bands AS (
+    {band_rows}
+    ),
+    ok AS (SELECT band_id, band_val FROM bands
+           GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN ok o ON a.band_id = o.band_id AND a.band_val = o.band_val
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
            ({matches}) / {float(H.MINHASH_K)} AS est_jaccard
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE ({bands})
-      AND ({matches}) / {float(H.MINHASH_K)} >= {MINHASH_THRESHOLD}
+    FROM cand
+    JOIN sig sa ON cand.doc_a = sa.doc_id
+    JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE ({matches}) / {float(H.MINHASH_K)} >= {MINHASH_THRESHOLD}
     """
 
 
-@query("dedup_minhash_lsh", _minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale path: per-band equi-joins on a band-signature key. Each band
-    # join shuffles on the band value only; the O(n²) pair space is
-    # never built. (The DuckDB oracle uses an equivalent — but
-    # unscalable — all-pairs formulation; same result set.)
-    #
-    # The signature frame is tiny relative to the corpus (k ints/doc)
-    # and feeds four subplans (both candidate sides + both est sides):
-    # persist it so the shingle explode+groupBy runs once, not 4-10×.
-    docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs).persist()
+def minhash_lsh_pairs(
+    docs: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """LSH candidate pairs + minhash-estimated Jaccard for a docs frame.
+
+    Scale path: per-band equi-joins on a band-signature key. Each band
+    join shuffles on the band value only; the O(n²) pair space is never
+    built. Buckets holding more than ``bucket_cap`` docs are excluded
+    before pairing — one boilerplate band value would otherwise emit
+    O(bucket²) candidates.
+
+    The signature frame is tiny relative to the corpus (k ints/doc)
+    and feeds four subplans (both candidate sides + both est sides):
+    persist it so the shingle explode+groupBy runs once, not 4-10×.
+    Call release_cached_frames() once the result is consumed.
+    """
+    sig = _cached(_minhash_signatures(docs))
 
     # melt to (doc_id, band_id, band_val) in ONE pass over sig
     band_vals = F.array(
@@ -140,7 +193,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(band_vals).alias("band_id", "band_val")
     )
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # hot-bucket cap: doc_ids are unique per bucket, so COUNT(*) is the
+    # bucket's doc count; the inner join keeps only sane buckets
+    ok = (
+        bands.groupBy("band_id", "band_val")
+        .count()
+        .where(F.col("count") <= bucket_cap)
+        .drop("count")
+    )
+    bands_ok = bands.join(ok, ["band_id", "band_val"])
+
+    a, b = bands_ok.alias("a"), bands_ok.alias("b")
     cand = (
         a.join(
             b,
@@ -176,6 +239,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("est_jaccard") >= MINHASH_THRESHOLD)
     )
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -224,40 +292,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact n-gram (shingle) Jaccard via inverted index
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_shingle_jaccard",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
-           FROM t),
-    hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           c * 1.0 / (sa.n + sb.n - c) AS jaccard
-    FROM common
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
-    """,
-)
-def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Postings are (doc_id, shingle-hash): the self-join shuffles 8-byte
-    # ints, not shingle strings, and the exploded postings frame feeds
-    # three subplans (both join sides + sizes) → persist it.
-    docs = load_table(spark, sf_dir, "documents")
+def shingle_jaccard_pairs(
+    docs: DataFrame, *, shingle_cap: int = SHINGLE_DOC_CAP
+) -> DataFrame:
+    """Exact shingle-set Jaccard over an inverted index, skew-capped.
+
+    Postings are (doc_id, shingle-hash): the self-join shuffles 8-byte
+    ints, not shingle strings. Shingles appearing in more than
+    ``shingle_cap`` distinct docs are dropped from the index BEFORE
+    pairing (a boilerplate shingle shared by n docs would emit O(n²)
+    pairs); doc sizes are computed over the same filtered index so the
+    Jaccard ratio stays internally consistent. The filtered postings
+    frame feeds three subplans → persist it; call
+    release_cached_frames() once the result is consumed.
+    """
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     sh = toks.select(
         "doc_id",
         F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
     )
-    hx = sh.select(
-        "doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h")
-    ).persist()
+    hx = sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+    ok_h = (
+        hx.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") <= shingle_cap)
+        .select("h")
+    )
+    hx = _cached(hx.join(ok_h, "h"))
     sz = hx.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = hx.select(F.col("doc_id").alias("doc_a"), "h")
     b = hx.select(F.col("doc_id").alias("doc_b"), "h")
@@ -276,6 +337,34 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+@query(
+    "dedup_shingle_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+           FROM t),
+    hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    ok AS (SELECT h FROM hx0 GROUP BY h
+           HAVING COUNT(DISTINCT doc_id) <= {SHINGLE_DOC_CAP}),
+    hx AS (SELECT hx0.* FROM hx0 JOIN ok ON hx0.h = ok.h),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           c * 1.0 / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

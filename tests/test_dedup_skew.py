@@ -1,0 +1,98 @@
+"""Hot-bucket skew caps for the near-dedup candidate generators.
+
+One boilerplate-heavy LSH band value or shingle otherwise creates a
+quadratic candidate bucket — at 100 TB the difference between linear
+and quadratic work. These tests build a pathological corpus (hundreds
+of docs sharing boilerplate) and assert the candidate-pair space stays
+bounded, plus result parity on the normal testdata corpus when the cap
+does not fire.
+"""
+
+from __future__ import annotations
+
+from energy_data_pipeline_project_spark.operators import dedup
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _boilerplate_corpus(spark, n=300):
+    """n docs sharing one boilerplate sentence + a unique tail.
+
+    Every doc contains the same 8-token prefix, so every 3-shingle of
+    the prefix appears in all n docs, and (with identical prefixes
+    dominating the shingle set) LSH bands collide heavily.
+    """
+    boiler = "terms of service apply to all content herein"
+    rows = [(i, f"{boiler} item {i}") for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    docs = _boilerplate_corpus(spark, n=300)
+    try:
+        # uncapped, the 6 boilerplate shingles alone would emit
+        # 300*299/2 ≈ 45k candidate pairs; the cap drops them
+        out = dedup.shingle_jaccard_pairs(docs, shingle_cap=50)
+        assert out.count() == 0
+    finally:
+        dedup.release_cached_frames()
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    docs = _boilerplate_corpus(spark, n=300)
+    try:
+        capped = dedup.minhash_lsh_pairs(docs, bucket_cap=50)
+        # the "item {i}" tails differ, but the boilerplate prefix
+        # dominates the minimum hashes → most docs share band values;
+        # the cap must keep the pair space far below quadratic
+        assert capped.count() < 300
+    finally:
+        dedup.release_cached_frames()
+
+
+def test_caps_do_not_change_testdata_results(spark):
+    """On the non-pathological corpus the caps never fire."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    try:
+        capped = {
+            tuple(r)
+            for r in dedup.minhash_lsh_pairs(docs, bucket_cap=dedup.LSH_BUCKET_CAP)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        uncapped = {
+            tuple(r)
+            for r in dedup.minhash_lsh_pairs(docs, bucket_cap=10**9)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert capped == uncapped
+
+        jc = {
+            tuple(r)
+            for r in dedup.shingle_jaccard_pairs(
+                docs, shingle_cap=dedup.SHINGLE_DOC_CAP
+            )
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        ju = {
+            tuple(r)
+            for r in dedup.shingle_jaccard_pairs(docs, shingle_cap=10**9)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert jc == ju
+    finally:
+        dedup.release_cached_frames()
+
+
+def test_release_cached_frames_unpersists(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = dedup.minhash_lsh_pairs(docs)
+    out.count()  # materialize → signature frame cached
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() > 0
+    dedup.release_cached_frames()
+    assert jsc.getPersistentRDDs().size() == 0
