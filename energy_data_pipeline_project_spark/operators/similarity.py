@@ -31,6 +31,15 @@ QUERIES, ORACLES, query = make_registry()
 N_QUERY_VECS = 8
 TOP_K = 5
 
+# IVF probe width: each query searches its NPROBE nearest centroid
+# cells (candidates stay assigned to their single home cell). The
+# testdata corpus is weakly clustered (near-random vectors, label-mean
+# centroids), so recall climbs slowly with probes: ~15% at nprobe=1,
+# >=0.8 at nprobe=6 of 10 cells (pinned in
+# tests/test_similarity_recall.py). On a genuinely clustered corpus a
+# small nprobe/k fraction reaches the same recall.
+IVF_NPROBE = 6
+
 # Deterministic integer hyperplanes for sign-LSH (same literals embedded
 # in Spark exprs and oracle SQL; zero-mean components in [-1024, 1024)).
 LSH_PLANES = 8
@@ -180,8 +189,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e, carr
     ),
     cells AS (SELECT vec_id, label AS cell FROM scored WHERE rn = 1),
-    q AS (SELECT e.vec_id AS query_id, e.de AS qe, cells.cell
-          FROM e JOIN cells USING (vec_id) WHERE e.vec_id < {N_QUERY_VECS}),
+    qcells AS (SELECT vec_id, label AS cell FROM scored
+               WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERY_VECS}),
+    q AS (SELECT e.vec_id AS query_id, e.de AS qe, qcells.cell
+          FROM e JOIN qcells USING (vec_id)),
     cand AS (SELECT e.vec_id AS neighbor_id, e.de AS ce, cells.cell
              FROM e JOIN cells USING (vec_id)),
     s AS (SELECT q.query_id, cand.neighbor_id,
@@ -197,21 +208,21 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rn <= {TOP_K}
     """,
 )
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_ivf(
+    spark: SparkSession, sf_dir: str, *, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF-style ANN: build a coarse quantizer (one centroid per label
     group — a deterministic stand-in for k-means training), assign every
-    vector to its nearest centroid (the inverted file), then search only
-    within the query's cell (nprobe=1).
+    vector to its nearest centroid (the inverted file), then search the
+    query's ``nprobe`` nearest cells.
 
     This is the scale path beyond sign-LSH: at 100 TB the assignment is
     a broadcast join against k centroid arrays (k ≪ corpus) + one
-    zip_with cosine per vector, and search touches ~1/k of the corpus
-    per query. Recall loss at cell boundaries is the standard IVF
-    trade-off (raise nprobe to trade speed for recall); on this
-    near-random test corpus (max pairwise cosine ~0.4, weakly
-    clustered) recall@5 vs exact brute force measures ~20% at nprobe=1
-    — the operator's value here is the verified plumbing + scale
-    shape, not tuned recall.
+    zip_with cosine per vector, and search touches ~nprobe/k of the
+    corpus per query. ``nprobe`` is the standard IVF speed/recall knob:
+    on this weakly-clustered test corpus (max pairwise cosine ~0.4)
+    recall@5 vs exact brute force is ~20% at nprobe=1 and >=0.8 at the
+    default (asserted in tests/test_similarity_recall.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", V.as_double("embedding").alias("de"))
@@ -234,15 +245,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.cosine("de", "cv").alias("cos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell"))
+    assigned = scored.withColumn("rn", F.row_number().over(w_assign))
+    cells = assigned.where(F.col("rn") == 1).select(
+        "vec_id", F.col("clabel").alias("cell")
     )
+    # queries probe their nprobe nearest cells (candidates stay in
+    # their single home cell, so each (query, candidate) pair is unique)
+    qcells = assigned.where(
+        (F.col("rn") <= nprobe) & (F.col("vec_id") < N_QUERY_VECS)
+    ).select("vec_id", F.col("clabel").alias("cell"))
 
     ec = e.join(cells, "vec_id")
     q = F.broadcast(
-        ec.where(F.col("vec_id") < N_QUERY_VECS).select(
+        e.join(qcells, "vec_id").select(
             F.col("vec_id").alias("query_id"),
             F.col("de").alias("qe"),
             F.col("cell").alias("qcell"),
