@@ -39,10 +39,12 @@ BRONZE_STREAM_SCHEMA = T.StructType(
 )
 
 
-def read_bronze_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+def read_bronze_stream(
+    spark: SparkSession, bronze_dir: str, *, max_files_per_trigger: int = 2
+) -> DataFrame:
     return (
         spark.readStream.schema(BRONZE_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(bronze_dir)
     )
 
@@ -52,36 +54,54 @@ def stream_silver(bronze_stream: DataFrame, dataset: DatasetSpec) -> DataFrame:
     return extract_timeseries(bronze_stream, dataset)
 
 
-def write_gold_stream_to_lake(gold_stream: DataFrame, path: str):
-    """Incremental lake sink: every micro-batch's updated day-aggregates
-    replace exactly the affected date partitions (dynamic partition
+def write_gold_stream_to_lake(
+    gold_stream: DataFrame,
+    path: str,
+    *,
+    partition_cols: tuple[str, ...] = ("date", "production_type"),
+    checkpoint_dir: str | None = None,
+):
+    """Incremental lake sink: every micro-batch's updated aggregates
+    replace exactly the affected partitions (dynamic partition
     overwrite inside foreachBatch). Re-delivered micro-batches rewrite
     the same partitions with the same data → idempotent, preserving the
     engine's overwrite-refresh semantics (S6) at streaming granularity.
+
+    ``partition_cols`` must cover the stream's aggregation key: update
+    mode emits only the rows that changed in the micro-batch, so the
+    overwrite granularity has to match the emitted-row granularity.
+    Partitioning by ``date`` alone would wipe a date's previously
+    written production_types whenever a day's data spans micro-batches
+    with uneven type coverage (pinned by
+    test_partial_day_micro_batches_keep_all_types).
+
+    ``checkpoint_dir`` enables restart recovery from committed offsets;
+    without it each run replays the whole source (still correct — the
+    sink is idempotent — but not incremental across invocations).
+
     Returns the started StreamingQuery (caller awaits/stops).
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.write.mode("overwrite")
-                .partitionBy("date")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, NOT a session-conf mutation: a temporary
+        # session-wide 'dynamic' would race concurrent writers
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
 
-    return (
+    writer = (
         gold_stream.writeStream.foreachBatch(upsert)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def stream_power_daily(silver_stream: DataFrame) -> DataFrame:
