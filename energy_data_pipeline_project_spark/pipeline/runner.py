@@ -18,7 +18,7 @@ from ..session import apply_runtime_confs
 from ..sources.payloads import LocalJsonSource, PayloadSource
 from . import gold as G
 from .config import PipelineConfig
-from .ingestion import ingest_dataset
+from .ingestion import ingest_dataset, ingest_dataset_distributed
 from .lake import read_table, table_path, write_table
 from .silver import extract_timeseries
 
@@ -41,7 +41,14 @@ def run_pipeline(
     spark: SparkSession,
     config: PipelineConfig,
     source: PayloadSource | None = None,
+    *,
+    distributed_fetch: bool = False,
 ) -> PipelineResult:
+    """``distributed_fetch`` switches bronze ingestion from the
+    reference's driver-side per-day loop to the executor-side
+    mapInPandas fetch (ingest_dataset_distributed) — same bronze
+    contract, parallel fetch. Use it when the backfill spans more days
+    than a driver loop should serialize."""
     apply_runtime_confs(spark)
     source = source or LocalJsonSource()
     fmt = config.table_format
@@ -49,9 +56,10 @@ def run_pipeline(
 
     # bronze: fetch + persist raw payloads (empty-input guard H6: a
     # dataset with no payloads writes nothing and is skipped downstream)
+    ingest = ingest_dataset_distributed if distributed_fetch else ingest_dataset
     ingested = set()
     for ds in config.datasets:
-        if ingest_dataset(spark, config, ds, source) is not None:
+        if ingest(spark, config, ds, source) is not None:
             ingested.add(ds.name)
 
     # silver: re-scan bronze from disk, flatten to long time series
