@@ -68,11 +68,19 @@ def main() -> None:
         load_table(spark, sf_dir, t).schema
     materialize(queries["agg_distinct_pairs"](spark, sf_dir))
 
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        release_cached_frames,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # dedup queries persist signature/posting frames during the
+        # run; release them so later timings aren't skewed by cache
+        # memory pressure (no-op for queries that cached nothing)
+        release_cached_frames()
 
     # The reference's own workload: a 7-day medallion backfill
     # (bronze ingest → silver flatten → gold aggregates+join, all
@@ -106,17 +114,37 @@ def main() -> None:
         shutil.rmtree(lake, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Regression guard: BENCH_r01 is the self-established baseline
+    # (the reference publishes no numbers — BASELINE.md). Emit
+    # per-query ratios vs it so regressions are visible in every
+    # BENCH_r{N}.json without diffing rounds by hand.
+    baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_r01.json")
+    try:
+        with open(baseline_path) as f:
+            base = json.load(f)["parsed"]["queries"]
+        ratios = {
+            q: round(t / base[q], 2)
+            for q, t in timings.items()
+            if base.get(q)
+        }
+        out["vs_r01"] = ratios
+        out["vs_r01_total"] = round(
+            sum(timings[q] for q in ratios)
+            / sum(base[q] for q in ratios),
+            3,
         )
-    )
+    except (OSError, KeyError, ValueError, ZeroDivisionError):
+        pass  # no baseline available (first round or format change)
+
+    print(json.dumps(out))
     spark.stop()
 
 
