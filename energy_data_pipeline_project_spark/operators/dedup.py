@@ -22,7 +22,7 @@ Python UDFs — everything is codegen'd Catalyst expressions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import hashing as H
 from ..sources.tables import load_table
@@ -44,7 +44,12 @@ COSINE_SUBSET = 200  # bound the O(n²) pair space for the oracle query
 # signal). Both the Spark plan AND the DuckDB oracle implement the cap,
 # so driver hash-checks stay exact even when it fires.
 LSH_BUCKET_CAP = 100  # docs per (band_id, band_val) bucket
-SHINGLE_DOC_CAP = 100  # distinct docs per shingle hash
+SHINGLE_DOC_CAP = 100  # posting rows per shingle hash
+
+# Both caps are expressed as a window COUNT(*) over the bucket key
+# rather than groupBy+join: the window shuffles once on the exact key
+# the candidate self-join shuffles on, so the cap rides the partition
+# layout the join needs anyway instead of adding two extra exchanges.
 
 # Frames persisted during plan construction (signature/posting frames
 # feed several subplans). A long-lived session must be able to release
@@ -140,14 +145,18 @@ def _minhash_oracle() -> str:
     bands AS (
     {band_rows}
     ),
-    ok AS (SELECT band_id, band_val FROM bands
-           GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_BUCKET_CAP}),
+    bands_ok AS (
+      SELECT doc_id, band_id, band_val FROM (
+        SELECT doc_id, band_id, band_val,
+               COUNT(*) OVER (PARTITION BY band_id, band_val) AS bcnt
+        FROM bands
+      ) WHERE bcnt <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN ok o ON a.band_id = o.band_id AND a.band_val = o.band_val
-      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-                  AND a.doc_id < b.doc_id
+      FROM bands_ok a
+      JOIN bands_ok b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
     )
     SELECT cand.doc_a, cand.doc_b,
            ({matches}) / {float(H.MINHASH_K)} AS est_jaccard
@@ -193,15 +202,16 @@ def minhash_lsh_pairs(
         "doc_id", F.posexplode(band_vals).alias("band_id", "band_val")
     )
 
-    # hot-bucket cap: doc_ids are unique per bucket, so COUNT(*) is the
-    # bucket's doc count; the inner join keeps only sane buckets
-    ok = (
-        bands.groupBy("band_id", "band_val")
-        .count()
-        .where(F.col("count") <= bucket_cap)
-        .drop("count")
+    # hot-bucket cap: doc_ids are unique per bucket, so COUNT(*) over
+    # the bucket window is the bucket's doc count. The filtered frame
+    # is ~bands×8 bytes/doc and feeds BOTH self-join sides → persist,
+    # or the window shuffle runs twice.
+    w_bucket = Window.partitionBy("band_id", "band_val")
+    bands_ok = _cached(
+        bands.withColumn("bcnt", F.count("*").over(w_bucket))
+        .where(F.col("bcnt") <= bucket_cap)
+        .drop("bcnt")
     )
-    bands_ok = bands.join(ok, ["band_id", "band_val"])
 
     a, b = bands_ok.alias("a"), bands_ok.alias("b")
     cand = (
@@ -298,13 +308,13 @@ def shingle_jaccard_pairs(
     """Exact shingle-set Jaccard over an inverted index, skew-capped.
 
     Postings are (doc_id, shingle-hash): the self-join shuffles 8-byte
-    ints, not shingle strings. Shingles appearing in more than
-    ``shingle_cap`` distinct docs are dropped from the index BEFORE
-    pairing (a boilerplate shingle shared by n docs would emit O(n²)
-    pairs); doc sizes are computed over the same filtered index so the
-    Jaccard ratio stays internally consistent. The filtered postings
-    frame feeds three subplans → persist it; call
-    release_cached_frames() once the result is consumed.
+    ints, not shingle strings. Shingles whose posting list exceeds
+    ``shingle_cap`` rows are dropped from the index BEFORE pairing (a
+    boilerplate shingle shared by n docs would emit O(n²) pairs); doc
+    sizes are computed over the same filtered index so the Jaccard
+    ratio stays internally consistent. The filtered postings frame
+    feeds three subplans → persist it; call release_cached_frames()
+    once the result is consumed.
     """
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     sh = toks.select(
@@ -312,13 +322,11 @@ def shingle_jaccard_pairs(
         F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
     )
     hx = sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
-    ok_h = (
-        hx.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .where(F.col("ndocs") <= shingle_cap)
-        .select("h")
+    hx = _cached(
+        hx.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("cnt") <= shingle_cap)
+        .drop("cnt")
     )
-    hx = _cached(hx.join(ok_h, "h"))
     sz = hx.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = hx.select(F.col("doc_id").alias("doc_a"), "h")
     b = hx.select(F.col("doc_id").alias("doc_b"), "h")
@@ -346,9 +354,10 @@ def shingle_jaccard_pairs(
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
            FROM t),
     hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
-    ok AS (SELECT h FROM hx0 GROUP BY h
-           HAVING COUNT(DISTINCT doc_id) <= {SHINGLE_DOC_CAP}),
-    hx AS (SELECT hx0.* FROM hx0 JOIN ok ON hx0.h = ok.h),
+    hx AS (SELECT doc_id, h FROM (
+             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
+             FROM hx0
+           ) WHERE cnt <= {SHINGLE_DOC_CAP}),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
