@@ -1088,3 +1088,321 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 breadth: TPC-H-flavored patterns the round-1 surface lacked —
+# pushdown-friendly range scans, correlated (NOT) EXISTS as semi/anti
+# joins, conditional aggregation, argmax (max_by), calendar rollup,
+# ntile/percent_rank windows, unpivot, deterministic hash sampling.
+# Same determinism rules as above (cents, exact-int ratios).
+# ---------------------------------------------------------------------------
+@query(
+    "q6_discount_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: every predicate is scan-pushable (range on date,
+    between on discount, < on quantity) and the agg is a single partial
+    +final SUM — the canonical 'filters must reach the parquet
+    row-group stats' query. At 100 TB this reads a fraction of the
+    table or it's wrong."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            # raw timestamp bounds, NOT to_date(col) >= date: a
+            # function-wrapped column defeats parquet predicate
+            # pushdown; ts >= d0 AND ts < d1 is day-exact anyway
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents("l_extendedprice * l_discount"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "exists_high_qty_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_high_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS == left-semi join (one shuffle, no row
+    duplication — never an inner join + distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hits = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(
+            hits, orders.o_orderkey == hits.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "not_exists_big_order_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def not_exists_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS == left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum(_cents("c_acctbal")).cast("double") / 100.0 / F.count("*")
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "agg_conditional_shares",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS DOUBLE)
+             / COUNT(*) AS bulk_share,
+           COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_undiscounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: one scan, several filtered counts
+    (count_if == map-side partial aggregation, never self-joins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        (
+            F.count_if(F.col("l_quantity") > 25).cast("double") / F.count("*")
+        ).alias("bulk_share"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_undiscounted"),
+    )
+
+
+@query(
+    "argmax_order_per_customer",
+    """
+    WITH keyed AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 1000000000
+               + o_orderkey AS k
+      FROM orders
+    )
+    SELECT o_custkey,
+           arg_max(o_orderkey, k) AS best_orderkey,
+           CAST(MAX(k) // 1000000000 AS BIGINT) AS best_price_cents
+    FROM keyed
+    GROUP BY o_custkey
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via max_by on a composite integer key: price cents in the
+    high bits, orderkey in the low bits, so ties on price break
+    deterministically on orderkey in BOTH engines (bare max_by/arg_max
+    tie-breaking is undefined). One hash aggregate — no window, no
+    self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (_cents("o_totalprice") * F.lit(1_000_000_000) + F.col("o_orderkey")).alias("k"),
+    )
+    return keyed.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, k)").alias("best_orderkey"),
+        # integer DIV, not /: k exceeds 2^53, double division would
+        # lose low-order cents
+        F.expr("CAST(max(k) DIV 1000000000 AS BIGINT)").alias(
+            "best_price_cents"
+        ),
+    )
+
+
+@query(
+    "monthly_revenue",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup to month grain (F7 generalized past days)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("revenue_cents"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "ntile_customer_quartiles",
+    """
+    WITH t AS (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_acctbal
+    FROM t GROUP BY quartile
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile over a deterministic total order (tie-broken on the key).
+    Global window — acceptable only because customer is a bounded dim;
+    fact-table quantiles use approx_percentile instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    t = cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(_cents("c_acctbal")).cast("double") / 100.0 / F.count("*")
+        ).alias("avg_acctbal"),
+    )
+
+
+@query(
+    "percent_rank_suppliers",
+    """
+    SELECT s_suppkey, s_acctbal,
+           percent_rank() OVER (ORDER BY s_acctbal) AS pr
+    FROM supplier
+    """,
+)
+def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank = (rank-1)/(n-1): a ratio of exact integers, so the
+    value is bitwise identical cross-engine even with ties (tied rows
+    share a rank by definition)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal")
+    return sup.select(
+        "s_suppkey", "s_acctbal", F.percent_rank().over(w).alias("pr")
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS value_cents
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price',
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via stack(): ONE scan emitting 3 rows per input
+    row map-side (the oracle's UNION ALL re-scans per branch; stack is
+    the scale shape — n metrics never mean n scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3,"
+            " 'quantity', CAST(ROUND(l_quantity * 100, 0) AS BIGINT),"
+            " 'price', CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),"
+            " 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+            ") AS (metric, value_cents)"
+        ),
+    )
+
+
+@query(
+    "events_regexp_bucket",
+    """
+    SELECT CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) % 10
+             AS k_bucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_regexp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction from the raw JSON string (the pattern-probe
+    cousin of get_json_object), bucketed by modulus."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "user_id")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "events_value_histogram",
+    """
+    SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), 6) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as integer bucket math (floor/least are
+    exact on these fixed-decimal values — no float-boundary risk)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(6))
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
+    )

@@ -100,3 +100,35 @@ def test_tfidf_is_one_lazy_plan(spark):
     rep = plan_report(df)
     assert "BroadcastNestedLoopJoin" in rep.plan or "BroadcastExchange" in rep.plan
     assert not rep.python_eval
+
+
+def test_q6_predicates_push_to_scan(spark):
+    """Every q6 predicate must reach the parquet scan (at 100 TB this
+    query reads a fraction of the table or it's wrong)."""
+    rep = plan_report(
+        relational.QUERIES["q6_discount_revenue"](spark, SF_SMOKE)
+    )
+    assert "PushedFilters:" in rep.plan
+    pushed = [
+        ln for ln in rep.plan.splitlines() if "PushedFilters:" in ln
+    ][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_exists_is_semi_join_not_inner_distinct(spark):
+    rep = plan_report(
+        relational.QUERIES["exists_high_qty_orders"](spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in rep.plan
+    assert "LeftAnti" not in rep.plan
+
+
+def test_unpivot_is_single_scan(spark):
+    """stack() must emit 3 rows per input from ONE lineitem scan (the
+    oracle's UNION ALL shape would scan 3x)."""
+    rep = plan_report(
+        relational.QUERIES["unpivot_lineitem_metrics"](spark, SF_SMOKE)
+    )
+    assert rep.n_scans == 1
+    assert "stack" in rep.plan
