@@ -92,13 +92,33 @@ def session_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(sdf: DataFrame, name: str) -> DataFrame:
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: at-least-once delivery → exactly-once
+    rows (batch twin: dropDuplicates / the dedup_exact operator on a
+    content hash).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    and — unlike plain ``dropDuplicates`` on a stream — EVICTS entries
+    once the watermark passes them, so state stays bounded forever.
+    The guarantee is correspondingly scoped: a duplicate arriving more
+    than the watermark delay after its original is re-emitted. Dedup
+    on a content hash instead of event_id by hashing upstream
+    (``F.md5(payload)``) — the operator only sees key columns.
+    """
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into an
     in-memory table and return the batch result."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
