@@ -158,3 +158,110 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(payload)).alias("n_distinct_payloads"),
         F.max(F.octet_length(payload)).cast("int").alias("max_bytes"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 16  # fake-container frame size (deterministic stub codec)
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def decode_frames(payload: bytes, mime: str):
+    """Decode a video-ish payload into an iterable of frames.
+
+    STUB: real demuxers (ffmpeg/pyav) are not in this container.
+    Callers inject a decoder via ``sample_frames``'s ``decoder=``
+    parameter; the tests use the deterministic fake-container codec
+    (fixed 16-byte frames) so the Spark plumbing runs for real.
+    """
+    raise NotImplementedError(
+        "video demuxers are not installed in this environment; "
+        "pass a decoder= callable (see tests/test_multimodal.py)"
+    )
+
+
+def fake_container_frames(payload: bytes, mime: str):
+    """Deterministic stand-in demuxer: fixed 16-byte frames."""
+    for i in range(len(payload) // FRAME_BYTES):
+        yield payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+
+
+def sample_frames(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], "object"] = decode_frames,
+    id_col: str = "doc_id",
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame sampling over media structs: one output row per kept frame.
+
+    ``mapInPandas`` so each Arrow batch demuxes its payloads with a
+    real codec executor-side; emitting multiple rows per input row is
+    the flatMap shape Generate gives JVM plans. Partitioning preserved
+    (no shuffle); at 100 TB frame sampling is a pure map stage whose
+    output volume is input × kept-frames — size maxPartitionBytes for
+    the OUTPUT, not the input.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf[id_col], pdf["media"]):
+                payload, mime = bytes(media["payload"]), media["mime"]
+                for idx, frame in enumerate(decoder(payload, mime)):
+                    if idx % stride == 0:
+                        rows.append((doc_id, idx, frame))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA]
+            )
+
+    return df.select(id_col, "media").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+                 0, CAST(length(text) // {FRAME_BYTES} AS INT) - 1,
+                 {FRAME_STRIDE})) AS INT) AS frame_idx,
+             text
+      FROM documents
+      WHERE length(text) >= {FRAME_BYTES}
+    )
+    SELECT doc_id, frame_idx,
+           md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+             AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checked slice of frame sampling: with the
+    deterministic fake container (fixed-size frames over the payload),
+    sampling is pure codegen — sequence → explode (Generate) →
+    substring — no Python at all. The mapInPandas path above exists
+    for real codecs; THIS shape is what sampling compiles to when the
+    'decode' is expressible as byte/char math."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= FRAME_BYTES
+    )
+    n_frames = (F.length("text") / FRAME_BYTES).cast("int")
+    idx = F.explode(
+        F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE))
+    ).alias("frame_idx")
+    f = docs.select("doc_id", idx, "text")
+    return f.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(
+            F.expr(
+                f"substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})"
+            )
+        ).alias("frame_md5"),
+    )

@@ -59,3 +59,39 @@ def test_extract_features_partition_parallel(spark):
     feats = M.extract_features(docs, decoder=fake_decoder)
     assert feats.rdd.getNumPartitions() == 4
     assert feats.count() == docs.count()
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampler: fake-container demux executor-side, one row per
+    kept frame, frames reassemble to the original payload prefix."""
+    from energy_data_pipeline_project_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        attach_media,
+        fake_container_frames,
+        sample_frames,
+    )
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = attach_media(load_table(spark, SF_SMOKE, "documents")).limit(20)
+    out = sample_frames(docs, decoder=fake_container_frames).collect()
+    assert out, "expected sampled frames"
+    src = {
+        r["doc_id"]: bytes(r["media"]["payload"]) for r in docs.collect()
+    }
+    for r in out:
+        assert r["frame_idx"] % FRAME_STRIDE == 0
+        start = r["frame_idx"] * FRAME_BYTES
+        assert bytes(r["frame"]) == src[r["doc_id"]][start : start + FRAME_BYTES]
+
+
+def test_decode_frames_stub_raises(spark):
+    from energy_data_pipeline_project_spark.operators.multimodal import (
+        decode_frames,
+    )
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"xx", "video/mp4")
