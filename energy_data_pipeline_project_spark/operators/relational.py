@@ -1406,3 +1406,43 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "events_topk_users_per_type",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY n_events DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT event_type, user_id, n_events, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k AFTER aggregation: the window ranks |types × 
+    users| aggregate rows, never raw events — partition-by-group so no
+    global sort, ties broken on user_id for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), "user_id"
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -342,3 +342,36 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm,
+           ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-health profiling (the first sanity pass over any new
+    embedding corpus): per-label L2-norm distribution. zip_with/
+    aggregate dot products are codegen'd JVM loops — one scan, one
+    partial+final agg, no Python. ROUND(,4) is safe: norms are
+    continuous statistics (tie probability measure zero)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = V.norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(nrm), 4).alias("avg_norm"),
+        F.round(F.min(nrm), 4).alias("min_norm"),
+        F.round(F.max(nrm), 4).alias("max_norm"),
+    )

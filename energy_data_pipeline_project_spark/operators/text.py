@@ -17,6 +17,9 @@ from ._registry import make_registry
 
 QUERIES, ORACLES, query = make_registry()
 
+REPETITION_MAX_FRAC = 0.2  # gopher-style: top token may take <=20% of doc
+SAMPLE_MOD = 10  # docs_hash_sample keeps key-hash % 10 == 0 (~10%)
+
 _TOKS_DUCK = H.tokens_sql("text", duck=True)
 _TOKS_SPARK = H.tokens_sql("text", duck=False)
 
@@ -328,3 +331,71 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fingerprint")
     )
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, MAX(c) AS top_tok_count, SUM(c) AS n_tokens,
+             COUNT(*) AS n_types
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(top_tok_count AS INT) AS top_tok_count,
+           CAST(n_tokens AS INT) AS n_tokens,
+           top_tok_count * 1.0 / n_tokens AS top_tok_frac,
+           CAST(n_tokens > 0 AND top_tok_count * 1.0 / n_tokens
+                <= {REPETITION_MAX_FRAC} AS INT) AS passes_repetition
+    FROM per_doc
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of tokens taken by the
+    single most frequent token. Boilerplate / keyword-stuffed docs
+    score high and fail the gate. Pure ratio of exact integers →
+    bitwise identical cross-engine. One explode + two hash aggregates;
+    no windows, no joins — linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok_count"),
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+    )
+    frac = F.col("top_tok_count") * 1.0 / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        F.col("top_tok_count").cast("int").alias("top_tok_count"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        frac.alias("top_tok_frac"),
+        ((F.col("n_tokens") > 0) & (frac <= REPETITION_MAX_FRAC))
+        .cast("int")
+        .alias("passes_repetition"),
+    )
+
+
+@query(
+    "docs_hash_sample",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ({_key_duck} % {SAMPLE_MOD}) = 0
+    """,
+)
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~{100 // SAMPLE_MOD}% corpus sample by content-free
+    key hash: reproducible across runs, engines, and partitionings —
+    the property random() sampling lacks. Pure map-side filter (no
+    shuffle); the same idiom drives data_split_hash's 90/5/5 split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        (F.expr(_key_spark) % SAMPLE_MOD) == 0
+    ).select("doc_id", "lang", "source", "n_chars")
