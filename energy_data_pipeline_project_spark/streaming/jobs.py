@@ -125,3 +125,58 @@ def run_to_memory(
     q.awaitTermination()
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+CONVERSION_WINDOW = "30 minutes"
+
+
+def click_purchase_conversions(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's purchases within the next 30 minutes (conversion
+    attribution).
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time relative to click time, so Spark can evict join state: a
+    click older than watermark + 30min can never match again and is
+    dropped. Without the time bound a stream-stream inner join would
+    buffer both streams forever — the interval IS the scale design.
+
+    Batch twin: the same range join on static frames
+    (tests/test_streaming.py::test_stream_stream_join_parity).
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {CONVERSION_WINDOW}
+            """
+        ),
+        "inner",
+    )
+    gap = F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        gap.cast("long").alias("gap_seconds"),
+    )

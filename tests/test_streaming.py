@@ -353,3 +353,32 @@ def test_stream_dedup_exactly_once(spark, tmp_path_factory):
 
     batch = spark.read.parquet(sdir).dropDuplicates(["event_id"])
     assert batch.count() == 150
+
+
+def test_stream_stream_join_parity(spark, event_dir):
+    """Interval-joined conversions from the stream must equal the same
+    range join run as a batch query (INTERVAL condition = bounded join
+    state; this is the only stream-stream join shape that can run
+    forever)."""
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_to_memory(
+        jobs.click_purchase_conversions(stream),
+        "conversions",
+        output_mode="append",
+    )
+    stream_rows = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_seconds"])
+        for r in got.collect()
+    }
+
+    # batch twin: identical plan on the static frame (the function is
+    # stream/batch agnostic — watermarks are no-ops on batch frames)
+    ev = spark.read.parquet(event_dir)
+    batch_rows = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_seconds"])
+        for r in jobs.click_purchase_conversions(ev).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows, "expected at least one conversion in testdata"
+    for _, _, _, gap in stream_rows:
+        assert 0 < gap <= 30 * 60
