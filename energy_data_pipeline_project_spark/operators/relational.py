@@ -1446,3 +1446,58 @@ def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "events_conversion_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+             AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def events_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: click → same-user purchase within 30
+    minutes. Equality on user_id carries the shuffle; the time bound is
+    a post-join filter per user partition, so cost is O(pairs within
+    user), never a time-range theta join over the whole table. The
+    streaming twin (streaming/jobs.py::click_purchase_conversions) is
+    the same plan with watermark-evicted state."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    # integer microseconds → integer div: exact in both engines
+    # (epoch()/unix_timestamp round vs floor differently on sub-second
+    # timestamps)
+    gap = F.expr(
+        "(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 1000000"
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        gap.cast("bigint").alias("gap_seconds"),
+    )

@@ -173,7 +173,12 @@ def click_purchase_conversions(events: DataFrame) -> DataFrame:
         ),
         "inner",
     )
-    gap = F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+    # integer-micros gap, matching the batch events_conversion_join
+    # operator exactly (unix_timestamp floors per-timestamp, which
+    # differs on sub-second data)
+    gap = F.expr(
+        "(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 1000000"
+    )
     return joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",
