@@ -1501,3 +1501,71 @@ def events_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         gap.cast("bigint").alias("gap_seconds"),
     )
+
+
+@query(
+    "q7_nation_trade_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: two-fact five-way star join with BOTH dim arms
+    filtered before joining. The nation filters cut the supplier and
+    customer sides at the scan; both nation joins broadcast (25-row
+    dim); the fact⋈fact joins shuffle on their keys under AQE. At
+    100 TB the win is that filtered dims semi-reduce the fact tables
+    before the expensive lineitem⋈orders shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        nation.where(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        nation.where(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    s = supp.join(n1, supp.s_nationkey == n1.s_nkey).select(
+        "s_suppkey", "supp_nation"
+    )
+    c = cust.join(n2, cust.c_nationkey == n2.c_nkey).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(c, orders.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_cents(REVENUE_SQL)).cast("bigint").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
