@@ -44,6 +44,19 @@ HEADLINE = [
     "ann_topk_numpy",
 ]
 
+# Round-2 additions, timed separately so the headline total stays
+# directly comparable with the BENCH_r01 baseline (same query set).
+EXTRA = [
+    "q6_discount_revenue",
+    "q7_nation_trade_volume",
+    "events_conversion_join",
+    "unpivot_lineitem_metrics",
+    "text_tfidf",
+    "text_repetition",
+    "multimodal_frame_sample",
+    "ann_topk_ivf",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -113,12 +126,21 @@ def main() -> None:
     finally:
         shutil.rmtree(lake, ignore_errors=True)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        extra[name] = round(time.perf_counter() - t0, 3)
+        release_cached_frames()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
+        "extra_total": round(sum(extra.values()), 3),
         "sf": sf,
     }
 
