@@ -92,3 +92,47 @@ def test_salted_join_rejects_right_joins(spark):
     small = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(small, small, "k", how="right")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling (on in session.py) must actually fire:
+    a join whose left side is 95% one key gets its oversized partition
+    split at runtime (OptimizeSkewedJoin marks it 'skew=true' in the
+    final adaptive plan). This is the runtime safety net behind the
+    manual salting helper — prove it works, don't assume."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+        )
+        joined = big.join(small, "k")
+        # collect() executes the QueryExecution attached to THIS frame,
+        # so its adaptive plan is the final one (a write would spawn a
+        # separate execution and leave this plan isFinalPlan=false)
+        assert len(joined.collect()) == 100_000
+        final_plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
