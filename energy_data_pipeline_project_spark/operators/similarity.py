@@ -1,19 +1,25 @@
 """Similarity search over the ``embeddings`` table (``array<float>``).
 
-Three paths:
+Four search paths plus corpus profiling:
 
 - ``ann_topk_bruteforce`` — exact top-k cosine for a small query set,
   expressed entirely in Catalyst higher-order functions (zip_with +
   aggregate → codegen'd JVM loops, no Python). Broadcast the query
   side; candidates stream by. This is the correctness baseline.
-- ``ann_topk_lsh`` — the scale path: multi-table random-hyperplane
-  LSH (deterministic integer hyperplanes), candidates = union of the
-  query's bucket-mates across L tables, then exact cosine re-rank. At
-  100 TB this turns an all-pairs scan into a bucket equi-join.
+- ``ann_topk_lsh`` — multi-table random-hyperplane LSH (deterministic
+  integer hyperplanes), candidates = union of the query's
+  bucket-mates across L tables, then exact cosine re-rank. At 100 TB
+  this turns an all-pairs scan into a bucket equi-join.
+- ``ann_topk_ivf`` — centroid-cell inverted file with an ``nprobe``
+  probe-width knob.
 - ``ann_topk_numpy`` — Arrow-batched mapInPandas brute force (numpy
   matrix multiply per batch). Fastest single-node throughput; kept as
   a rows-only check (the SQL oracle covers correctness via the
   bruteforce twin above).
+- ``embedding_norm_stats`` — per-label L2-norm profiling.
+
+Both approximate paths carry recall@5 ≥ 0.8 gates vs brute force
+(tests/test_similarity_recall.py).
 """
 
 from __future__ import annotations

