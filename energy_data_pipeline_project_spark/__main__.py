@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
         "or a directory of {dataset}/{date}.json files",
     )
     ap.add_argument("--payload-dir", help="payload directory for --source dir")
+    ap.add_argument(
+        "--distributed-fetch",
+        action="store_true",
+        help="fetch payloads executor-side (mapInPandas over the "
+        "(dataset, day) task list) instead of the driver loop — use "
+        "for long backfills",
+    )
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -51,7 +58,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark_session(app_name="energy-pipeline")
     try:
-        result = run_pipeline(spark, config, source)
+        result = run_pipeline(
+            spark, config, source,
+            distributed_fetch=args.distributed_fetch,
+        )
         # verification block, like the reference's main.py:83-110
         for table, n in sorted(result.counts().items()):
             print(f"{table}: {n} rows")

@@ -132,3 +132,45 @@ def test_cli_dir_source_requires_payload_dir(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["--config", EXAMPLE, "--source", "dir"])
+
+
+def test_cli_distributed_fetch_run(tmp_path, capsys, spark, monkeypatch):
+    """--distributed-fetch routes ingestion through the executor-side
+    mapInPandas path and produces the same verification counts."""
+    import yaml
+
+    import energy_data_pipeline_project_spark.__main__ as cli
+    from energy_data_pipeline_project_spark.__main__ import main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, item):
+            return getattr(self._s, item)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(cli, "get_spark_session", lambda **kw: _NoStop(spark))
+
+    with open(EXAMPLE) as f:
+        raw = yaml.safe_load(f)
+    raw["lake_root"] = str(tmp_path / "lake")
+    raw["run"]["backfill"] = {"start_date": "2025-01-01", "end_date": "2025-01-03"}
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    rc = main(
+        [
+            "--config",
+            str(cfg_path),
+            "--source",
+            "fixtures",
+            "--distributed-fetch",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bronze/public_power_de: 3 rows" in out
+    assert "gold/power_price_daily: 3 rows" in out
