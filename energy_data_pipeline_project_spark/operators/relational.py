@@ -1569,3 +1569,44 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "window_first_last_order",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           last_value(o_orderkey) OVER w AS last_orderkey,
+           CAST(date_diff('day',
+                          CAST(first_value(o_orderdate) OVER w AS DATE),
+                          CAST(last_value(o_orderdate) OVER w AS DATE))
+                AS INT) AS span_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame —
+    the default frame ends at CURRENT ROW, making bare last_value a
+    classic silent bug (it returns the current row). Tie-broken
+    ordering keeps both engines deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+        F.datediff(
+            F.to_date(F.last("o_orderdate").over(w)),
+            F.to_date(F.first("o_orderdate").over(w)),
+        )
+        .cast("int")
+        .alias("span_days"),
+    ).distinct()
