@@ -55,6 +55,10 @@ EXTRA = [
     "text_repetition",
     "multimodal_frame_sample",
     "ann_topk_ivf",
+    "dedup_cluster_cc",
+    "correlated_small_qty_revenue",
+    "text_redact",
+    "hof_array_ops",
 ]
 
 

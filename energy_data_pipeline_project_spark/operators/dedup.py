@@ -377,6 +377,136 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over LSH pairs
+# ---------------------------------------------------------------------------
+# After pairwise near-dup detection, a real training-data pipeline needs
+# CLUSTERS (keep one doc per component), not pairs: A~B and B~C must
+# collapse to one group even when A~C was never emitted. That is
+# connected components over the dup-pair graph.
+CC_MAX_ITERS = 20
+
+
+def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components of the near-dup graph by min-label propagation.
+
+    Returns ``(doc_id, component_id, component_size)`` for EVERY doc —
+    singletons label themselves — where ``component_id`` is the minimum
+    doc_id reachable through ``pairs``.
+
+    Scale design: this is the standard iterative Pregel-style CC.  Each
+    round is two distributed hash joins (neighbor-min propagation, then
+    pointer-jumping label compression ``comp := comp[comp]``, which
+    halves the remaining path length so rounds are O(log diameter), the
+    same trick as large-star/small-star from Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).  The
+    driver only coordinates the convergence test — a COUNT per round on
+    the label frame, never row data.  LSH dup clusters are near-cliques,
+    so in practice 2-3 rounds converge.
+
+    Each round ends in ``localCheckpoint(eager=True)``: iterative plans
+    reference the previous round's frame TWICE (propagation + jump
+    lookup), so without lineage truncation the logical plan doubles per
+    round and the analyzer itself OOMs around round ~8 — caching alone
+    does not help because persist() truncates execution, not the plan.
+    Checkpoint blocks are freed by the ContextCleaner once the frame is
+    unreferenced; a multi-tenant production deployment would point
+    ``spark.sparkContext.setCheckpointDir`` at reliable storage and use
+    ``checkpoint()`` instead (survives executor loss).
+    """
+    edges = _cached(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(CC_MAX_ITERS):
+        # neighbor-min: the smallest label among my neighbors
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), "comp"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        prop = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["src"], "left"
+        ).select(
+            "doc_id",
+            F.col("comp").alias("old_comp"),
+            F.least("comp", F.coalesce("nmin", "comp")).alias("comp"),
+        )
+        # pointer jumping: comp := comp's comp (labels always point at a
+        # real doc_id, so the lookup side is the label frame itself)
+        jump = labels.select(
+            F.col("doc_id").alias("comp"), F.col("comp").alias("jcomp")
+        )
+        stepped = (
+            prop.join(jump, "comp", "left")
+            .select(
+                "doc_id",
+                "old_comp",
+                F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("comp") < F.col("old_comp")).count()
+        labels = stepped.drop("old_comp")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+        )
+
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        F.count("*")
+        .over(Window.partitionBy("comp"))
+        .alias("component_size"),
+    )
+
+
+def _cc_oracle() -> str:
+    # The pair set is the dedup_minhash_lsh oracle verbatim (nested WITH
+    # inside a CTE body); the closure is a recursive CTE — UNION (not
+    # UNION ALL) deduplicates reach rows, guaranteeing termination.
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """
+
+
+@query("dedup_cluster_cc", _cc_oracle())
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_components(docs, minhash_lsh_pairs(docs))
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (bounded subset; ANN path in similarity.py)
 # ---------------------------------------------------------------------------
 @query(

@@ -967,6 +967,61 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlated_small_qty_revenue",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_small_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS small_qty_total,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l
+    JOIN part ON p_partkey = l.l_partkey
+    WHERE l_quantity <
+          (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                         / COUNT(*))
+           FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand
+    """,
+)
+def correlated_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17-style correlated scalar subquery: line items whose
+    quantity is below 20% of that part's average quantity, rolled up by
+    brand.
+
+    The oracle states it as a genuinely correlated subquery; the Spark
+    plan is the decorrelated form Catalyst itself would rewrite to — a
+    per-part aggregate joined back on ``l_partkey``.  Both lineitem
+    passes shuffle on the same key, so AQE lines the exchanges up, and
+    the 2000-row ``part`` dim is broadcast.  The threshold is an exact
+    integer ratio (quantities are integral) times 0.2 — bitwise equal
+    across engines; money is summed as integer cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_thr")
+    )
+    return (
+        li.join(thr, li["l_partkey"] == thr["t_partkey"])
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("small_qty_total"),
+            F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
     "proj_string_ops",
     """
     SELECT p_partkey,

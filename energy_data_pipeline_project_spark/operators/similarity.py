@@ -431,3 +431,57 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(nrm), 4).alias("min_norm"),
         F.round(F.max(nrm), 4).alias("max_norm"),
     )
+
+
+# Quantization scale for the HOF surface query. float32 -> double is
+# exact, and x*10000 is the same IEEE double in both engines, so the
+# rounded int is identical; both engines round ties away from zero.
+HOF_Q_SCALE = 10000
+
+
+@query(
+    "hof_array_ops",
+    f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           CAST(list_aggregate(list_transform(embedding,
+                  x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
+                'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(embedding,
+                  x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT))),
+                'sum') AS BIGINT) AS q_l1,
+           CAST(list_aggregate(list_transform(embedding,
+                  x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
+                'max') AS BIGINT) AS q_max
+    FROM embeddings
+    """,
+)
+def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: transform
+    (quantize), filter (positive components), aggregate (fold to L1 /
+    sum), array_max — all Catalyst lambda expressions running inside
+    whole-stage codegen, the idiomatic way to process array<float>
+    embedding columns WITHOUT exploding (a posexplode formulation
+    would multiply the row count by dim and shuffle it; this is one
+    map-side scan, zero shuffles).
+
+    Cross-engine exactness: per-component quantization to BIGINT at
+    HOF_Q_SCALE (see module note), then integer folds.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * HOF_Q_SCALE, 0).cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.aggregate(quant, zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            quant, zero, lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max(quant).alias("q_max"),
+    )

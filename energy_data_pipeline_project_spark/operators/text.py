@@ -399,3 +399,56 @@ def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(
         (F.expr(_key_spark) % SAMPLE_MOD) == 0
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# PII-style scrubbing. The corpus is synthetic word-soup, so the
+# entity list is chosen to actually FIRE here (whole-word domain terms
+# standing in for names); the email pattern is the real-world shape and
+# simply matches zero times on this corpus — both are exercised by the
+# same machinery. \b is an ASCII word boundary in both Java regex
+# (Spark) and RE2 (DuckDB).
+REDACT_ENTITY_PATTERN = r"\b(customer|supplier|account)\b"
+REDACT_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_TOKEN = "<ENT>"
+
+
+@query(
+    "text_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{REDACT_ENTITY_PATTERN}')) AS INT)
+             AS n_entities,
+           CAST(len(regexp_extract_all(text, '{REDACT_EMAIL_PATTERN}')) AS INT)
+             AS n_emails,
+           md5(regexp_replace(
+                 regexp_replace(text, '{REDACT_ENTITY_PATTERN}', '{REDACT_TOKEN}', 'g'),
+                 '{REDACT_EMAIL_PATTERN}', '<EMAIL>', 'g'))
+             AS redacted_md5
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing for training-corpus hygiene: count + replace entity /
+    email patterns per document. Pure map-side codegen'd expressions
+    (regexp_count / regexp_replace), zero shuffles — the scale cost is
+    one scan. The redacted body is emitted as an md5 so the driver
+    hash-checks the full transformation without shipping document
+    bodies around; a real pipeline would write the redacted text
+    column itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", REDACT_ENTITY_PATTERN, REDACT_TOKEN),
+        REDACT_EMAIL_PATTERN,
+        "<EMAIL>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(REDACT_ENTITY_PATTERN))
+        .cast("int")
+        .alias("n_entities"),
+        F.regexp_count("text", F.lit(REDACT_EMAIL_PATTERN))
+        .cast("int")
+        .alias("n_emails"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -96,3 +96,45 @@ def test_release_cached_frames_unpersists(spark):
     assert jsc.getPersistentRDDs().size() > 0
     dedup.release_cached_frames()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_connected_components_transitive_closure(spark):
+    # A~B, B~C must land in one component even though A~C was never a
+    # pair; D-E is a separate component; F is a singleton.
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6]], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    try:
+        out = {
+            r["doc_id"]: (r["component_id"], r["component_size"])
+            for r in dedup.duplicate_components(docs, pairs).collect()
+        }
+    finally:
+        dedup.release_cached_frames()
+    assert out == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        4: (4, 2),
+        5: (4, 2),
+        6: (6, 1),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-node path graph: pointer jumping must converge well inside
+    # CC_MAX_ITERS (O(log n) rounds), labeling everything with node 0
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    try:
+        rows = dedup.duplicate_components(docs, pairs).collect()
+    finally:
+        dedup.release_cached_frames()
+    assert {r["component_id"] for r in rows} == {0}
+    assert all(r["component_size"] == n for r in rows)

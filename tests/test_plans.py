@@ -132,3 +132,29 @@ def test_unpivot_is_single_scan(spark):
     )
     assert rep.n_scans == 1
     assert "stack" in rep.plan
+
+
+def test_map_only_surface_has_zero_exchanges(spark):
+    """text_redact and hof_array_ops are one-scan map-only plans — the
+    whole point of the no-explode HOF formulation is zero shuffles; a
+    regression to posexplode would show up as an Exchange here."""
+    from energy_data_pipeline_project_spark.operators import text
+
+    for name, registry in (
+        ("text_redact", text.QUERIES),
+        ("hof_array_ops", similarity.QUERIES),
+    ):
+        rep = plan_report(registry[name](spark, SF_SMOKE))
+        assert rep.n_scans == 1, name
+        assert rep.exchanges == 0, f"{name} grew a shuffle: {rep.plan}"
+        assert not rep.python_eval, name
+
+
+def test_correlated_small_qty_broadcasts_part(spark):
+    """The decorrelated q17 plan must broadcast the 2000-row part dim;
+    the two lineitem passes (threshold agg + probe) both shuffle on
+    l_partkey so AQE can line the exchanges up."""
+    rep = plan_report(
+        relational.QUERIES["correlated_small_qty_revenue"](spark, SF_SMOKE)
+    )
+    assert rep.broadcast_joins >= 1
