@@ -59,6 +59,11 @@ EXTRA = [
     "correlated_small_qty_revenue",
     "text_redact",
     "hof_array_ops",
+    "dedup_contamination",
+    "corpus_quality_funnel",
+    "text_bigram_topk",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_revenue",
 ]
 
 

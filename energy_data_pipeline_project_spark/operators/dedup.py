@@ -562,3 +562,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out set
+# ---------------------------------------------------------------------------
+# Before training, every corpus must be screened for evaluation-set
+# leakage: documents sharing long n-grams with benchmark items are
+# contaminated and must be dropped (the GPT-3 appendix-C style 13-gram
+# screen; 5-grams here because fixture docs are ~40 tokens). The
+# "benchmark" is carved from the corpus by key-hash so the check is
+# hermetic and deterministic.
+CONTAM_SHINGLE_N = 5
+CONTAM_BENCH_MOD = 17  # ~6% of docs play the benchmark role
+CONTAM_BENCH_REM = 3
+CONTAM_MIN_SHARED = 2  # report docs sharing >= 2 distinct 5-grams
+
+_KEY_DUCK = H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)
+_KEY_SPARK = H.md5_int64("CAST(doc_id AS STRING)", duck=False)
+
+
+@query(
+    "dedup_contamination",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest({H.shingles_sql("toks", CONTAM_SHINGLE_N, duck=True)}) AS s
+          FROM t),
+    hx AS (SELECT DISTINCT doc_id, {H.md5_int64("s", duck=True)} AS h FROM g),
+    bench AS (SELECT doc_id, h FROM hx
+              WHERE ({_KEY_DUCK} % {CONTAM_BENCH_MOD}) = {CONTAM_BENCH_REM}),
+    corp AS (SELECT doc_id, h FROM hx
+             WHERE ({_KEY_DUCK} % {CONTAM_BENCH_MOD}) != {CONTAM_BENCH_REM})
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM corp c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.h) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen: corpus docs sharing >=
+    CONTAM_MIN_SHARED distinct 5-gram hashes with any benchmark doc,
+    with how many grams / benchmark docs they hit.
+
+    Scale shape: both sides reduce to DISTINCT (doc, 8-byte gram-hash)
+    postings — document text never crosses a shuffle. The benchmark
+    side is small by construction (real eval suites are KBs-MBs), so
+    it is broadcast; the corpus side streams map-side through the hash
+    join, making the screen one linear scan + one tiny agg regardless
+    of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(H.shingles_sql("toks", CONTAM_SHINGLE_N, duck=False))
+        ).alias("s"),
+    )
+    hx = grams.select(
+        "doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h")
+    ).distinct()
+    is_bench = (F.expr(_KEY_SPARK) % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    bench = hx.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"), "h"
+    )
+    corp = hx.where(~is_bench)
+    return (
+        corp.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_grams"),
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+        )
+        .where(F.col("n_shared_grams") >= CONTAM_MIN_SHARED)
+    )

@@ -1022,6 +1022,88 @@ def correlated_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q14_promo_revenue_share",
+    """
+    SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+           (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE))
+             / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+             AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: monthly share of revenue from promo parts — a
+    conditional-aggregate ratio riding one fact⋈dim join (dim broadcast,
+    one shuffle for the month grain). Both sums are integer cents, so
+    the percentage is a ratio of exact integers evaluated in the same
+    IEEE order in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_cents = _cents(REVENUE_SQL)
+    promo_cents = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            # F.trunc returns DATE (matching DuckDB's date_trunc on a
+            # DATE); F.date_trunc would return a TIMESTAMP
+            F.trunc(F.to_date("l_shipdate"), "month").alias("ship_month")
+        )
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo_cents).cast("double"))
+                / F.sum(rev_cents).cast("double")
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# q19-style disjunctive predicate block: three (brand, size-range,
+# qty-range) arms OR'd together. Shared by the Spark plan and oracle.
+_Q19_ARMS = [
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#34", 1, 35, 20, 30),
+]
+_Q19_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1} "
+    f"AND l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in _Q19_ARMS
+)
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_SQL}
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: an OR-of-ANDs predicate across both join sides.
+    Catalyst extracts the common single-side conjuncts from the
+    disjunction (p_brand/p_size arms prune `part` before the join;
+    l_quantity bounds prune the fact scan via parquet min/max stats) —
+    the classic test that disjunctive filters still reach the scans
+    instead of evaluating post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.where(F.expr(_Q19_SQL)).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(_cents(REVENUE_SQL)).alias("revenue_cents"),
+    )
+
+
+@query(
     "proj_string_ops",
     """
     SELECT p_partkey,

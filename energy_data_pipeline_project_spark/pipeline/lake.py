@@ -51,3 +51,46 @@ def write_table(
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite a table into ~``ceil(rows / target_rows_per_file)``
+    files. Returns the file count written.
+
+    The small-file problem is the dominant operational cost of a
+    many-small-batch lake (bronze ingests one file per day-payload by
+    design — see pipeline/ingestion.py): a 100 TB table accreted in
+    small increments can hold millions of KB-sized files, and every
+    scan then pays file-open + footer-read + task-schedule per file.
+    Periodic compaction rewrites cold partitions into scan-sized files.
+
+    Mechanics: count once (metadata-only for parquet), then rewrite
+    through round-robin ``repartition(n)`` — an all-to-all exchange
+    that produces evenly-sized output files (``coalesce`` would skip
+    the shuffle but glues existing partitions, preserving skew).  The
+    rewrite stages into a sibling directory and swaps via rename, so a
+    reader never observes a half-written table; the swap is the same
+    idempotent-overwrite semantic as ``write_table``.
+    """
+    import math
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    staged = path.rstrip("/") + "._compacting"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(staged)
+    old = path.rstrip("/") + "._pre_compact"
+    os.rename(path, old)
+    try:
+        os.rename(staged, path)
+    except Exception:
+        os.rename(old, path)  # roll back the swap
+        raise
+    shutil.rmtree(old)
+    return n_files

@@ -1,0 +1,38 @@
+"""Approximate estimators are the 100 TB substitutes for exact
+percentiles / COUNT(DISTINCT): pin their error against the exact
+answers at test scale so a config regression (accuracy parameter, rsd)
+can't silently degrade them."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_percentile_within_tolerance(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    row = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.9))"
+        ).alias("exact"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9), 1000)"
+        ).alias("approx"),
+    ).collect()[0]
+    for exact, approx in zip(row["exact"], row["approx"]):
+        # accuracy=1000 → rank error <= N/1000; translate loosely to a
+        # 2% relative value tolerance on this distribution
+        assert abs(approx - exact) <= 0.02 * abs(exact), (exact, approx)
+
+
+def test_hll_distinct_within_rsd(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    # 0.02 rsd → 3-sigma bound of 6%
+    assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"], row

@@ -1,0 +1,51 @@
+"""Small-file compaction: many tiny files in, few scan-sized files
+out, identical contents, atomic swap."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from energy_data_pipeline_project_spark.pipeline.lake import (
+    compact_table,
+    read_table,
+)
+
+
+def _data_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+        and not os.path.basename(f).startswith(("_", "."))
+        and not f.endswith(".crc")
+    ]
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # 40 tiny files (one per partition)
+    spark.range(0, 4000).repartition(40).withColumn(
+        "v", F.col("id") * 2
+    ).write.parquet(path)
+    assert len(_data_files(path)) == 40
+    before = sorted(tuple(r) for r in read_table(spark, path).collect())
+
+    n = compact_table(spark, path, target_rows_per_file=2000)
+    assert n == 2
+    assert len(_data_files(path)) == 2
+    after = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert after == before
+    # no leftover staging/backup dirs
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(path + "._pre_compact")
+
+
+def test_compaction_single_file_floor(spark, tmp_path):
+    path = str(tmp_path / "tiny")
+    spark.range(0, 10).repartition(5).write.parquet(path)
+    assert compact_table(spark, path, target_rows_per_file=1_000_000) == 1
+    assert len(_data_files(path)) == 1
+    assert read_table(spark, path).count() == 10

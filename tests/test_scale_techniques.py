@@ -136,3 +136,47 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime (row-level) filter injection: when one side of a shuffle
+    join carries a selective filter, Spark builds a bloom filter from
+    that side and pushes a BloomFilterMightContain probe into the other
+    side's scan — at 100 TB this skips most fact rows before the
+    shuffle, the same effect DPP has for partition keys but for
+    arbitrary join keys. Default size thresholds (10 MB creation side)
+    are tuned for clusters, so at test scale we loosen them to prove
+    the rewrite itself fires."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in phys.lower(), phys[:2000]
+        # and the probe must sit on the lineitem (application) side scan
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt.lower(), opt[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
