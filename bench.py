@@ -64,6 +64,8 @@ EXTRA = [
     "text_bigram_topk",
     "q14_promo_revenue_share",
     "q19_disjunctive_revenue",
+    "null_semantics_probe",
+    "join_full_outer_days",
 ]
 
 

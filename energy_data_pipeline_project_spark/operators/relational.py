@@ -1104,6 +1104,101 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer_days",
+    """
+    WITH r AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship
+      FROM lineitem WHERE l_returnflag = 'r' GROUP BY 1
+    ), o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_ord
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+    )
+    SELECT COALESCE(r.d, o.d) AS d,
+           COALESCE(r.n_ship, 0) AS n_ship,
+           COALESCE(o.n_ord, 0) AS n_ord,
+           CAST(r.d IS NULL AS INT) AS only_orders,
+           CAST(o.d IS NULL AS INT) AS only_ship
+    FROM r FULL OUTER JOIN o ON r.d = o.d
+    """,
+)
+def join_full_outer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered day-grain aggregates — the
+    calendar-alignment shape (which days have shipments but no orders,
+    and vice versa). Both inputs are already day-grain aggregates, so
+    the outer join is thousands of rows at any input scale; COALESCE
+    reconstitutes the key and zero-fills the measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        li.where(F.col("l_returnflag") == "r")
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n_ship"))
+    )
+    o = (
+        orders.where(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_ord"))
+    )
+    rj, oj = r.alias("r"), o.alias("o")
+    return rj.join(oj, F.col("r.d") == F.col("o.d"), "full_outer").select(
+        F.coalesce("r.d", "o.d").alias("d"),
+        F.coalesce("r.n_ship", F.lit(0)).alias("n_ship"),
+        F.coalesce("o.n_ord", F.lit(0)).alias("n_ord"),
+        F.col("r.d").isNull().cast("int").alias("only_orders"),
+        F.col("o.d").isNull().cast("int").alias("only_ship"),
+    )
+
+
+@query(
+    "null_semantics_probe",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM
+                              CAST(NULL AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+           CAST(SUM(CAST(ROUND(COALESCE(NULLIF(l_discount, 0.0), 0.05)
+                               * 100, 0) AS BIGINT)) AS BIGINT)
+             AS imputed_disc_pct_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics as data-cleaning ops: NULLIF turns sentinel
+    values (zero discount) into real NULLs, COUNT(expr) skips them,
+    null-safe equality (<=> / IS NOT DISTINCT FROM) counts them without
+    the three-valued-logic trap (= NULL would yield NULL, dropping the
+    row from a plain filter), and COALESCE imputes a default — the
+    sentinel→NULL→impute round trip every ingest layer needs. The
+    testdata itself ships null-free (pinned by filter_null_drop
+    returning every row), so the NULLs here are *manufactured* by
+    NULLIF, making the semantics observable. Single scan, one partial+
+    final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.expr("nullif(l_discount, 0.0d)")
+    null_safe_is_null = F.expr(
+        "nullif(l_discount, 0.0d) <=> CAST(NULL AS DOUBLE)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count(s).alias("n_discounted"),
+        F.sum(F.when(null_safe_is_null, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_disc"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(COALESCE(nullif(l_discount, 0.0d), 0.05d)"
+                " * 100, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("imputed_disc_pct_sum"),
+    )
+
+
+@query(
     "proj_string_ops",
     """
     SELECT p_partkey,

@@ -180,3 +180,28 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Date-partitioned lake tables must get dynamic partition pruning:
+    joining a partitioned fact with a filtered dim should prune fact
+    partitions at RUNTIME from the dim's build side (the plan carries a
+    dynamicpruning subquery on the partition column). This is the read
+    payoff of lake.py's partition_by=('date',) layout — at 100 TB a
+    7-day query touches 7 partitions, not the table."""
+    fact_path = str(tmp_path / "fact_by_day")
+    # NB: partition-directory values come back through partition-column
+    # type inference (day=0 → int), so keep the key integral end to end
+    spark.range(0, 10_000).select(
+        (F.col("id") % 30).alias("day"),
+        F.col("id").alias("v"),
+    ).write.partitionBy("day").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(d, "keep") for d in range(3)], "day bigint, tag string"
+    )
+    fact = spark.read.parquet(fact_path)
+    j = fact.join(dim.where(F.col("tag") == "keep"), "day").groupBy("day").count()
+    opt = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in opt.lower(), opt[:2000]
+    # and it must actually answer correctly
+    assert {r["day"] for r in j.collect()} == {0, 1, 2}
