@@ -66,6 +66,9 @@ EXTRA = [
     "q19_disjunctive_revenue",
     "null_semantics_probe",
     "join_full_outer_days",
+    "docs_stratified_sample",
+    "corpus_mix_upsample",
+    "chunk_pack_sequences",
 ]
 
 

@@ -560,3 +560,138 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(NGRAM_TOP_K)
     )
+
+
+# --- Corpus-mixing operators -------------------------------------------------
+# Training mixtures are defined per stratum (language/source): rates to
+# DOWNsample over-represented strata, integer repeat factors to
+# UPsample scarce ones, then packing into fixed token budgets. All
+# deterministic (key-hash / positional) so reruns and engines agree.
+STRATA_KEEP_PCT = {"en": 30}  # downsample English to ~30%; others kept
+STRATA_DEFAULT_PCT = 100
+MIX_REPEATS = {"zh": 3, "fr": 2}  # upsample scarce languages
+MIX_DEFAULT_REPEAT = 1
+PACK_TOKEN_BUDGET = 512
+
+
+def _keep_pct_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in STRATA_KEEP_PCT.items()
+    )
+    return f"CASE {whens} ELSE {STRATA_DEFAULT_PCT} END"
+
+
+def _repeat_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {n}" for lg, n in MIX_REPEATS.items()
+    )
+    return f"CASE {whens} ELSE {MIX_DEFAULT_REPEAT} END"
+
+
+@query(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ({_key_duck} % 100) < ({_keep_pct_sql()})
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing
+    step (keep 30% of over-represented English, all of everything
+    else). Same shuffle-free key-hash-bucket idiom as docs_hash_sample,
+    with the rate looked up per row from the stratum column; a pure
+    map-side filter at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        (F.expr(_key_spark) % 100) < F.expr(_keep_pct_sql())
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_mix_upsample",
+    f"""
+    SELECT doc_id, lang,
+           CAST(copy_idx AS BIGINT) AS copy_idx,
+           doc_id * 10 + copy_idx AS sample_id
+    FROM (
+      SELECT doc_id, lang,
+             unnest(generate_series(1, {_repeat_sql()})) AS copy_idx
+      FROM documents
+    )
+    """,
+)
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling: integer repeat factors per stratum
+    (3x Chinese, 2x French) materialized as explicit copies with
+    stable synthetic sample ids — how a mixing pipeline feeds
+    epoch-level repetition without shuffling or RNG. The explode is
+    map-side (Generate); output size = sum of factors, known up
+    front. sample_id = doc_id*10 + copy_idx stays collision-free
+    while factors < 10."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(f"sequence(1, {_repeat_sql()})")).alias("copy_idx"),
+    )
+    return rep.select(
+        "doc_id",
+        "lang",
+        F.col("copy_idx").cast("bigint").alias("copy_idx"),
+        (F.col("doc_id") * 10 + F.col("copy_idx")).alias("sample_id"),
+    )
+
+
+@query(
+    "chunk_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) AS stream_offset,
+           CAST((cum - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget
+    training sequences by cumulative offset within their (language)
+    stream — the deterministic streaming form of packing (greedy
+    bin-packing is inherently sequential; offset-division packing is
+    its order-preserving, embarrassingly-parallel approximation, and
+    what array-concatenation loaders actually do). One window per
+    stream partition — each stratum's running sum is independent, so
+    the shuffle is by `lang`, never global. Integer DIV keeps the
+    pack assignment exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(_TOKS_SPARK)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    off = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        off.alias("stream_offset"),
+        F.expr(f"CAST((cum - n_tokens) DIV {PACK_TOKEN_BUDGET} AS BIGINT)").alias(
+            "pack_id"
+        ),
+    )

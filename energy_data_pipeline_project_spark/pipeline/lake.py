@@ -78,19 +78,88 @@ def compact_table(
     idempotent-overwrite semantic as ``write_table``.
     """
     import math
-    import shutil
 
     df = spark.read.format(fmt).load(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     staged = path.rstrip("/") + "._compacting"
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(staged)
-    old = path.rstrip("/") + "._pre_compact"
+    _atomic_swap(path, staged)
+    return n_files
+
+
+def _atomic_swap(path: str, staged: str) -> None:
+    """Replace ``path`` with ``staged`` via two renames; readers see
+    either the old or the new table, never a partial write."""
+    import shutil
+
+    old = path.rstrip("/") + "._pre_swap"
     os.rename(path, old)
     try:
         os.rename(staged, path)
     except Exception:
-        os.rename(old, path)  # roll back the swap
+        os.rename(old, path)  # roll back
         raise
     shutil.rmtree(old)
-    return n_files
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Merge-by-key into a path-addressed table: latest row per key
+    wins (by ``order_col``; an update beats an existing row on ties).
+    This is MERGE INTO for a plain-parquet lake — Delta does it
+    transactionally (the reference's format); without a log the same
+    semantics come from deduplicated rewrite + atomic directory swap.
+
+    Scale shape: with ``partition_by`` set, only the partitions the
+    updates actually touch are read, merged, and overwritten (dynamic
+    partition overwrite — per-write option, not session conf), so
+    merge cost is proportional to touched partitions, not table size.
+    Unpartitioned tables fall back to a full staged rewrite + swap.
+    The keep-latest dedup is one window over the key — the same
+    row_number idiom as dedup_latest_order — shuffling only the
+    touched slice.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    existing = spark.read.format(fmt).load(path)
+    tagged_old = existing.withColumn("_upd", F.lit(0))
+    tagged_new = updates.select(*existing.columns).withColumn(
+        "_upd", F.lit(1)
+    )
+
+    if partition_by:
+        pcol = partition_by[0]
+        touched = [r[0] for r in updates.select(pcol).distinct().collect()]
+        tagged_old = tagged_old.where(F.col(pcol).isin(touched))
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), F.desc("_upd")
+    )
+    merged = (
+        tagged_old.unionByName(tagged_new)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_upd")
+    )
+
+    if partition_by:
+        (
+            merged.write.format(fmt)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    else:
+        staged = path.rstrip("/") + "._upserting"
+        merged.write.format(fmt).mode("overwrite").save(staged)
+        _atomic_swap(path, staged)

@@ -40,7 +40,7 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert after == before
     # no leftover staging/backup dirs
     assert not os.path.exists(path + "._compacting")
-    assert not os.path.exists(path + "._pre_compact")
+    assert not os.path.exists(path + "._pre_swap")
 
 
 def test_compaction_single_file_floor(spark, tmp_path):

@@ -71,3 +71,46 @@ def test_fingerprint_is_order_sensitive(spark):
     )
     a, b = [r["fp"] for r in out.orderBy("doc_id").collect()]
     assert a != b
+
+
+def test_stratified_sample_keeps_minority_strata_whole(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    sampled = text.QUERIES["docs_stratified_sample"](spark, SF_CORRECT)
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lg, n in base.items():
+        if lg in text.STRATA_KEEP_PCT:
+            # downsampled stratum: strictly fewer, roughly the rate
+            assert kept[lg] < n
+        else:
+            assert kept[lg] == n, lg  # minority strata untouched
+
+
+def test_mix_upsample_copy_counts_match_factors(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    up = text.QUERIES["corpus_mix_upsample"](spark, SF_CORRECT)
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in up.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lg, n in base.items():
+        factor = text.MIX_REPEATS.get(lg, text.MIX_DEFAULT_REPEAT)
+        assert got[lg] == n * factor, lg
+    # synthetic ids must be unique across all copies
+    assert up.select("sample_id").distinct().count() == up.count()
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    packed = text.QUERIES["chunk_pack_sequences"](spark, SF_CORRECT)
+    rows = sorted(
+        (r["lang"], r["stream_offset"], r["n_tokens"], r["pack_id"])
+        for r in packed.collect()
+    )
+    # per stream: each doc starts exactly where the previous ended, and
+    # pack_id is the offset divided by the budget
+    from itertools import groupby
+
+    for lang, grp in groupby(rows, key=lambda r: r[0]):
+        expect = 0
+        for _, off, n, pack in grp:
+            assert off == expect
+            assert pack == off // text.PACK_TOKEN_BUDGET
+            expect = off + n

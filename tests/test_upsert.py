@@ -1,0 +1,61 @@
+"""Keyed upsert (merge) into a path-addressed lake table: latest per
+key wins, updates beat existing rows on order ties, and partitioned
+tables rewrite only the partitions the updates touch."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from energy_data_pipeline_project_spark.pipeline.lake import (
+    read_table,
+    upsert_table,
+)
+
+
+def test_upsert_unpartitioned_keeps_latest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], "k long, ver long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, 20, "b2"), (3, 10, "c2"), (4, 10, "d")],  # 3: tie on ver
+        "k long, ver long, v string",
+    )
+    upsert_table(spark, path, updates, key_cols=("k",), order_col="ver")
+    got = {r["k"]: (r["ver"], r["v"]) for r in read_table(spark, path).collect()}
+    assert got == {
+        1: (10, "a"),  # untouched
+        2: (20, "b2"),  # higher version wins
+        3: (10, "c2"),  # tie → update wins
+        4: (10, "d"),  # brand-new key inserted
+    }
+    assert not os.path.exists(path + "._upserting")
+
+
+def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "tp")
+    spark.createDataFrame(
+        [("d1", 1, 10, "a"), ("d1", 2, 10, "b"), ("d2", 3, 10, "c")],
+        "day string, k long, ver long, v string",
+    ).write.partitionBy("day").parquet(path)
+
+    untouched_files = sorted(glob.glob(os.path.join(path, "day=d2", "*.parquet")))
+    mtimes_before = [os.path.getmtime(f) for f in untouched_files]
+
+    updates = spark.createDataFrame(
+        [("d1", 2, 20, "b2")], "day string, k long, ver long, v string"
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("day", "k"), order_col="ver",
+        partition_by=("day",),
+    )
+    got = {
+        (r["day"], r["k"]): r["v"] for r in read_table(spark, path).collect()
+    }
+    assert got == {("d1", 1): "a", ("d1", 2): "b2", ("d2", 3): "c"}
+    # d2's files were not rewritten
+    assert sorted(glob.glob(os.path.join(path, "day=d2", "*.parquet"))) == untouched_files
+    assert [os.path.getmtime(f) for f in untouched_files] == mtimes_before
