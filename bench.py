@@ -69,6 +69,7 @@ EXTRA = [
     "docs_stratified_sample",
     "corpus_mix_upsample",
     "chunk_pack_sequences",
+    "multimodal_embedding_join",
 ]
 
 

@@ -265,3 +265,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_md5"),
     )
+
+
+# Quantization scale shared with operators/similarity.py::hof_array_ops
+# (float32→double is exact; x*10000 is the same IEEE double in both
+# engines; both round ties away from zero).
+_Q = 10000
+_QABS_DUCK = (
+    f"list_aggregate(list_transform(embedding,"
+    f" x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT))), 'sum')"
+)
+
+
+@query(
+    "multimodal_embedding_join",
+    f"""
+    SELECT d.source, e.label,
+           COUNT(*) AS n_items,
+           CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS total_bytes,
+           CAST(SUM({_QABS_DUCK}) AS BIGINT) AS q_l1_sum,
+           CAST(SUM({_QABS_DUCK}) AS DOUBLE) / COUNT(*) AS avg_q_l1
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source, e.label
+    """,
+)
+def multimodal_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modal access pattern: media items (opaque payload +
+    metadata) joined to their embedding rows by id, profiled per
+    (source, label) — how a multimodal corpus is sliced for mixture
+    decisions without ever decoding a payload. The join shuffles ids,
+    metadata, and 64-float vectors only (parquet column pruning never
+    reads payload bytes on this plan); embedding mass is folded
+    JVM-side with the quantized-integer HOF (exact cross-engine), and
+    the average is an exact int/int ratio."""
+    docs = attach_media(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qabs = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(F.round(x.cast("double") * _Q, 0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    j = docs.join(emb, emb["vec_id"] == docs["doc_id"])
+    return j.groupBy("source", "label").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.octet_length(F.col("media.payload")))
+        .cast("bigint")
+        .alias("total_bytes"),
+        F.sum(qabs).alias("q_l1_sum"),
+        (F.sum(qabs).cast("double") / F.count("*")).alias("avg_q_l1"),
+    )

@@ -1,0 +1,66 @@
+"""Z-order clustered writes must produce measurably tighter per-file
+parquet footer stats on ALL clustered columns than a single-column
+sort — verified on real row-group metadata via pyarrow."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from energy_data_pipeline_project_spark.functions.layout import cluster_write
+
+
+def _avg_normalized_range(path: str, col: str, lo: int, hi: int) -> float:
+    """Mean (max-min)/global_span of `col` across the files' row groups."""
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.max - st.min) / max(hi - lo, 1))
+    assert spans
+    return sum(spans) / len(spans)
+
+
+def test_zorder_tightens_stats_on_both_columns(spark, tmp_path):
+    # two independent uniform keys — the adversarial case for
+    # single-column sorting
+    n, files = 40_000, 16
+    df = spark.range(n).select(
+        (F.hash("id") % 10_000 + 10_000).alias("a"),
+        (F.hash(F.col("id") + 1) % 10_000 + 10_000).alias("b"),
+    )
+    df.cache().count()
+
+    sorted_path = str(tmp_path / "sorted_by_a")
+    df.repartitionByRange(files, "a").sortWithinPartitions("a").write.parquet(
+        sorted_path
+    )
+    z_path = str(tmp_path / "zordered")
+    cluster_write(df, z_path, ["a", "b"], n_files=files)
+
+    lo, hi = 10_000 - 10_000, 10_000 + 10_000
+    sa = _avg_normalized_range(sorted_path, "a", lo, hi)
+    sb = _avg_normalized_range(sorted_path, "b", lo, hi)
+    za = _avg_normalized_range(z_path, "a", lo, hi)
+    zb = _avg_normalized_range(z_path, "b", lo, hi)
+    df.unpersist()
+
+    # sort-by-a: a is tight, b spans ~everything
+    assert sa < 0.2
+    assert sb > 0.8
+    # z-order: BOTH columns usefully narrow — each file is a tile
+    assert za < 0.6, za
+    assert zb < 0.6, zb
+    # and the combined skipping power beats the single-column sort
+    assert za + zb < sa + sb
+
+    # contents unchanged
+    back = spark.read.parquet(z_path)
+    assert back.count() == n
+    assert back.agg(F.sum("a"), F.sum("b")).collect() == df.agg(
+        F.sum("a"), F.sum("b")
+    ).collect()

@@ -382,3 +382,42 @@ def test_stream_stream_join_parity(spark, event_dir):
     assert stream_rows, "expected at least one conversion in testdata"
     for _, _, _, gap in stream_rows:
         assert 0 < gap <= 30 * 60
+
+
+def test_stream_merge_sink_keeps_latest_per_key(spark, tmp_path):
+    """CDC-style merge sink: versioned records arriving across
+    micro-batches leave the lake with exactly the newest version per
+    key (write_stream_merge_to_lake → upsert_table per batch)."""
+    import os
+
+    from energy_data_pipeline_project_spark.streaming.medallion import (
+        write_stream_merge_to_lake,
+    )
+
+    src = str(tmp_path / "changes")
+    lake = str(tmp_path / "merged")
+    os.makedirs(src)
+    # batch files land in name order with maxFilesPerTrigger=1 →
+    # deterministic micro-batch sequence
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1"), (2, 2, "b2")], "k long, ver long, v string"
+    ).coalesce(1).write.parquet(src + "/f0")
+    spark.createDataFrame(
+        [(2, 3, "b3"), (3, 1, "c1")], "k long, ver long, v string"
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    stream = (
+        spark.readStream.schema("k long, ver long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = write_stream_merge_to_lake(
+        stream, lake, key_cols=("k",), order_col="ver"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {1: (1, "a1"), 2: (3, "b3"), 3: (1, "c1")}
