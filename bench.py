@@ -70,6 +70,7 @@ EXTRA = [
     "corpus_mix_upsample",
     "chunk_pack_sequences",
     "multimodal_embedding_join",
+    "events_sketch_rollup",
 ]
 
 

@@ -771,6 +771,35 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No oracle: DataSketches HLL binaries/estimates are engine-specific
+# (driver records the rows-only check); the estimate-vs-exact error is
+# gated by tests/test_approx_estimators.py::test_sketch_rollup_error.
+@query("events_sketch_rollup")
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-now-merge-later pattern that replaces COUNT(DISTINCT)
+    at warehouse scale: build one HLL sketch of user_id per day
+    (`hll_sketch_agg`), then roll weeks up by MERGING the daily
+    sketches (`hll_union_agg`) — no re-scan of raw events at the
+    coarser grain, which is how distinct-user dashboards stay cheap
+    over years of data (daily sketches are KBs; raw events are TBs).
+    Sketch union is commutative/associative, so the estimate is
+    deterministic at any partitioning. Exact weekly distincts ride
+    along for the error gate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    weekly_est = daily.groupBy(F.trunc("d", "week").alias("week")).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
+    )
+    weekly_exact = ev.groupBy(
+        F.trunc(F.to_date("ts"), "week").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return weekly_est.join(weekly_exact, "week").select(
+        "week", "est_users", "exact_users"
+    )
+
+
 @query(
     "events_sessionize",
     """

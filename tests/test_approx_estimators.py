@@ -36,3 +36,19 @@ def test_hll_distinct_within_rsd(spark):
     ).collect()[0]
     # 0.02 rsd → 3-sigma bound of 6%
     assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"], row
+
+
+def test_sketch_rollup_error(spark):
+    """Merged daily HLL sketches must estimate weekly distinct users
+    within 5% of exact (default lgConfigK=12 → ~1.6% rsd; 5% is a
+    3-sigma-ish gate)."""
+    from energy_data_pipeline_project_spark.operators.relational import (
+        QUERIES,
+    )
+
+    rows = QUERIES["events_sketch_rollup"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_users"] - r["exact_users"]) <= max(
+            0.05 * r["exact_users"], 2
+        ), dict(r.asDict())
