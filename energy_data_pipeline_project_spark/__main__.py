@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
         "(dataset, day) task list) instead of the driver loop — use "
         "for long backfills",
     )
+    ap.add_argument(
+        "--compact-after",
+        action="store_true",
+        help="compact every gold table after the run (small-file "
+        "rewrite + atomic swap) — the maintenance step a daily "
+        "incremental deployment schedules periodically",
+    )
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -62,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
             spark, config, source,
             distributed_fetch=args.distributed_fetch,
         )
+        if args.compact_after:
+            from .pipeline.lake import compact_table, read_table, table_path
+
+            for name in list(result.gold):
+                path = table_path(config.lake_root, "gold", name)
+                n_files = compact_table(spark, path, fmt=config.table_format)
+                # the stored frame's file listing points at the
+                # pre-swap files — re-read so the verification block
+                # counts the compacted table
+                result.gold[name] = read_table(
+                    spark, path, fmt=config.table_format
+                )
+                print(f"compacted gold/{name} -> {n_files} file(s)")
         # verification block, like the reference's main.py:83-110
         for table, n in sorted(result.counts().items()):
             print(f"{table}: {n} rows")

@@ -174,3 +174,47 @@ def test_cli_distributed_fetch_run(tmp_path, capsys, spark, monkeypatch):
     out = capsys.readouterr().out
     assert "bronze/public_power_de: 3 rows" in out
     assert "gold/power_price_daily: 3 rows" in out
+
+
+def test_cli_compact_after(tmp_path, capsys, spark, monkeypatch):
+    """--compact-after rewrites each gold table to one file and the
+    verification block still reports correct post-swap counts."""
+    import glob
+
+    import yaml
+
+    import energy_data_pipeline_project_spark.__main__ as cli
+    from energy_data_pipeline_project_spark.__main__ import main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, item):
+            return getattr(self._s, item)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(cli, "get_spark_session", lambda **kw: _NoStop(spark))
+
+    with open(EXAMPLE) as f:
+        raw = yaml.safe_load(f)
+    raw["lake_root"] = str(tmp_path / "lake")
+    raw["run"]["backfill"] = {"start_date": "2025-01-01", "end_date": "2025-01-03"}
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    rc = main(
+        ["--config", str(cfg_path), "--source", "fixtures", "--compact-after"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted gold/power_price_daily -> 1 file(s)" in out
+    assert "gold/power_price_daily: 3 rows" in out
+    files = [
+        f
+        for f in glob.glob(str(tmp_path / "lake/gold/power_price_daily/*"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
