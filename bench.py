@@ -71,6 +71,7 @@ EXTRA = [
     "chunk_pack_sequences",
     "multimodal_embedding_join",
     "events_sketch_rollup",
+    "q21_sole_late_supplier",
 ]
 
 

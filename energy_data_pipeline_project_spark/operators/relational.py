@@ -1178,6 +1178,89 @@ def join_full_outer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q21_LATE_DAYS = 90
+Q21_TOP_K = 20
+
+
+@query(
+    "q21_sole_late_supplier",
+    f"""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE CAST(l1.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + {Q21_LATE_DAYS}
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE)
+                > CAST(o.o_orderdate AS DATE) + {Q21_LATE_DAYS})
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT {Q21_TOP_K}
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape — the hardest classic correlated form: per late
+    line item, EXISTS another supplier on the same order AND NOT EXISTS
+    another *late* supplier on it (i.e. this supplier alone held the
+    order up), counted per supplier.
+
+    The oracle keeps both correlated subqueries; the Spark plan is the
+    decorrelated chain Catalyst produces for them — a left-SEMI join
+    (some other supplier exists) then a left-ANTI join (no other late
+    supplier) against the same two lineitem projections, all three
+    passes shuffling on l_orderkey so AQE aligns the exchanges; the
+    25-row supplier dim is broadcast and the top-k compiles to
+    TakeOrderedAndProject. 'Late' is exact integer date arithmetic
+    (date + {Q21_LATE_DAYS} days) in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), Q21_LATE_DAYS)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    )
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    )
+    sole_late = late.join(
+        all_pairs,
+        (late["l_orderkey"] == all_pairs["k"])
+        & (late["l_suppkey"] != all_pairs["sk"]),
+        "left_semi",
+    ).join(
+        late_pairs,
+        (late["l_orderkey"] == late_pairs["k"])
+        & (late["l_suppkey"] != late_pairs["sk"]),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier),
+            sole_late["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOP_K)
+    )
+
+
 @query(
     "null_semantics_probe",
     """

@@ -158,3 +158,15 @@ def test_correlated_small_qty_broadcasts_part(spark):
         relational.QUERIES["correlated_small_qty_revenue"](spark, SF_SMOKE)
     )
     assert rep.broadcast_joins >= 1
+
+
+def test_q21_is_semi_plus_anti_chain(spark):
+    """The q21 shape must decorrelate into one LeftSemi (some other
+    supplier exists) AND one LeftAnti (no other late supplier) — not
+    inner joins + distinct, which would blow up on multi-line orders."""
+    rep = plan_report(
+        relational.QUERIES["q21_sole_late_supplier"](spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in rep.plan
+    assert "LeftAnti" in rep.plan
+    assert "TakeOrderedAndProject" in rep.plan
