@@ -72,6 +72,12 @@ EXTRA = [
     "multimodal_embedding_join",
     "events_sketch_rollup",
     "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
 ]
 
 

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from energy_data_pipeline_project_spark.operators import dedup, relational, similarity
+from energy_data_pipeline_project_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    tpch_shapes,
+)
 from energy_data_pipeline_project_spark.plans.analyze import (
     assert_scan_pruned,
     plan_report,
@@ -58,7 +63,11 @@ def test_gold_daily_join_no_python(spark):
 def test_no_python_eval_in_core_surface(spark):
     """Row-at-a-time Python must never appear in the declared surface;
     Arrow eval only in the explicitly-pandas paths."""
-    for name, fn in {**relational.QUERIES, **dedup.QUERIES}.items():
+    for name, fn in {
+        **relational.QUERIES,
+        **tpch_shapes.QUERIES,
+        **dedup.QUERIES,
+    }.items():
         rep = plan_report(fn(spark, SF_SMOKE))
         assert not rep.python_eval, f"{name} fell back to BatchEvalPython"
         assert not rep.arrow_eval, f"{name} unexpectedly uses pandas eval"
@@ -170,3 +179,53 @@ def test_q21_is_semi_plus_anti_chain(spark):
     assert "LeftSemi" in rep.plan
     assert "LeftAnti" in rep.plan
     assert "TakeOrderedAndProject" in rep.plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """q4's correlated EXISTS (with the cross-table late-ship predicate)
+    must decorrelate to a LeftSemi join — no duplicate explosion from
+    orders with many late lines."""
+    rep = plan_report(
+        tpch_shapes.QUERIES["q4_priority_late_orders"](spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in rep.plan
+    assert any("o_orderdate" in f for f in rep.pushed_filters), (
+        "quarter filter must reach the orders scan"
+    )
+
+
+def test_q16_not_in_is_anti_join(spark):
+    """The NOT IN exclusion list must become a broadcast LeftAnti join,
+    and the distinct-pair projection must read only the two key columns
+    off the fact table."""
+    rep = plan_report(
+        tpch_shapes.QUERIES["q16_part_supplier_counts"](spark, SF_SMOKE)
+    )
+    assert "LeftAnti" in rep.plan
+    assert_scan_pruned(rep, ("l_extendedprice", "l_quantity", "l_shipdate"))
+
+
+def test_q2_single_pass_window_min(spark):
+    """The correlated per-part MIN must be a window over the grouped
+    frame — one lineitem scan, not a second scan for the subquery."""
+    rep = plan_report(
+        tpch_shapes.QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE)
+    )
+    li_scans = sum("l_partkey" in s for s in rep.read_schemas)
+    assert li_scans == 1, f"lineitem scanned {li_scans}x: {rep.read_schemas}"
+    assert "Window" in rep.plan
+
+
+def test_q18_semi_join_take_ordered(spark):
+    rep = plan_report(
+        tpch_shapes.QUERIES["q18_large_volume_customers"](spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in rep.plan
+    assert "TakeOrderedAndProject" in rep.plan
+
+
+def test_q8_filters_push_and_dims_broadcast(spark):
+    rep = plan_report(tpch_shapes.QUERIES["q8_market_share"](spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 3  # part, cust nation-region arm, supp arm
+    assert any("o_orderdate" in f for f in rep.pushed_filters)
+    assert any("p_type" in f for f in rep.pushed_filters)
