@@ -78,6 +78,9 @@ EXTRA = [
     "q10_returned_items",
     "q13_order_count_distribution",
     "q18_large_volume_customers",
+    "kmeans_embeddings",
+    "text_boilerplate_removal",
+    "text_vocab_coverage",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Embedding clustering: distributed Lloyd's k-means, oracle-checked.
+
+The corpus-curation companion to `operators/similarity.py` — semantic
+clustering is how large training corpora get grouped for mixture
+balancing, topical dedup, and IVF index training (the `ann_topk_ivf`
+centroids are exactly a 1-iteration version of this).
+
+Determinism strategy (the whole point — k-means is normally
+float-order-dependent): embeddings are quantized to an integer grid
+(``floor(v * 10000)``) so every distance is EXACT integer arithmetic,
+argmin ties break on the lowest cluster id via a composite
+``dist * K + cluster`` BIGINT key (decoded with integer DIV/%), and
+centroid updates floor the exact-integer mean. Every step is therefore
+bitwise identical across engines, and the DuckDB oracle replays the
+SAME three Lloyd iterations as a generated CTE chain — a full
+iterative algorithm under the hash-equality gate, not a rows-only
+check.
+
+Scale posture (100 TB of embeddings): the melted frame shuffles once
+per iteration on ``dim`` (assignment join) and once on ``vec_id``
+(update join); centroids are K×D rows — always broadcast. Each
+iteration ends in ``localCheckpoint(eager=True)`` because iterative
+plans that reference the prior frame twice double per round and
+eventually OOM the ANALYZER (same lesson as
+``dedup.dedup_cluster_cc``). The melted frame is checkpointed once up
+front so iterations re-read a materialized 3-column frame, not the
+source parquet. For very high dim counts the melted formulation
+trades 64× row inflation for exactness; the float fast path at scale
+is the Arrow/BLAS kernel already in ``similarity.ann_topk_numpy``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from ._registry import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_QUANT = 10000
+
+
+def _kmeans_oracle() -> str:
+    """Generate the DuckDB twin: the same quantization, init, and
+    {KMEANS_ITERS} assign/update rounds as the Spark plan, as one CTE
+    chain."""
+    k, q = KMEANS_K, KMEANS_QUANT
+    parts = [
+        f"""
+    WITH m AS (
+      SELECT vec_id, u['d'] AS dim,
+             CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val
+      FROM (SELECT vec_id,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {{'d': i, 'v': embedding[i]}})) AS u
+            FROM embeddings)
+    ), c0 AS (
+      SELECT vec_id AS cluster, dim, val AS cval FROM m WHERE vec_id < {k}
+    )"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""", a{it} AS (
+      SELECT vec_id, MIN(dist * {k} + cluster) AS key
+      FROM (SELECT m.vec_id, c.cluster,
+                   SUM((m.val - c.cval) * (m.val - c.cval)) AS dist
+            FROM m JOIN {prev} c USING (dim)
+            GROUP BY 1, 2)
+      GROUP BY 1
+    )"""
+        )
+        if it < KMEANS_ITERS:
+            parts.append(
+                f""", c{it} AS (
+      SELECT a.key % {k} AS cluster, m.dim,
+             CAST(FLOOR(CAST(SUM(m.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cval
+      FROM m JOIN a{it} a USING (vec_id)
+      GROUP BY 1, 2
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT vec_id, key % {k} AS cluster, key // {k} AS dist_sq
+    FROM a{KMEANS_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@query("kmeans_embeddings", _kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations of k-means (K={KMEANS_K}) over the
+    embeddings table on an integer grid; returns every vector's final
+    cluster and exact squared distance.
+
+    Init: the first K vec_ids' quantized embeddings. Assignment:
+    exact-integer distance argmin with lowest-cluster tie-break via a
+    composite BIGINT key (``dist * K + cluster``; max |val| ~ 10^4,
+    64 dims → dist < 10^10, so the composite fits comfortably).
+    Update: floored exact-integer mean per (cluster, dim) — FLOOR, not
+    ROUND, because an integer mean lands exactly on .5 often enough to
+    hit the HALF_UP-vs-bankers divergence between engines.
+
+    The DuckDB oracle replays the identical iteration chain (generated
+    from the same constants), making this an iterative distributed
+    algorithm under the exact hash gate."""
+    return _kmeans(spark, sf_dir, KMEANS_ITERS)
+
+
+def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    k = KMEANS_K
+    emb = load_table(spark, sf_dir, "embeddings")
+    melted = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("v").cast("double") * KMEANS_QUANT)
+            .cast("bigint")
+            .alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = melted.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("val").alias("cval")
+    )
+    assign = None
+    for it in range(iters):
+        dist = (
+            melted.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+        )
+        assign = dist.groupBy("vec_id").agg(
+            F.min(F.col("dist") * k + F.col("cluster")).alias("key")
+        )
+        if it < iters - 1:
+            cent = (
+                melted.join(
+                    assign.select(
+                        "vec_id", (F.col("key") % k).alias("cluster")
+                    ),
+                    "vec_id",
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.floor(F.sum("val").cast("double") / F.count("*"))
+                    .cast("bigint")
+                    .alias("cval")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assign.select(
+        "vec_id",
+        (F.col("key") % k).alias("cluster"),
+        F.expr(f"key DIV {k}").alias("dist_sq"),
+    )

@@ -695,3 +695,168 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id"
         ),
     )
+
+
+# --- Boilerplate removal (CCNet-style line dedup) ---------------------------
+# Real web pipelines hash each LINE and drop lines whose corpus
+# document-frequency marks them as boilerplate (navbars, footers,
+# cookie banners). The testdata documents are flat token streams with
+# no newlines, so the "line" unit here is a fixed-width token segment —
+# identical mechanics (segment → hash → corpus DF → threshold → drop →
+# reconstruct in position order), different segmentation constant.
+BOILERPLATE_SEG_TOKENS = 2
+BOILERPLATE_MAX_DOCS = 19  # a segment in >19 distinct docs is boilerplate
+
+
+def _segments_sql(*, duck: bool) -> str:
+    """Array of non-overlapping BOILERPLATE_SEG_TOKENS-token segment
+    strings from a `toks` array column, in position order."""
+    n = BOILERPLATE_SEG_TOKENS
+    if duck:
+        return (
+            f"list_transform(generate_series(1, "
+            f"CAST(ceil(len(toks) / {n}.0) AS BIGINT)), "
+            f"i -> array_to_string(toks[(i-1)*{n}+1 : i*{n}], ' '))"
+        )
+    # Spark sequence(1,0) counts DOWN — guard empty docs explicitly.
+    return (
+        f"IF(size(toks) = 0, array(), "
+        f"transform(sequence(1, CAST(ceil(size(toks) / {n}.0) AS BIGINT)), "
+        f"i -> concat_ws(' ', slice(toks, CAST((i-1)*{n}+1 AS INT), {n}))))"
+    )
+
+
+@query(
+    "text_boilerplate_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id, u['p'] AS seg_pos, u['s'] AS seg
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, CAST(ceil(len(toks)
+                       / {BOILERPLATE_SEG_TOKENS}.0) AS BIGINT)),
+                     i -> {{'p': i, 's': array_to_string(
+                       toks[(i-1)*{BOILERPLATE_SEG_TOKENS}+1
+                            : i*{BOILERPLATE_SEG_TOKENS}], ' ')}})) AS u
+            FROM t)
+    ),
+    df AS (SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM seg GROUP BY 1)
+    SELECT s.doc_id,
+           string_agg(s.seg, ' ' ORDER BY s.seg_pos)
+             FILTER (WHERE f.seg_df <= {BOILERPLATE_MAX_DOCS})
+             AS cleaned_text,
+           COUNT(*) FILTER (WHERE f.seg_df > {BOILERPLATE_MAX_DOCS})
+             AS removed_segments,
+           COUNT(*) AS total_segments
+    FROM seg s JOIN df f USING (seg)
+    GROUP BY 1
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: hash every fixed-width token
+    segment ("line"), compute each segment's corpus document frequency,
+    drop segments appearing in more than {BOILERPLATE_MAX_DOCS} distinct
+    documents, and reconstruct each document from its surviving
+    segments in original order (NULL text when everything was
+    boilerplate — the row survives with its removal counts, so the
+    funnel downstream sees the doc was fully boilerplate rather than
+    losing it).
+
+    Scale: one Generate (posexplode of the per-doc segment array), one
+    distinct-count agg on the segment string, and an equi-join of
+    segments to their DF — all shuffles key on the segment text, which
+    is bounded by segment-vocabulary size, not corpus size. The
+    reconstruct groups by doc_id and orders within the row via
+    array_sort(struct(pos, seg)) — no window, no global sort. At
+    100 TB the DF frame is exactly the boilerplate dictionary a real
+    pipeline would persist and reuse."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    seg = t.select(
+        "doc_id",
+        F.posexplode(F.expr(_segments_sql(duck=False))).alias("pos0", "seg"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("seg_pos"), "seg")
+    seg_df = seg.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("seg_df")
+    )
+    keep = F.col("seg_df") <= BOILERPLATE_MAX_DOCS
+    return (
+        seg.join(seg_df, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                f"IF(seg_df <= {BOILERPLATE_MAX_DOCS}, "
+                "struct(seg_pos, seg), NULL))), x -> x.seg))"
+            ).alias("_joined"),
+            F.count_if(~keep).cast("bigint").alias("removed_segments"),
+            F.count("*").cast("bigint").alias("total_segments"),
+        )
+        .select(
+            "doc_id",
+            # string_agg over zero rows is NULL; concat_ws over an empty
+            # array is '' — align Spark to the SQL convention.
+            F.when(
+                F.col("removed_segments") == F.col("total_segments"), None
+            )
+            .otherwise(F.col("_joined"))
+            .alias("cleaned_text"),
+            "removed_segments",
+            "total_segments",
+        )
+    )
+
+
+# --- Tokenizer vocabulary coverage ------------------------------------------
+@query(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS_DUCK}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts)
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) / tot.total
+             AS cum_coverage
+    FROM counts, tot
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction stats: every corpus token with
+    its frequency, frequency rank, and cumulative corpus coverage —
+    the curve you read a BPE/unigram vocab size off ("top-N tokens
+    cover X% of the corpus").
+
+    Coverage is a running exact-integer sum divided by the exact total
+    (single IEEE division — bitwise cross-engine); ranking ties break
+    on the token string.
+
+    Scale: the token count agg is map-side-combined by Catalyst; the
+    running-sum window orders the aggregated VOCABULARY (bounded —
+    ~100k entries for real corpora), not corpus rows, so the single-
+    partition window is safe at any corpus size; the 1-row total
+    broadcasts via crossJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("n"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "token"))
+        .cast("int")
+        .alias("rank"),
+        (F.sum("n").over(w).cast("double") / F.col("total")).alias(
+            "cum_coverage"
+        ),
+    )

@@ -7,7 +7,7 @@ import pyspark.sql.functions as F
 from energy_data_pipeline_project_spark.operators import text
 from energy_data_pipeline_project_spark.sources.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_chunk_reconstruction_exact(spark):
@@ -114,3 +114,44 @@ def test_pack_sequences_offsets_are_contiguous(spark):
             assert off == expect
             assert pack == off // text.PACK_TOKEN_BUDGET
             expect = off + n
+
+
+def test_boilerplate_removal_semantics(spark):
+    from energy_data_pipeline_project_spark.operators.text import (
+        BOILERPLATE_MAX_DOCS,
+        QUERIES,
+    )
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    out = QUERIES["text_boilerplate_removal"](spark, SF_SMOKE).cache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    try:
+        # every document survives (even fully-boilerplate ones)
+        assert out.count() == docs.count()
+        # the threshold actually fires on this corpus
+        removed_total = out.agg(F.sum("removed_segments")).collect()[0][0]
+        assert removed_total > 0
+        # docs with nothing removed reconstruct EXACTLY
+        joined = out.join(docs, "doc_id").where(F.col("removed_segments") == 0)
+        mismatched = joined.where(
+            F.col("cleaned_text") != F.col("text")
+        ).count()
+        assert mismatched == 0
+        assert joined.count() > 0  # the exactness check isn't vacuous
+    finally:
+        out.unpersist()
+
+
+def test_vocab_coverage_reaches_one(spark):
+    from energy_data_pipeline_project_spark.operators.text import QUERIES
+
+    out = QUERIES["text_vocab_coverage"](spark, SF_SMOKE).cache()
+    try:
+        last = out.orderBy(F.desc("rank")).limit(1).collect()[0]
+        assert abs(last["cum_coverage"] - 1.0) < 1e-12
+        # ranks are a gapless 1..N total order
+        n = out.count()
+        assert out.agg(F.max("rank")).collect()[0][0] == n
+        assert out.select("rank").distinct().count() == n
+    finally:
+        out.unpersist()
