@@ -1637,12 +1637,43 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile over a deterministic total order (tie-broken on the key).
-    Global window — acceptable only because customer is a bounded dim;
-    fact-table quantiles use approx_percentile instead."""
+    """ntile over a deterministic total order (tie-broken on the key),
+    computed WITHOUT a global single-partition window: each row's
+    global position is (rows with a strictly smaller value) + (rank
+    within its value group).  The strictly-below counts come from a
+    running sum over DISTINCT c_acctbal values — bounded by the value
+    domain (fixed range, 2 decimals), not by table size — and the
+    intra-value rank is a window partitioned by c_acctbal, which
+    distributes.  The bucket then follows arithmetically from ntile's
+    spec: with n rows and 4 buckets the first n%4 buckets hold
+    floor(n/4)+1 rows, the rest floor(n/4)."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    t = cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    vals = cust.groupBy("c_acctbal").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("c_acctbal").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    below = vals.select(
+        "c_acctbal", (F.sum("cnt").over(wv) - F.col("cnt")).alias("below")
+    )
+    tot = cust.agg(F.count("*").alias("n_total"))
+    wr = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    q = F.floor(F.col("n_total") / 4)
+    r = F.col("n_total") % 4
+    pos = F.col("below") + F.col("rn")
+    big = r * (q + 1)  # rows covered by the r oversized buckets
+    bucket = (
+        F.when(pos <= big, F.ceil(pos / (q + 1)))
+        .otherwise(r + F.ceil((pos - big) / q))
+        .cast("int")
+    )
+    t = (
+        cust.select(
+            "c_acctbal", F.row_number().over(wr).alias("rn")
+        )
+        .join(below, "c_acctbal")
+        .crossJoin(F.broadcast(tot))
+        .select("c_acctbal", bucket.alias("quartile"))
+    )
     return t.groupBy("quartile").agg(
         F.count("*").alias("n"),
         (
@@ -1660,13 +1691,33 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank = (rank-1)/(n-1): a ratio of exact integers, so the
-    value is bitwise identical cross-engine even with ties (tied rows
-    share a rank by definition)."""
+    """percent_rank = (rank-1)/(n-1) computed WITHOUT a global window
+    over the table: rank-1 is exactly the count of rows with a strictly
+    smaller value, taken from a running sum over DISTINCT s_acctbal
+    values (bounded by the fixed value domain, not by table size) and
+    equi-joined back.  The ratio is exact-int / exact-int → one IEEE
+    division, bitwise identical cross-engine, ties sharing a rank by
+    construction."""
     sup = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal")
-    return sup.select(
-        "s_suppkey", "s_acctbal", F.percent_rank().over(w).alias("pr")
+    vals = sup.groupBy("s_acctbal").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("s_acctbal").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    below = vals.select(
+        "s_acctbal", (F.sum("cnt").over(wv) - F.col("cnt")).alias("below")
+    )
+    tot = sup.agg(F.count("*").alias("n_total"))
+    return (
+        sup.join(below, "s_acctbal")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.when(F.col("n_total") > 1,
+                   F.col("below").cast("double") / (F.col("n_total") - 1))
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+        )
     )
 
 

@@ -834,29 +834,50 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single IEEE division — bitwise cross-engine); ranking ties break
     on the token string.
 
-    Scale: the token count agg is map-side-combined by Catalyst; the
-    running-sum window orders the aggregated VOCABULARY (bounded —
-    ~100k entries for real corpora), not corpus rows, so the single-
-    partition window is safe at any corpus size; the 1-row total
-    broadcasts via crossJoin."""
+    Scale: the token count agg is map-side-combined by Catalyst.  The
+    global (rank, cumulative-sum) order is decomposed so no window ever
+    sees the whole vocabulary on one partition: a running sum over
+    DISTINCT FREQUENCY LEVELS (O(sqrt(corpus)) rows by Zipf — the
+    frequency multiset n_1>=n_2>=... summing to N admits at most
+    ~sqrt(2N) distinct values) gives each level its tokens-before and
+    mass-before, and a window PARTITIONED by frequency (distributed)
+    ranks tokens alphabetically within a level.  rank = tokens_before
+    + intra_rank; cumulative mass = mass_before + n * intra_rank since
+    every token at a level contributes the same n.  The tiny level
+    table broadcasts back onto the vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    tot = counts.agg(F.sum("n").cast("double").alias("total"))
-    w = Window.orderBy(F.desc("n"), "token").rowsBetween(
+    levels = counts.groupBy("n").agg(F.count("*").alias("n_tokens"))
+    wl = Window.orderBy(F.desc("n")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return counts.crossJoin(F.broadcast(tot)).select(
-        "token",
+    level_mass = F.col("n_tokens") * F.col("n")
+    levels = levels.select(
         "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), "token"))
-        .cast("int")
-        .alias("rank"),
-        (F.sum("n").over(w).cast("double") / F.col("total")).alias(
-            "cum_coverage"
+        (F.sum("n_tokens").over(wl) - F.col("n_tokens")).alias(
+            "tokens_before"
         ),
+        (F.sum(level_mass).over(wl) - level_mass).alias("mass_before"),
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    wr = Window.partitionBy("n").orderBy("token")
+    return (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(levels), "n")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n",
+            (F.col("tokens_before") + F.col("rn")).cast("int").alias("rank"),
+            (
+                (F.col("mass_before") + F.col("n") * F.col("rn")).cast(
+                    "double"
+                )
+                / F.col("total")
+            ).alias("cum_coverage"),
+        )
     )
