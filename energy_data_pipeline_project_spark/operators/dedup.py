@@ -403,6 +403,14 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     the label frame, never row data.  LSH dup clusters are near-cliques,
     so in practice 2-3 rounds converge.
 
+    Crucially, the loop state holds ONLY docs incident to a dup edge:
+    singletons — the overwhelming majority of any real corpus — never
+    enter the iteration and are labeled with their own id by one final
+    left join.  Per-round work is therefore proportional to the
+    near-dup subgraph, not the corpus; at 100 TB that is the difference
+    between iterating over everything O(log d) times and touching the
+    full corpus exactly once.
+
     Each round ends in ``localCheckpoint(eager=True)``: iterative plans
     reference the previous round's frame TWICE (propagation + jump
     lookup), so without lineage truncation the logical plan doubles per
@@ -421,9 +429,12 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(CC_MAX_ITERS):
         # neighbor-min: the smallest label among my neighbors
@@ -464,12 +475,16 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             f"connected components did not converge in {CC_MAX_ITERS} rounds"
         )
 
-    return labels.select(
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("csize"))
+    clustered = labels.join(sizes, "comp").select(
         "doc_id",
         F.col("comp").alias("component_id"),
-        F.count("*")
-        .over(Window.partitionBy("comp"))
-        .alias("component_size"),
+        "csize",
+    )
+    return docs.select("doc_id").join(clustered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        F.coalesce("csize", F.lit(1)).cast("bigint").alias("component_size"),
     )
 
 
