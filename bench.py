@@ -81,6 +81,10 @@ EXTRA = [
     "kmeans_embeddings",
     "text_boilerplate_removal",
     "text_vocab_coverage",
+    "events_gap_fill",
+    "events_anomaly_zscore",
+    "json_variant_agg",
+    "docs_weighted_sample",
 ]
 
 

@@ -16,18 +16,54 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import clustering, dedup, multimodal, relational, similarity, text, tpch_shapes
+    from . import (
+        clustering,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        timeseries,
+        tpch_shapes,
+    )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, tpch_shapes, dedup, similarity, clustering, text, multimodal):
+    for mod in (
+        relational,
+        tpch_shapes,
+        timeseries,
+        dedup,
+        similarity,
+        clustering,
+        text,
+        multimodal,
+    ):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import clustering, dedup, multimodal, relational, similarity, text, tpch_shapes
+    from . import (
+        clustering,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        timeseries,
+        tpch_shapes,
+    )
 
     out: dict[str, str] = {}
-    for mod in (relational, tpch_shapes, dedup, similarity, clustering, text, multimodal):
+    for mod in (
+        relational,
+        tpch_shapes,
+        timeseries,
+        dedup,
+        similarity,
+        clustering,
+        text,
+        multimodal,
+    ):
         out.update(mod.ORACLES)
     return out

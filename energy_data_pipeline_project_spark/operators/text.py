@@ -401,6 +401,50 @@ def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+# Deterministic WEIGHTED sampling: keep probability proportional to a
+# per-row weight (here: doc length relative to the corpus max — the
+# "sample long documents more" curriculum knob). The coin flip is the
+# key hash mapped to [0,1), so the decision is reproducible across
+# runs, engines, and partitionings, unlike rand()-based sampling.
+WEIGHTED_SAMPLE_UNIT = 2**32  # md5_int64 range
+
+
+@query(
+    "docs_weighted_sample",
+    f"""
+    WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, lang, n_chars,
+           ROUND(CAST(n_chars AS DOUBLE) / max_chars, 4) AS weight
+    FROM documents, mx
+    WHERE CAST({_key_duck} AS DOUBLE) / {WEIGHTED_SAMPLE_UNIT}
+          < CAST(n_chars AS DOUBLE) / max_chars
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row kept iff
+    hash_unit(doc_id) < weight, weight = n_chars / max(n_chars).
+
+    The max is a 1-row aggregate broadcast onto the scan (no second
+    pass, no driver action); the keep decision is then a pure map-side
+    filter.  E[sample] = sum of weights, and the selection is stable
+    under resharding — the property that makes weighted corpus
+    curricula reproducible at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    unit = F.expr(_key_spark).cast("double") / F.lit(WEIGHTED_SAMPLE_UNIT)
+    weight = F.col("n_chars").cast("double") / F.col("max_chars")
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(unit < weight)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(weight, 4).alias("weight"),
+        )
+    )
+
+
 # PII-style scrubbing. The corpus is synthetic word-soup, so the
 # entity list is chosen to actually FIRE here (whole-word domain terms
 # standing in for names); the email pattern is the real-world shape and
