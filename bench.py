@@ -85,6 +85,8 @@ EXTRA = [
     "events_anomaly_zscore",
     "json_variant_agg",
     "docs_weighted_sample",
+    "dedup_prefix_jaccard",
+    "text_char_entropy",
 ]
 
 

@@ -377,6 +377,111 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact Jaccard via PREFIX FILTERING (PPJoin-style) — lossless candidates
+# ---------------------------------------------------------------------------
+def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard join with prefix-filtering candidates.
+
+    The scalable EXACT alternative to both the capped inverted index
+    (which trades recall inside hot buckets) and MinHash-LSH (which is
+    probabilistic): order every doc's shingles by a single global
+    rarity order (document frequency asc, hash asc) and index only each
+    doc's PREFIX of length ``n - ceil(t*n) + 1``.  Two sets with
+    Jaccard >= t must overlap within those prefixes (pigeonhole over
+    the shared total order — Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et
+    al. PPJoin WWW'08), so the candidate join is LOSSLESS — the result
+    is the full exact join, which is exactly what the oracle checks by
+    running the naive uncapped all-pairs formulation.
+
+    Scale: prefixes are built from the RAREST shingles, so the
+    candidate join's key distribution is anti-skewed by construction —
+    boilerplate (high-df) shingles land at the end of the order and
+    never enter the index.  With t=0.5 prefixes hold ~half of each
+    doc's shingles; at dedup-grade thresholds (0.8+) they hold ~20%,
+    and candidate volume drops quadratically with that fraction.
+    Everything shuffles as 8-byte ints; the verify stage counts exact
+    intersections only over surviving candidate pairs.
+
+    ``ceil(t*n)`` is computed in INTEGER arithmetic from the exact
+    fraction t = 1/2 (``(n+1)//2``): a float ceil could round the
+    prefix a token short and silently break losslessness.
+    """
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))
+        ).alias("s"),
+    )
+    hx = _cached(
+        sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+    )
+    sz = hx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = hx.groupBy("h").agg(F.count("*").alias("dfreq"))
+    wr = Window.partitionBy("doc_id").orderBy("dfreq", "h")
+    # p = n - ceil(n/2) + 1, with ceil(n/2) = (n+1) DIV 2 exactly
+    plen = F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+    prefix = (
+        hx.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(wr))
+        .join(sz, "doc_id")
+        .where(F.col("rn") <= plen)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = hx.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = hx.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+           FROM t),
+    hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           c * 1.0 / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle is the NAIVE UNCAPPED all-pairs join: a hash match
+    here is a proof on real data that prefix filtering lost nothing."""
+    return prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-cluster resolution: connected components over LSH pairs
 # ---------------------------------------------------------------------------
 # After pairwise near-dup detection, a real training-data pipeline needs

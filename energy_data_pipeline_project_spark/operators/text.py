@@ -383,6 +383,53 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_char_entropy",
+    """
+    WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+               FROM documents),
+    g AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+    a AS (SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS s
+          FROM g GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+           ROUND(log2(n) - s / n, 4) AS char_entropy
+    FROM a
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    information-theoretic quality signal: near-zero entropy flags
+    degenerate repetition ("aaaa…"), unusually high entropy flags
+    random-bytes noise; natural language sits in a stable band.
+
+    Uses the identity H = log2(N) - sum(c_i*log2(c_i))/N so the only
+    float inputs are exact integer counts: each log2 sees an exact int,
+    the weighted sum runs over <=|alphabet| terms, and ROUND(...,4)
+    absorbs summation-order jitter.  One Generate + two hash
+    aggregates (map-side combined), no windows or joins — linear and
+    shuffle-light at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = g.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("s"),
+    )
+    return a.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_counted"),
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias(
+            "char_entropy"
+        ),
+    )
+
+
+@query(
     "docs_hash_sample",
     f"""
     SELECT doc_id, lang, source, n_chars

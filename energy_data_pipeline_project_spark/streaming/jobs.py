@@ -185,3 +185,49 @@ def click_purchase_conversions(events: DataFrame) -> DataFrame:
         "purchase_id",
         gap.cast("long").alias("gap_seconds"),
     )
+
+
+# Static dimension used by the stream-static enrichment demo: event
+# type -> (category, unit value-weight in cents). In production this is
+# a lakehouse dim table re-read per micro-batch if configured, or a
+# broadcast snapshot.
+TYPE_DIM_ROWS = [
+    ("click", "engagement", 1),
+    ("view", "engagement", 1),
+    ("signup", "conversion", 50),
+    ("purchase", "conversion", 100),
+    ("error", "ops", 0),
+]
+
+
+def type_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        TYPE_DIM_ROWS, "event_type string, category string, weight_cents int"
+    )
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static inner join: each event row enriched with its type's
+    category and weight from a static dimension.
+
+    Stream-static joins are STATELESS on the stream side — no
+    watermark, no join state, no eviction problem: every micro-batch
+    joins against the (broadcast) static frame and forgets it.  That
+    makes this the cheapest join shape in Structured Streaming and the
+    right one for dimension enrichment; only stream-stream joins need
+    the interval-bounded state design.  The explicit ``broadcast()``
+    keeps the per-batch plan a map-side hash join — no shuffle of the
+    stream at any rate.
+
+    Batch twin: the identical function applied to a static events frame
+    (tests/test_streaming.py::test_stream_static_enrich_parity).
+    """
+    weighted = F.col("weight_cents").cast("bigint") * F.expr(
+        "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    )
+    return events.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "event_type",
+        "category",
+        weighted.alias("weighted_cents"),
+    )

@@ -421,3 +421,28 @@ def test_stream_merge_sink_keeps_latest_per_key(spark, tmp_path):
         for r in spark.read.parquet(lake).collect()
     }
     assert got == {1: (1, "a1"), 2: (3, "b3"), 3: (1, "c1")}
+
+
+def test_stream_static_enrich_parity(spark, event_dir):
+    """Stream-static dimension enrichment must equal the same join run
+    as a batch query, cover every event exactly once (inner join on a
+    complete dim), and never require watermarks or join state."""
+    dim = jobs.type_dim(spark)
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_to_memory(
+        jobs.enrich_with_static(stream, dim),
+        "enriched",
+        output_mode="append",
+    )
+    stream_rows = {
+        (r["event_id"], r["category"], r["weighted_cents"])
+        for r in got.collect()
+    }
+
+    ev = spark.read.parquet(event_dir)
+    batch_rows = {
+        (r["event_id"], r["category"], r["weighted_cents"])
+        for r in jobs.enrich_with_static(ev, dim).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == ev.count(), "dim must cover every type"
