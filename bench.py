@@ -87,6 +87,12 @@ EXTRA = [
     "docs_weighted_sample",
     "dedup_prefix_jaccard",
     "text_char_entropy",
+    "dedup_simhash_hamming",
+    "text_segment_dedup",
+    "docs_source_cap",
+    "events_linear_trend",
+    "dq_expectations",
+    "text_unigram_surprisal",
 ]
 
 

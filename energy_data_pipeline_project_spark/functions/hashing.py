@@ -46,6 +46,16 @@ def md5_int64(col_sql: str, *, duck: bool) -> str:
     return f"CAST(conv(substr(md5({col_sql}),1,8),16,10) AS BIGINT)"
 
 
+def md5_int64_hi(col_sql: str, *, duck: bool) -> str:
+    """SQL fragment: md5 bits 33-64 (hex chars 9-16) as a BIGINT.
+
+    Together with :func:`md5_int64` this yields 64 independent hash
+    bits per input — used by the 64-bit SimHash signature."""
+    if duck:
+        return f"(('0x' || substr(md5({col_sql}),9,8))::BIGINT)"
+    return f"CAST(conv(substr(md5({col_sql}),9,8),16,10) AS BIGINT)"
+
+
 def minhash_expr(i: int, h_sql: str) -> str:
     """SQL for permutation i applied to a base-hash column (both engines).
 

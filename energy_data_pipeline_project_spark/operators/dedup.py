@@ -46,10 +46,10 @@ COSINE_SUBSET = 200  # bound the O(n²) pair space for the oracle query
 LSH_BUCKET_CAP = 100  # docs per (band_id, band_val) bucket
 SHINGLE_DOC_CAP = 100  # posting rows per shingle hash
 
-# Both caps are expressed as a window COUNT(*) over the bucket key
-# rather than groupBy+join: the window shuffles once on the exact key
-# the candidate self-join shuffles on, so the cap rides the partition
-# layout the join needs anyway instead of adding two extra exchanges.
+# Both caps run as a map-side-combined COUNT per bucket key followed by
+# an equi-join that drops hot buckets BEFORE posting lists are
+# collected; candidate pairs are then expanded inside each bounded
+# bucket array (no postings self-join, no window sort).
 
 # Frames persisted during plan construction (signature/posting frames
 # feed several subplans). A long-lived session must be able to release
@@ -167,21 +167,43 @@ def _minhash_oracle() -> str:
     """
 
 
+def _bucket_pairs_sql(arr_col: str) -> str:
+    """All ordered pairs (a < b) from a SORTED id array, in-plan.
+
+    ``transform``'s index lambda pairs each element with every later
+    one; array length is bounded by the bucket cap, so the expansion
+    is O(cap²) per bucket — never O(corpus²) — and runs inside
+    whole-stage codegen with no join."""
+    a = arr_col
+    return (
+        f"flatten(transform({a}, (x, i) -> "
+        f"transform(slice({a}, i + 2, size({a})), "
+        f"y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
     """LSH candidate pairs + minhash-estimated Jaccard for a docs frame.
 
-    Scale path: per-band equi-joins on a band-signature key. Each band
-    join shuffles on the band value only; the O(n²) pair space is never
-    built. Buckets holding more than ``bucket_cap`` docs are excluded
-    before pairing — one boilerplate band value would otherwise emit
-    O(bucket²) candidates.
+    Scale path: candidates come from grouping the melted band frame by
+    (band_id, band_val) and expanding pairs inside each bucket array —
+    the O(n²) pair space is never built, and no self-join of the
+    postings ever shuffles. The hot-bucket cap (buckets above
+    ``bucket_cap`` docs are dropped — one boilerplate band value would
+    otherwise emit O(bucket²) candidates) is enforced by a map-side
+    combined COUNT before any bucket array is collected, so no
+    collect_list buffer can exceed cap ids even under adversarial
+    skew. The bucket-count join lands already partitioned by the band
+    key, so the follow-up groupBy reuses the exchange — cheaper than
+    the window formulation this replaces, which sorted the full band
+    frame and shuffled it again on both self-join sides.
 
     The signature frame is tiny relative to the corpus (k ints/doc)
-    and feeds four subplans (both candidate sides + both est sides):
-    persist it so the shingle explode+groupBy runs once, not 4-10×.
-    Call release_cached_frames() once the result is consumed.
+    and feeds three subplans (bands + both estimate sides): persist it
+    so the shingle explode+groupBy runs once. Call
+    release_cached_frames() once the result is consumed.
     """
     sig = _cached(_minhash_signatures(docs))
 
@@ -202,28 +224,18 @@ def minhash_lsh_pairs(
         "doc_id", F.posexplode(band_vals).alias("band_id", "band_val")
     )
 
-    # hot-bucket cap: doc_ids are unique per bucket, so COUNT(*) over
-    # the bucket window is the bucket's doc count. The filtered frame
-    # is ~bands×8 bytes/doc and feeds BOTH self-join sides → persist,
-    # or the window shuffle runs twice.
-    w_bucket = Window.partitionBy("band_id", "band_val")
-    bands_ok = _cached(
-        bands.withColumn("bcnt", F.count("*").over(w_bucket))
-        .where(F.col("bcnt") <= bucket_cap)
-        .drop("bcnt")
-    )
-
-    a, b = bands_ok.alias("a"), bands_ok.alias("b")
+    # doc_ids are unique per bucket, so COUNT(*) is the bucket's doc
+    # count; only buckets in [2, cap] can produce candidate pairs.
+    bcnt = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bcnt"))
+    ok = bcnt.where(
+        (F.col("bcnt") >= 2) & (F.col("bcnt") <= bucket_cap)
+    ).select("band_id", "band_val")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bands.join(ok, ["band_id", "band_val"])
+        .groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -300,6 +312,165 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash + Hamming-banded near-dup JOIN (Manku et al. WWW'07)
+# ---------------------------------------------------------------------------
+# 64 signature bits split as two 32-bit halves (sim_hi, sim_lo) so no
+# expression ever touches the int64 sign bit in either engine. Bands
+# are the four 16-bit quarters: by pigeonhole, hamming(a,b) <= 3 over
+# 64 bits forces at least one identical quarter, so the banded
+# candidate join is LOSSLESS at HAMMING_MAX = 3.
+SIMHASH64_HAMMING_MAX = 3
+SIMHASH64_BUCKET_CAP = 100  # same skew rationale as LSH_BUCKET_CAP
+
+
+def _simhash64_frame(docs: DataFrame) -> DataFrame:
+    """doc_id → (sim_hi, sim_lo): 64-bit SimHash over distinct tokens."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w")
+    )
+    hx = toks.select(
+        "doc_id",
+        F.expr(H.md5_int64("w", duck=False)).alias("hlo"),
+        F.expr(H.md5_int64_hi("w", duck=False)).alias("hhi"),
+    )
+    sums = []
+    for half, src in (("lo", "hlo"), ("hi", "hhi")):
+        sums.extend(
+            F.sum(
+                F.when(F.expr(f"(shiftright({src}, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"{half}{j}")
+            for j in range(32)
+        )
+    bits = hx.groupBy("doc_id").agg(*sums)
+    combine = {
+        half: sum(
+            F.when(F.col(f"{half}{j}") > 0, F.lit(1 << j)).otherwise(0)
+            for j in range(32)
+        )
+        for half in ("lo", "hi")
+    }
+    return bits.select(
+        "doc_id",
+        combine["hi"].cast("bigint").alias("sim_hi"),
+        combine["lo"].cast("bigint").alias("sim_lo"),
+    )
+
+
+def _simhash64_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN ((h{half} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS {half}{j}"
+        for half in ("lo", "hi")
+        for j in range(32)
+    )
+    combine = {
+        half: " + ".join(
+            f"CASE WHEN {half}{j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+        for half in ("lo", "hi")
+    }
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bid} AS band_id, {expr} AS band_val FROM sig"
+        for bid, expr in enumerate(
+            [
+                "(sim_hi >> 16)",
+                "(sim_hi & 65535)",
+                "(sim_lo >> 16)",
+                "(sim_lo & 65535)",
+            ]
+        )
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t),
+    hx AS (SELECT doc_id, {H.md5_int64("w", duck=True)} AS hlo,
+                  {H.md5_int64_hi("w", duck=True)} AS hhi FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({combine["hi"]} AS BIGINT) AS sim_hi,
+                   CAST({combine["lo"]} AS BIGINT) AS sim_lo FROM bits),
+    bands AS (
+      {band_rows}
+    ),
+    bcnt AS (SELECT band_id, band_val, COUNT(*) AS cnt
+             FROM bands GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+      JOIN bcnt c ON a.band_id = c.band_id AND a.band_val = c.band_val
+      WHERE c.cnt <= {SIMHASH64_BUCKET_CAP}
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sa.sim_hi, sb.sim_hi))
+                  + bit_count(xor(sa.sim_lo, sb.sim_lo)) AS INT) AS hamming
+      FROM cand
+      JOIN sig sa ON cand.doc_a = sa.doc_id
+      JOIN sig sb ON cand.doc_b = sb.doc_id
+    ) WHERE hamming <= {SIMHASH64_HAMMING_MAX}
+    """
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, *, bucket_cap: int = SIMHASH64_BUCKET_CAP
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= {SIMHASH64_HAMMING_MAX}
+    over a 64-bit SimHash — the Manku/Jain/Sarma web-dedup design.
+
+    Candidates come from equi-matching any of the four 16-bit signature
+    quarters (pigeonhole-complete at this threshold), generated with
+    the same capped-bucket array expansion as MinHash-LSH; verification
+    is two xor+bit_count integer ops per candidate. Everything shuffles
+    fixed-width ints; signatures are one pass over distinct tokens.
+    """
+    sig = _cached(_simhash64_frame(docs))
+    quarters = F.array(
+        F.expr("shiftright(sim_hi, 16)"),
+        F.expr("sim_hi & 65535"),
+        F.expr("shiftright(sim_lo, 16)"),
+        F.expr("sim_lo & 65535"),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(quarters).alias("band_id", "band_val")
+    )
+    bcnt = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bcnt"))
+    ok = bcnt.where(
+        (F.col("bcnt") >= 2) & (F.col("bcnt") <= bucket_cap)
+    ).select("band_id", "band_val")
+    cand = (
+        bands.join(ok, ["band_id", "band_val"])
+        .groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("ha"),
+        F.col("sim_lo").alias("la"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("hb"),
+        F.col("sim_lo").alias("lb"),
+    )
+    hamming = F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("int")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH64_HAMMING_MAX)
+    )
+
+
+@query("dedup_simhash_hamming", _simhash64_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram (shingle) Jaccard via inverted index
 # ---------------------------------------------------------------------------
 def shingle_jaccard_pairs(
@@ -307,33 +478,53 @@ def shingle_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard over an inverted index, skew-capped.
 
-    Postings are (doc_id, shingle-hash): the self-join shuffles 8-byte
+    Postings are (doc_id, shingle-hash): everything shuffles as 8-byte
     ints, not shingle strings. Shingles whose posting list exceeds
     ``shingle_cap`` rows are dropped from the index BEFORE pairing (a
     boilerplate shingle shared by n docs would emit O(n²) pairs); doc
     sizes are computed over the same filtered index so the Jaccard
-    ratio stays internally consistent. The filtered postings frame
-    feeds three subplans → persist it; call release_cached_frames()
-    once the result is consumed.
+    ratio stays internally consistent. Intersection counts come from
+    expanding pairs inside each (bounded) posting array rather than a
+    postings self-join — see minhash_lsh_pairs for why that plan
+    shape wins. Call release_cached_frames() once the result is
+    consumed.
     """
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     sh = toks.select(
         "doc_id",
         F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
     )
-    hx = sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
     hx = _cached(
-        hx.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
-        .where(F.col("cnt") <= shingle_cap)
-        .drop("cnt")
+        sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
     )
-    sz = hx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = hx.select(F.col("doc_id").alias("doc_a"), "h")
-    b = hx.select(F.col("doc_id").alias("doc_b"), "h")
+    # Cap pass: map-side combined count per shingle, then an equi-join
+    # that drops hot postings BEFORE any list is collected — no
+    # collect_list buffer can exceed cap ids even under adversarial
+    # skew, and the join output is already partitioned by h so the
+    # groupBy below reuses the exchange (the window formulation this
+    # replaces sorted the full postings frame).
+    ok_h = (
+        hx.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") <= shingle_cap)
+        .select("h")
+    )
+    grouped = _cached(
+        hx.join(ok_h, "h")
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+    # Doc sizes over the SAME capped index (explode of the grouped
+    # postings — no second scan of the raw corpus).
+    sz = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     common = (
-        a.join(b, ["h"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        grouped.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("c"))
     )
     sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))

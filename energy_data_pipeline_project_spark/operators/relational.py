@@ -2037,3 +2037,202 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("span_days"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear regression from exact integer moments
+# ---------------------------------------------------------------------------
+# OLS of event value (cents) on event day, per event type — the
+# time-trend profile an anomaly dashboard fits. All five sufficient
+# moments (Sx, Sy, Sxy, Sxx, Syy) are EXACT BIGINT sums — order-
+# independent, so cross-engine bitwise-stable without any ROUND — and
+# slope/intercept/r are derived from them with one identical
+# double-precision expression tree in both engines. x is days since
+# the corpus's min date (broadcast 1-row aggregate), keeping every
+# product far from int64 range at bench scales; the docstring notes
+# the 100 TB variant (built-in regr_slope over double moments).
+def linear_trend(events: DataFrame) -> DataFrame:
+    ev = events.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        _cents("value").alias("y"),
+    )
+    base = ev.agg(F.min("d").alias("d0"))
+    m = (
+        ev.crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            F.datediff("d", "d0").cast("bigint").alias("x"),
+            "y",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    # Identical double expression tree on both engines: numerators and
+    # denominators are doubles OF exact ints, every subsequent op is
+    # deterministic IEEE.
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        ).alias("slope_cents_per_day"),
+        F.expr(
+            "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        ).alias("intercept_cents"),
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        ).alias("r"),
+    )
+
+
+@query(
+    "events_linear_trend",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+      FROM events
+    ),
+    base AS (SELECT MIN(d) AS d0 FROM ev),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM (SELECT event_type,
+                   CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+            FROM ev, base)
+      GROUP BY 1
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS intercept_cents,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS r
+    FROM m
+    """,
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-over-time OLS from exact integer moments (one
+    scan + one map-side-combined aggregate; the min-date scalar is a
+    broadcast 1-row frame, not a driver action). At 100 TB the same
+    shape holds; if y² sums approach int64 range, swap the BIGINT
+    moments for Spark's built-in regr_slope/regr_intercept/corr
+    (double moments, same single-pass plan, approximate equality)."""
+    return linear_trend(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation audit
+# ---------------------------------------------------------------------------
+# The validation pass a pipeline runs before promoting a batch: null
+# keys, domain-range violations, duplicate primary keys, and
+# referential orphans, emitted as one (check, bad_rows) frame. In-table
+# checks fold into ONE aggregate per table (single scan, map-side
+# combined); cross-table checks are anti-join counts on the key —
+# every shape here is linear and shuffle-light at any scale.
+@query(
+    "dq_expectations",
+    """
+    SELECT 'lineitem_null_orderkey' AS check_name,
+           COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS bad_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           COUNT(*) FILTER (WHERE l_extendedprice <= 0)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) FROM (
+      SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+    ) WHERE cnt > 1
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    # One scan of lineitem for all three in-table checks, then unpivot.
+    li_checks = li.agg(
+        F.count_if(F.col("l_orderkey").isNull()).alias(
+            "lineitem_null_orderkey"
+        ),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("lineitem_qty_out_of_range"),
+        F.count_if(F.col("l_extendedprice") <= 0).alias(
+            "lineitem_nonpositive_price"
+        ),
+    ).selectExpr(
+        "stack(3, "
+        "'lineitem_null_orderkey', lineitem_null_orderkey, "
+        "'lineitem_qty_out_of_range', lineitem_qty_out_of_range, "
+        "'lineitem_nonpositive_price', lineitem_nonpositive_price) "
+        "AS (check_name, bad_rows)"
+    )
+    orphan_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("bad_rows"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("check_name"), "bad_rows")
+    )
+    orphan_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("bad_rows"))
+        .select(F.lit("orders_orphan_custkey").alias("check_name"), "bad_rows")
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("bad_rows"))
+        .select(F.lit("orders_duplicate_pk").alias("check_name"), "bad_rows")
+    )
+    return li_checks.unionByName(orphan_li).unionByName(
+        orphan_orders
+    ).unionByName(dup_pk)

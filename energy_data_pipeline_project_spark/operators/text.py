@@ -972,3 +972,196 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+# --- Corpus-wide segment-level dedup (first-writer-wins) --------------------
+# Dolma/RefinedWeb-style paragraph dedup adapted to this corpus's
+# segment unit (no newlines — see the boilerplate-removal note): every
+# occurrence of a segment after its first anywhere in the corpus is
+# dropped, and documents are reconstructed from their surviving
+# segments. The "first" occurrence is the corpus-global minimum of
+# (doc_id, position), encoded as one BIGINT so the winner is a plain
+# map-side-combinable MIN — no window over the segment key, so a
+# boilerplate segment shared by millions of docs costs one aggregate
+# row, never a sorted window partition.
+_SEGDEDUP_POS_FACTOR = 1_000_000  # seg_pos < 1e6: docs are << 2M tokens
+
+
+@query(
+    "text_segment_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id, u['p'] AS seg_pos, u['s'] AS seg
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, CAST(ceil(len(toks)
+                       / {{seg_n}}.0) AS BIGINT)),
+                     i -> {{{{'p': i, 's': array_to_string(
+                       toks[(i-1)*{{seg_n}}+1 : i*{{seg_n}}], ' ')}}}})) AS u
+            FROM t)
+    ),
+    first AS (
+      SELECT seg,
+             MIN(doc_id * {_SEGDEDUP_POS_FACTOR} + seg_pos) AS keep_key
+      FROM seg GROUP BY 1
+    )
+    SELECT s.doc_id,
+           string_agg(s.seg, ' ' ORDER BY s.seg_pos)
+             FILTER (WHERE s.doc_id * {_SEGDEDUP_POS_FACTOR} + s.seg_pos
+                           = f.keep_key)
+             AS deduped_text,
+           COUNT(*) FILTER (WHERE s.doc_id * {_SEGDEDUP_POS_FACTOR}
+                                  + s.seg_pos = f.keep_key)
+             AS kept_segments,
+           COUNT(*) AS total_segments
+    FROM seg s JOIN first f USING (seg)
+    GROUP BY 1
+    """.format(seg_n=BOILERPLATE_SEG_TOKENS),
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global segment dedup: keep each distinct segment's first
+    occurrence (min (doc_id, pos)), drop every other occurrence, and
+    reconstruct documents from what survives (NULL text when nothing
+    did — the row keeps its counts so downstream sees "fully
+    duplicate" rather than losing the doc).
+
+    Scale: one Generate, one map-side-combined MIN per distinct
+    segment, one equi-join of segments to their winner, one
+    reconstruct agg ordered in-row via array_sort — no windows, no
+    self-joins; shuffle keys are the segment text (vocabulary-bounded)
+    and doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    seg = t.select(
+        "doc_id",
+        F.posexplode(F.expr(_segments_sql(duck=False))).alias("pos0", "seg"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("seg_pos"),
+        "seg",
+    )
+    owner = F.col("doc_id") * _SEGDEDUP_POS_FACTOR + F.col("seg_pos")
+    first = seg.groupBy("seg").agg(F.min(owner).alias("keep_key"))
+    kept = owner == F.col("keep_key")
+    return (
+        seg.join(first, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                f"IF(doc_id * {_SEGDEDUP_POS_FACTOR} + seg_pos = keep_key, "
+                "struct(seg_pos, seg), NULL))), x -> x.seg))"
+            ).alias("_joined"),
+            F.count_if(kept).cast("bigint").alias("kept_segments"),
+            F.count("*").cast("bigint").alias("total_segments"),
+        )
+        .select(
+            "doc_id",
+            # string_agg over zero kept rows is NULL; concat_ws gives ''
+            F.when(F.col("kept_segments") == 0, None)
+            .otherwise(F.col("_joined"))
+            .alias("deduped_text"),
+            "kept_segments",
+            "total_segments",
+        )
+    )
+
+
+# --- Per-source document cap (domain balancing) -----------------------------
+# Common-crawl-style per-domain cap: keep at most N docs per source,
+# chosen deterministically by a hash order so the kept subset is stable
+# across runs and machines. Executed as a SALTED TWO-PHASE top-N: phase
+# 1 ranks within (source, salt) — SOURCE_CAP_SALT× the parallelism of a
+# per-source window and immune to one giant source hot-spotting a
+# single partition; phase 2 ranks the ≤ salt×N phase-1 survivors per
+# source. The composition is exactly the single per-source window the
+# oracle runs, so the hash match proves the salting transparent.
+SOURCE_CAP_N = 10
+SOURCE_CAP_SALT = 8
+
+
+@query(
+    "docs_source_cap",
+    f"""
+    SELECT doc_id, source, source_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)},
+                        doc_id) AS INT) AS source_rank
+      FROM documents
+    ) WHERE source_rank <= {SOURCE_CAP_N}
+    """,
+)
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(H.md5_int64("CAST(doc_id AS STRING)", duck=False)).alias("rk"),
+    )
+    salted = docs.withColumn("salt", F.col("rk") % SOURCE_CAP_SALT)
+    w1 = Window.partitionBy("source", "salt").orderBy("rk", "doc_id")
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= SOURCE_CAP_N)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (
+        survivors.withColumn(
+            "source_rank", F.row_number().over(w2).cast("int")
+        )
+        .where(F.col("source_rank") <= SOURCE_CAP_N)
+        .select("doc_id", "source", "source_rank")
+    )
+
+
+# --- Unigram LM surprisal (perplexity-style quality score) ------------------
+# CCNet/Wikipedia-LM-style quality signal without an external model:
+# train the unigram LM on the corpus itself (token counts), then score
+# each document by its mean token surprisal -mean(log2 p(tok)).
+# Low = boilerplate-like (all common tokens), high = noise-like (rare
+# tokens). mean(-log2 p) = log2(total) - mean(log2 cnt), so every log2
+# input is an exact integer; the per-doc mean of <=doc-length doubles
+# is the only order-sensitive sum, absorbed by ROUND(..., 4).
+@query(
+    "text_unigram_surprisal",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS token
+                 FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM counts)
+    SELECT t.doc_id,
+           COUNT(*) AS n_scored_tokens,
+           ROUND(log2(tot.total) - SUM(log2(c.cnt)) / COUNT(*), 4)
+             AS mean_surprisal_bits
+    FROM tok t JOIN counts c USING (token), tot
+    GROUP BY t.doc_id, tot.total
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the LM ("counts") is vocabulary-sized and built in one
+    map-side-combined pass; scoring is an equi-join of the token
+    stream to it (broadcastable when the vocab fits, shuffled hash
+    join otherwise — Catalyst/AQE picks) plus one aggregate per doc.
+    In a real pipeline the counts frame is the artifact you persist
+    and reuse across corpus snapshots."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count("*").alias("n_scored_tokens"),
+            F.round(
+                F.log2("total") - F.sum(F.log2("cnt")) / F.count("*"), 4
+            ).alias("mean_surprisal_bits"),
+        )
+        .select("doc_id", "n_scored_tokens", "mean_surprisal_bits")
+    )

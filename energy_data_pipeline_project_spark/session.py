@@ -77,7 +77,10 @@ def get_spark_session(
         # Partition sizing for large scans: 128 MB input splits is the
         # right default for 100 TB parquet; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] runs every executor thread inside the driver JVM:
+        # size the heap for 32 concurrent task slots, not a lone driver
+        # (8g showed multi-second GC spikes under the bench workload).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
