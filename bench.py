@@ -93,6 +93,8 @@ EXTRA = [
     "events_linear_trend",
     "dq_expectations",
     "text_unigram_surprisal",
+    "pagerank_dup_graph",
+    "embedding_label_spectrum",
 ]
 
 

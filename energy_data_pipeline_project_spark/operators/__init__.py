@@ -19,6 +19,7 @@ def all_queries() -> dict[str, QueryFn]:
     from . import (
         clustering,
         dedup,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -35,6 +36,7 @@ def all_queries() -> dict[str, QueryFn]:
         dedup,
         similarity,
         clustering,
+        graph,
         text,
         multimodal,
     ):
@@ -46,6 +48,7 @@ def all_oracles() -> dict[str, str]:
     from . import (
         clustering,
         dedup,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -62,6 +65,7 @@ def all_oracles() -> dict[str, str]:
         dedup,
         similarity,
         clustering,
+        graph,
         text,
         multimodal,
     ):

@@ -166,3 +166,63 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
         (F.col("key") % k).alias("cluster"),
         F.expr(f"key DIV {k}").alias("dist_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label covariance spectrum — the grouped-map (applyInPandas) kernel
+# ---------------------------------------------------------------------------
+# Embedding-space diagnostics a curation pipeline runs per class/source:
+# covariance trace (total variance) and top eigenvalue (dominant-axis
+# concentration). Eigen-decomposition is genuinely not expressible in
+# SQL, so this is the repo's canonical GROUPED-MAP Pandas kernel: whole
+# groups arrive as one Arrow-backed pandas frame, numpy does dense
+# linear algebra per group, and the cluster-side contract (schema,
+# group partitioning, determinism) is what the test pins. Rows are
+# sorted by vec_id inside the kernel so results do not depend on
+# shuffle arrival order. At 100 TB each group must fit one executor —
+# labels are classes (dozens-hundreds), embeddings are 64-dim, so a
+# group is rows×256B: fine. For million-class regimes switch the
+# grouping key to (label, hash-bucket) and merge moments.
+def label_spectrum(emb: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    schema = (
+        "label int, n_vectors long, dim int, "
+        "cov_trace double, top_eigenvalue double, top_eig_share double"
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = m.shape
+        if n < 2:
+            return pd.DataFrame(
+                [[int(pdf["label"].iloc[0]), n, d, 0.0, 0.0, 0.0]],
+                columns=[
+                    "label", "n_vectors", "dim",
+                    "cov_trace", "top_eigenvalue", "top_eig_share",
+                ],
+            )
+        c = np.cov(m, rowvar=False)
+        ev = float(np.linalg.eigvalsh(c)[-1])
+        tr = float(np.trace(c))
+        return pd.DataFrame(
+            [[int(pdf["label"].iloc[0]), n, d, round(tr, 6),
+              round(ev, 6), round(ev / tr, 6)]],
+            columns=[
+                "label", "n_vectors", "dim",
+                "cov_trace", "top_eigenvalue", "top_eig_share",
+            ],
+        )
+
+    return emb.groupBy("label").applyInPandas(kernel, schema)
+
+
+@query("embedding_label_spectrum")  # no oracle: eigendecomposition
+def embedding_label_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance trace / top eigenvalue / dominant-axis
+    share over the embeddings table (rows-only driver check; exactness
+    vs in-process numpy pinned by tests/test_clustering.py)."""
+    return label_spectrum(load_table(spark, sf_dir, "embeddings"))

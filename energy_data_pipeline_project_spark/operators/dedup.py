@@ -596,6 +596,12 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     ``ceil(t*n)`` is computed in INTEGER arithmetic from the exact
     fraction t = 1/2 (``(n+1)//2``): a float ceil could round the
     prefix a token short and silently break losslessness.
+
+    Plan shape: the per-doc rarity order is an IN-ROW array_sort of
+    each doc's (dfreq, h) structs (shingle sets are doc-length-
+    bounded), not a window over the postings; verification intersects
+    the two docs' sorted hash arrays with array_intersect in a single
+    candidate-sized join — the full postings are never self-joined.
     """
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     sh = toks.select(
@@ -607,39 +613,50 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     hx = _cached(
         sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
     )
-    sz = hx.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = hx.groupBy("h").agg(F.count("*").alias("dfreq"))
-    wr = Window.partitionBy("doc_id").orderBy("dfreq", "h")
-    # p = n - ceil(n/2) + 1, with ceil(n/2) = (n+1) DIV 2 exactly
-    plen = F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
-    prefix = (
+    # One row per doc: shingle hashes in global rarity order plus the
+    # exact prefix length p = n - ceil(n/2) + 1, ceil in INT arithmetic.
+    grouped = _cached(
         hx.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(wr))
-        .join(sz, "doc_id")
-        .where(F.col("rn") <= plen)
-        .select("doc_id", "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfreq, h))),"
+                " x -> x.h)"
+            ).alias("hs"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "plen",
+            (F.col("n") - F.floor((F.col("n") + 1) / 2) + 1).cast("int"),
+        )
+    )
+    prefix = grouped.select(
+        "doc_id", F.explode(F.expr("slice(hs, 1, plen)")).alias("h")
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "h"), "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        prefix.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    pa = hx.select(F.col("doc_id").alias("doc_a"), "h")
-    pb = hx.select(F.col("doc_id").alias("doc_b"), "h")
-    common = (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    ga = grouped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hsa"),
+        F.col("n").alias("na"),
     )
-    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    gb = grouped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hsb"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("hsa", "hsb")).cast("bigint")
+    jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
     return (
-        common.join(sza, "doc_a")
-        .join(szb, "doc_b")
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )

@@ -28,3 +28,35 @@ def test_kmeans_inertia_monotone_nonincreasing(spark):
         for it in (1, 3)
     }
     assert inertia[3] <= inertia[1]
+
+
+def test_label_spectrum_matches_local_numpy(spark):
+    """The grouped-map kernel must reproduce an in-process numpy
+    computation exactly (same sort order, same float64 path)."""
+    import numpy as np
+
+    from energy_data_pipeline_project_spark.operators.clustering import (
+        QUERIES as CQ,
+    )
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    got = {
+        r["label"]: r
+        for r in CQ["embedding_label_spectrum"](spark, SF_CORRECT).collect()
+    }
+    rows = load_table(spark, SF_CORRECT, "embeddings").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append((r["vec_id"], r["embedding"]))
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        vecs.sort()
+        m = np.stack([v for _, v in vecs]).astype(np.float64)
+        c = np.cov(m, rowvar=False)
+        assert got[label]["n_vectors"] == len(vecs)
+        assert got[label]["cov_trace"] == round(float(np.trace(c)), 6)
+        assert got[label]["top_eigenvalue"] == round(
+            float(np.linalg.eigvalsh(c)[-1]), 6
+        )

@@ -150,3 +150,20 @@ def test_dq_expectations_clean_on_testdata(spark):
     }
     assert len(out) == 6
     assert all(v == 0 for v in out.values()), out
+
+
+# --- pagerank_dup_graph -----------------------------------------------------
+def test_pagerank_star_graph_centers_rank_highest(spark):
+    """On a star (0-1, 0-2, 0-3, 0-4) the hub must out-rank every leaf,
+    and leaves must tie exactly (integer arithmetic is exact)."""
+    from energy_data_pipeline_project_spark.operators.graph import (
+        pagerank_exact,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["rank"] for r in pagerank_exact(pairs).collect()}
+    leaves = {got[i] for i in range(1, 5)}
+    assert len(leaves) == 1, "exact arithmetic must tie the leaves"
+    assert got[0] > got[1]
