@@ -95,6 +95,7 @@ EXTRA = [
     "text_unigram_surprisal",
     "pagerank_dup_graph",
     "embedding_label_spectrum",
+    "corpus_curation_e2e",
 ]
 
 

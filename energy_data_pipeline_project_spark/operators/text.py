@@ -1165,3 +1165,80 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_scored_tokens", "mean_surprisal_bits")
     )
+
+
+# --- End-to-end corpus curation (the composed pipeline) ---------------------
+# The capstone query: the full curation path a training-data run
+# executes, composed from the same primitives the individual queries
+# expose — exact dedup (keep the lowest doc_id per content hash),
+# quality gates (min token count + gopher-style top-token repetition),
+# then the deterministic hash split — emitting one row per SURVIVING
+# doc with its split assignment. Every stage is a filter or a
+# map-combinable aggregate+join on hash keys; the composition adds no
+# new shuffle class, which is the point: curation at 100 TB is these
+# three linear passes fused into one plan by Catalyst.
+@query(
+    "corpus_curation_e2e",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks, md5(text) AS chash
+      FROM documents
+    ),
+    keeper AS (
+      SELECT doc_id, toks FROM t
+      WHERE doc_id = (SELECT MIN(t2.doc_id) FROM t t2
+                      WHERE t2.chash = t.chash)
+    ),
+    quality AS (
+      SELECT k.doc_id, len(k.toks) AS n_tokens
+      FROM keeper k,
+           LATERAL (SELECT MAX(cnt) AS top_cnt FROM (
+             SELECT COUNT(*) AS cnt FROM unnest(k.toks) AS u(tok)
+             GROUP BY tok)) m
+      WHERE len(k.toks) >= {QUALITY_MIN_TOKENS}
+        AND m.top_cnt * 1.0 / len(k.toks) <= {REPETITION_MAX_FRAC}
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'train'
+                WHEN {_SPLIT_BUCKET_DUCK} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM quality
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup → quality-gate → split, as ONE Catalyst plan.
+
+    Dedup keeps MIN(doc_id) per md5(text) via an aggregate+self-join
+    on the 16-byte hash (never a window over content). The repetition
+    gate computes the top-token count IN-ROW with higher-order
+    functions (aggregate over array_distinct — no explode, no extra
+    shuffle). The split is the shuffle-free hash bucket. Net shuffle
+    cost of the whole pipeline: ONE groupBy on the content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(_TOKS_SPARK).alias("toks"),
+        F.md5("text").alias("chash"),
+    )
+    keeper_ids = t.groupBy("chash").agg(F.min("doc_id").alias("doc_id"))
+    keeper = t.join(keeper_ids, ["chash", "doc_id"]).select("doc_id", "toks")
+    top_cnt = F.expr(
+        "aggregate(array_distinct(toks), 0, (acc, w) -> "
+        "greatest(acc, size(filter(toks, x -> x = w))))"
+    )
+    quality = keeper.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        top_cnt.alias("top_cnt"),
+    ).where(
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("top_cnt") * 1.0 / F.col("n_tokens") <= REPETITION_MAX_FRAC)
+    )
+    return quality.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.expr(_SPLIT_BUCKET_SPARK) < 90, "train")
+        .when(F.expr(_SPLIT_BUCKET_SPARK) < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -14,3 +14,4 @@ def spark():
                               shuffle_partitions=8)
     yield spark
     spark.stop()
+

@@ -13,6 +13,7 @@ from energy_data_pipeline_project_spark.operators import (
 )
 from energy_data_pipeline_project_spark.plans.analyze import (
     assert_scan_pruned,
+    formatted_plan,
     plan_report,
 )
 from energy_data_pipeline_project_spark.sources.tables import load_table
@@ -229,3 +230,30 @@ def test_q8_filters_push_and_dims_broadcast(spark):
     assert rep.broadcast_joins >= 3  # part, cust nation-region arm, supp arm
     assert any("o_orderdate" in f for f in rep.pushed_filters)
     assert any("p_type" in f for f in rep.pushed_filters)
+
+
+def test_dedup_candidate_stages_have_no_window_sort(spark):
+    """The LSH/Jaccard/prefix candidate generators must keep their
+    agg+join+array-expansion shape: a Window node would mean the full
+    postings frame is being sorted per bucket key again (the plan the
+    round-2 rework removed)."""
+    from energy_data_pipeline_project_spark.operators import dedup
+
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_shingle_jaccard",
+        "dedup_prefix_jaccard",
+        "dedup_simhash_hamming",
+    ):
+        plan = formatted_plan(dedup.QUERIES[name](spark, SF_SMOKE))
+        assert "Window" not in plan, f"{name} reintroduced a window"
+    dedup.release_cached_frames()
+
+
+def test_segment_dedup_is_agg_join_only(spark):
+    """First-writer-wins must stay a MIN-aggregate + equi-join (the
+    map-combinable shape), never a window over the segment key."""
+    from energy_data_pipeline_project_spark.operators import text
+
+    plan = formatted_plan(text.QUERIES["text_segment_dedup"](spark, SF_SMOKE))
+    assert "Window" not in plan

@@ -74,3 +74,68 @@ def test_stateful_sessionizer_closed_sessions_match_batch(
     assert bad == 0
     # event counts per closed session are positive
     assert got.where("n_events <= 0").count() == 0
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas drives its state server over
+    protobuf; this container ships a broken google.protobuf (no
+    descriptor module) and installs are off-limits — same
+    environment-gated pattern as the Delta-format probe."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path_factory):
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    path = str(tmp_path_factory.mktemp("events-tws"))
+    load_table(spark, SF_SMOKE, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="google.protobuf unavailable in this container; "
+    "transformWithStateInPandas needs it for the state-server protocol",
+)
+def test_tws_running_totals_match_batch(spark, event_dir):
+    """transformWithStateInPandas lifetime totals must equal the batch
+    aggregate exactly (int cents), taking each user's last emission."""
+    import pyspark.sql.functions as F
+
+    from energy_data_pipeline_project_spark.streaming import jobs, tws
+
+    stream = jobs.read_event_stream(spark, event_dir)
+    got_df = jobs.run_to_memory(
+        tws.running_user_totals(stream), "tws_totals", output_mode="update"
+    )
+    # update mode re-emits a user's row per touching batch; the final
+    # state is the row with the max n_events per user
+    final = {}
+    for r in got_df.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["value_cents"])
+
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    }
+    assert final == batch
