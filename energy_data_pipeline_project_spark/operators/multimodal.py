@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 from ._registry import make_registry
 
 QUERIES, ORACLES, query = make_registry()
@@ -107,9 +107,13 @@ def extract_features(
     """Arrow-batched feature extraction over media structs.
 
     ``mapInPandas``: each Arrow batch is decoded payload-by-payload with
-    ``decoder`` and reduced to a fixed-size feature vector. Partitioning
-    is preserved (no shuffle); at scale this is an embarrassingly
-    parallel map stage sized by ``maxPartitionBytes``.
+    ``decoder`` and reduced to a fixed-size feature vector. At scale
+    this is an embarrassingly parallel map stage sized by
+    ``maxPartitionBytes``; locally a small corpus often scans as ONE
+    file → one task, which would serialize the (real-codec) decode work
+    on a single core, so the input gets a parallelism floor first
+    (``spread_small_scan`` — a no-op whenever the scan is already at
+    least as parallel as the session).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,7 +135,9 @@ def extract_features(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
 
-    return df.select(id_col, "media").mapInPandas(run, schema=FEATURE_SCHEMA)
+    return spread_small_scan(df.select(id_col, "media")).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 @query(

@@ -1242,3 +1242,46 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- Global shuffle-and-shard export order ----------------------------------
+# The standard last step before training: a GLOBAL pseudo-random shuffle
+# of the corpus, materialized as N shards whose union is the corpus and
+# whose internal order is decorrelated from ingest order (source, crawl
+# date, doc_id locality). Randomness comes from the deterministic key
+# hash, so the assignment is reproducible across runs, engines, and
+# partitionings — rand() would give a different corpus every run.
+#
+# Scale: shard = hash % N is a pure map; shard_pos is a row_number over
+# (shard) partitions, i.e. one shuffle on the shard key + a per-shard
+# sort. N scales with the corpus (pick N so a shard ~= one ~256 MB-1 GB
+# output file; O(100k) shards at 100 TB), so per-shard state stays
+# bounded and no single task ever sees more than corpus/N rows. A
+# writer would follow with repartition("shard") +
+# sortWithinPartitions("shard_pos") — same shuffle, zero extra passes.
+SHUFFLE_NSHARDS = 8
+
+
+@query(
+    "docs_shuffle_shards",
+    f"""
+    SELECT doc_id,
+           CAST({_key_duck} % {SHUFFLE_NSHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY {_key_duck} % {SHUFFLE_NSHARDS}
+             ORDER BY {_key_duck}, doc_id) AS INT) AS shard_pos
+    FROM documents
+    """,
+)
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: hash-assigned shard + in-shard
+    pseudo-random position for every document (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_key_spark).alias("rk")
+    )
+    w = Window.partitionBy("shard").orderBy("rk", "doc_id")
+    return (
+        docs.withColumn("shard", (F.col("rk") % SHUFFLE_NSHARDS).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "shard_pos")
+    )

@@ -57,3 +57,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Parallelism floor for CPU-heavy per-row kernels.
+
+    A small corpus often arrives as ONE parquet file → one scan task,
+    serializing expensive map work (shingling, md5 fan-out, Arrow
+    batches) on a single core while the rest idle. When the scan has
+    fewer partitions than the session's parallelism, round-robin
+    repartition up to it; results are unaffected because every caller
+    feeds a key-partitioned groupBy/join that re-shuffles anyway.
+
+    Scale posture: a 100 TB table scan already has thousands of
+    splits, so the condition is false and this is a NO-OP on a real
+    cluster — it never introduces a full-corpus shuffle at scale. The
+    partition probe is plan-side only (no job is triggered).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -205,3 +205,23 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in opt.lower(), opt[:2000]
     # and it must actually answer correctly
     assert {r["day"] for r in j.collect()} == {0, 1, 2}
+
+
+def test_spread_small_scan_floor_and_noop(spark):
+    """Parallelism floor fires on under-partitioned input and is a
+    strict no-op (same plan object) when the input is already at least
+    as parallel as the session."""
+    from energy_data_pipeline_project_spark.sources.tables import (
+        spread_small_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).coalesce(1)
+    spread = spread_small_scan(small)
+    assert spread.rdd.getNumPartitions() == target
+    # row multiset unchanged by the round-robin repartition
+    assert spread.count() == 1000
+    assert spread.selectExpr("sum(id)").first()[0] == 999 * 1000 // 2
+
+    wide = spark.range(1000).repartition(target)
+    assert spread_small_scan(wide) is wide

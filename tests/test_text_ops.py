@@ -155,3 +155,33 @@ def test_vocab_coverage_reaches_one(spark):
         assert out.select("rank").distinct().count() == n
     finally:
         out.unpersist()
+
+
+def test_shuffle_shards_partition_invariants(spark):
+    from energy_data_pipeline_project_spark.operators.text import (
+        QUERIES,
+        SHUFFLE_NSHARDS,
+    )
+
+    out = QUERIES["docs_shuffle_shards"](spark, SF_SMOKE).cache()
+    try:
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        # union of shards IS the corpus (no row lost or duplicated)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+        # every shard id is in range and positions are gapless 1..n
+        per = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("shard_pos").alias("mx"),
+                F.countDistinct("shard_pos").alias("nd"),
+            )
+            .collect()
+        )
+        assert all(0 <= r["shard"] < SHUFFLE_NSHARDS for r in per)
+        assert all(r["mx"] == r["n"] == r["nd"] for r in per)
+        # the hash actually spreads: more than one shard is populated
+        assert len(per) > 1
+    finally:
+        out.unpersist()
