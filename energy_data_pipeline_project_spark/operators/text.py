@@ -1285,3 +1285,75 @@ def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_pos", F.row_number().over(w).cast("int"))
         .select("doc_id", "shard", "shard_pos")
     )
+
+
+# --- Recursive-CTE dechunk (Spark 4 WITH RECURSIVE) -------------------------
+# Rebuilds every multi-token document from its overlapping chunks with
+# a recursive CTE — the chunk chain (doc_id, k) → (doc_id, k+1) is a
+# strict DAG, so UNION ALL recursion terminates without a level guard:
+# depth = max chunks per doc = ceil((max_tokens - overlap) / step)
+# (~5 on this corpus; a production corpus with longer docs raises the
+# engine's 100-level default via `MAX RECURSION LEVEL n` in the CTE).
+#
+# Scale: each recursion level is ONE hash join between the shrinking
+# frontier (docs with > level chunks) and the chunk frame keyed by
+# (doc_id, chunk_id); summed over levels the work is linear in the
+# total number of chunks. The aggregate dechunk (tests prove
+# chunk→dechunk exactness) is the one-shuffle batch path; this is the
+# SQL-native formulation, and the DuckDB oracle runs the identical
+# recursion, so the exact string reconstruction is hash-checked
+# end-to-end.
+_REBUILD_TAIL_SPARK = (
+    f"array_join(slice(split(c.chunk_text, ' '), {CHUNK_OVERLAP + 1},"
+    f" {CHUNK_TOKENS}), ' ')"
+)
+_REBUILD_TAIL_DUCK = (
+    f"array_to_string((string_split(c.chunk_text, ' '))"
+    f"[{CHUNK_OVERLAP + 1}:{CHUNK_TOKENS + CHUNK_OVERLAP}], ' ')"
+)
+
+
+def _dechunk_recursive_sql(
+    chunks_rel: str, tail_expr: str, head_ctes: str = ""
+) -> str:
+    """Shared recursion text; only the chunk relation, the
+    slice-dialect fragment, and optional leading CTEs differ between
+    engines (the oracle inlines the chunk query as a leading CTE —
+    both engines want exactly ONE combined WITH RECURSIVE clause)."""
+    return f"""
+    WITH RECURSIVE {head_ctes}rebuild(doc_id, chunk_id, acc) AS (
+      SELECT doc_id, chunk_id, chunk_text AS acc
+      FROM {chunks_rel} WHERE chunk_id = 0
+      UNION ALL
+      SELECT c.doc_id, c.chunk_id, concat(r.acc, ' ', {tail_expr})
+      FROM rebuild r
+      JOIN {chunks_rel} c
+        ON c.doc_id = r.doc_id AND c.chunk_id = r.chunk_id + 1
+    ),
+    last AS (
+      SELECT doc_id, MAX(chunk_id) AS m FROM {chunks_rel} GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CAST(r.chunk_id + 1 AS INT) AS n_chunks,
+           r.acc AS rebuilt_text
+    FROM rebuild r
+    JOIN last l ON r.doc_id = l.doc_id AND r.chunk_id = l.m
+    """
+
+
+@query(
+    "text_dechunk_sql",
+    _dechunk_recursive_sql(
+        "chunks_v",
+        _REBUILD_TAIL_DUCK,
+        head_ctes=f"chunks_v AS ({ORACLES['text_chunk']}),\n    ",
+    ),
+)
+def text_dechunk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE document reconstruction (see block comment)."""
+    QUERIES["text_chunk"](spark, sf_dir).createOrReplaceTempView(
+        "dechunk_chunks_v"
+    )
+    return spark.sql(
+        _dechunk_recursive_sql("dechunk_chunks_v", _REBUILD_TAIL_SPARK)
+    )

@@ -185,3 +185,26 @@ def test_shuffle_shards_partition_invariants(spark):
         assert len(per) > 1
     finally:
         out.unpersist()
+
+
+def test_recursive_dechunk_rebuilds_originals(spark):
+    """The recursive-CTE reconstruction equals the original text for
+    every chunked document (chunking drops nothing, recursion appends
+    exactly the non-overlap tail of each successor chunk)."""
+    from energy_data_pipeline_project_spark.operators.text import QUERIES
+
+    out = QUERIES["text_dechunk_sql"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    joined = out.join(docs, "doc_id").cache()
+    try:
+        n = joined.count()
+        assert n > 0
+        # every doc with at least one token is reconstructed
+        chunked = QUERIES["text_chunk"](spark, SF_SMOKE).select("doc_id").distinct().count()
+        assert n == chunked
+        mismatched = joined.where(
+            F.col("rebuilt_text") != F.col("text")
+        ).count()
+        assert mismatched == 0
+    finally:
+        joined.unpersist()
