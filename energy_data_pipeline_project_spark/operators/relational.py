@@ -2236,3 +2236,41 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li_checks.unionByName(orphan_li).unionByName(
         orphan_orders
     ).unionByName(dup_pk)
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery join (SQL-native per-group top-k)
+# ---------------------------------------------------------------------------
+# The SQL-surface twin of the window-function per-group top-k
+# (window_rank_topk / events_topk_users_per_type): each customer joins
+# the top-3 of THEIR orders by price. Catalyst decorrelates the
+# correlated ORDER BY ... LIMIT into WindowGroupLimit (a map-side
+# partial top-k BEFORE the shuffle, then a final top-k after — verified
+# in tests/test_plans.py), so the lateral form costs the same as the
+# hand-written window plan at any scale: no per-customer re-execution,
+# no O(customers × orders) anything. o_totalprice passes through with
+# NO arithmetic, so the double stays bit-exact in both engines.
+@query(
+    "join_lateral_top_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 3) o
+    """,
+)
+def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM _lat_cust c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 3) o
+        """
+    )

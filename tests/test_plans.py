@@ -257,3 +257,15 @@ def test_segment_dedup_is_agg_join_only(spark):
 
     plan = formatted_plan(text.QUERIES["text_segment_dedup"](spark, SF_SMOKE))
     assert "Window" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate
+    into WindowGroupLimit (map-side partial top-k before the shuffle),
+    never a per-row re-execution or nested loop."""
+    rep = plan_report(
+        relational.QUERIES["join_lateral_top_orders"](spark, SF_SMOKE)
+    )
+    assert "WindowGroupLimit" in rep.plan
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
