@@ -2274,3 +2274,105 @@ def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LIMIT 3) o
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-surface probes: collation, try_ arithmetic, XML extract
+# ---------------------------------------------------------------------------
+@query(
+    "filter_collated_eq",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE lower(c_mktsegment) = 'building'
+    """,
+)
+def filter_collated_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive equality via Spark 4 collations: the predicate
+    compares under UTF8_LCASE instead of wrapping the column in
+    lower() — semantically the normalized-equality filter
+    (filter_normalized_eq) expressed through the type system. The
+    oracle runs the classic lower() form; for ASCII data the two are
+    identical, which is exactly what the hash check certifies.
+    Collated comparison stays codegen'd JVM like any other predicate —
+    no scale difference from the lower() formulation."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where(
+        F.expr("c_mktsegment COLLATE UTF8_LCASE = 'building'")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "proj_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - 1, 0) AS price_per_extra_unit,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+           l_quantity / nullif(l_discount, 0) AS qty_per_discount_point
+    FROM lineitem
+    """,
+)
+def proj_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe defensive arithmetic: Spark 4 runs ANSI SQL by
+    default, so a divide-by-zero or bad cast THROWS mid-job instead of
+    yielding NULL — on a 100 TB run that's a dead job hours in, from
+    one malformed row. try_divide/try_cast give per-row NULL fallback
+    without disabling ANSI globally. The oracle expresses the same
+    semantics via nullif (DuckDB divides NULL-safely); both l_quantity=1
+    (divide-by-zero → NULL) and non-numeric casts are exercised by the
+    data, so the hash check covers the fallback rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 1
+        ).alias("price_per_extra_unit"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.try_divide("l_quantity", "l_discount").alias(
+            "qty_per_discount_point"
+        ),
+    )
+
+
+@query(
+    "events_xml_extract",
+    """
+    SELECT event_id,
+           event_type AS xml_type,
+           CAST(user_id AS BIGINT) AS xml_user,
+           value AS xml_value
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest path (Spark 4 from_xml): rows arrive as XML payloads
+    and are parsed against an explicit schema — the XML twin of the
+    from_json bronze→silver path. The payload is built deterministically
+    from the row in-plan (the container ships no XML testdata), so the
+    oracle can state the expected typed fields directly; what the hash
+    check certifies is the from_xml round-trip: typed extraction,
+    escaping, and NULL propagation. Parsing is JVM-side (StaxXmlParser),
+    schema explicit — same scale posture as from_json with a pinned
+    schema: one codegen'd map stage, no inference scan."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><v>"),
+        F.col("value").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        F.from_xml(xml, "t STRING, u BIGINT, v DOUBLE").alias("x"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x.t").alias("xml_type"),
+        F.col("x.u").alias("xml_user"),
+        F.col("x.v").alias("xml_value"),
+    )
