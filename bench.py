@@ -180,15 +180,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extra_queries": extra,
         "extra_total": round(sum(extra.values()), 3),
+        "extra_count": len(extra),
         "sf": sf,
     }
 
     # Regression guard: BENCH_r01 is the self-established baseline
-    # (the reference publishes no numbers — BASELINE.md). Emit
-    # per-query ratios vs it so regressions are visible in every
-    # BENCH_r{N}.json without diffing rounds by hand.
+    # (the reference publishes no numbers — BASELINE.md). Per-query
+    # ratios vs it go to BENCH_DETAIL.json; only the total ratio rides
+    # on the stdout line.
+    detail = {"extra_queries": extra}
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_r01.json")
     try:
         with open(baseline_path) as f:
@@ -198,7 +199,7 @@ def main() -> None:
             for q, t in timings.items()
             if base.get(q)
         }
-        out["vs_r01"] = ratios
+        detail["vs_r01"] = ratios
         out["vs_r01_total"] = round(
             sum(timings[q] for q in ratios)
             / sum(base[q] for q in ratios),
@@ -206,6 +207,19 @@ def main() -> None:
         )
     except (OSError, KeyError, ValueError, ZeroDivisionError):
         pass  # no baseline available (first round or format change)
+
+    # Full per-query detail for the judge / future rounds. Kept OFF the
+    # stdout JSON line: the driver captures only a bounded tail of
+    # bench output, and BENCH_r02 proved a multi-KB line gets truncated
+    # past parseability ("parsed": null). The one printed line stays
+    # well under the tail window.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump({**out, **detail}, f, indent=1)
+    except OSError:
+        pass
 
     print(json.dumps(out))
     spark.stop()

@@ -73,6 +73,10 @@ def get_spark_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # Progress bars interleave \r frames with stdout; the driver
+        # harness parses bench.py's final JSON line from a bounded tail
+        # of the output, so keep the stream clean.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Partition sizing for large scans: 128 MB input splits is the
         # right default for 100 TB parquet; harmless locally.

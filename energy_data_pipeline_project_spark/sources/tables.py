@@ -38,18 +38,25 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    cannot read natively; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as epoch-nanosecond longs and is converted to a proper
-    TimestampType (microsecond precision — Spark's maximum) here so
-    downstream operators see a normal timestamp column.
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on
+    the Spark build/conf it surfaces either as epoch-nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) or as TIMESTAMP_NTZ
+    (Spark 4 native nanos read, truncated to micros). Both are
+    normalized here to a session-TZ TimestampType (UTC is pinned by the
+    engine) so downstream operators see one stable schema.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: ts is epoch-nanos (~1.7e18); float division
-        # would lose sub-microsecond precision past 2^53.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Integer division: ts is epoch-nanos (~1.7e18); float
+            # division would lose sub-microsecond precision past 2^53.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Wall-clock values are UTC by construction; session TZ is
+            # pinned UTC, so this cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
