@@ -30,6 +30,16 @@ MINHASH_B = [_rng.randrange(0, P31) for _ in range(MINHASH_K)]
 
 SIMHASH_BITS = 16
 
+# Bloom-filter rehash family (runtime-filter decontamination). k
+# independent arithmetic rehashes of an md5-derived base hash pick k
+# bit positions in an m-bit filter; pure int64 arithmetic, identical in
+# both engines. Seeded separately from the minhash family so the two
+# never correlate.
+BLOOM_K = 3
+_brng = random.Random(7)
+BLOOM_A = [_brng.randrange(1, P31) for _ in range(BLOOM_K)]
+BLOOM_B = [_brng.randrange(0, P31) for _ in range(BLOOM_K)]
+
 # Positional fingerprint (rolling-hash style): fp = sum(h(tok)*(pos+1)) % P31
 FINGERPRINT_MOD = P31
 
@@ -64,6 +74,17 @@ def minhash_expr(i: int, h_sql: str) -> str:
     """
     a, b = MINHASH_A[i], MINHASH_B[i]
     return f"(({a} * ({h_sql} % {P31}) + {b}) % {P31})"
+
+
+def bloom_pos_expr(j: int, h_sql: str, m_bits: int) -> str:
+    """SQL for bloom bit position j of a base-hash column (both engines).
+
+    Same overflow-safe shape as :func:`minhash_expr`; the final ``% m``
+    maps into the filter's bit space (``m_bits`` must divide evenly into
+    64-bit words at the call site).
+    """
+    a, b = BLOOM_A[j], BLOOM_B[j]
+    return f"((({a} * ({h_sql} % {P31}) + {b}) % {P31}) % {m_bits})"
 
 
 def tokens_sql(text_col: str, *, duck: bool) -> str:

@@ -89,13 +89,18 @@ def test_caps_do_not_change_testdata_results(spark):
 
 
 def test_release_cached_frames_unpersists(spark):
+    # Other tests in the shared session may have live localCheckpoint
+    # RDDs (pagerank/kmeans/CC) that only vanish on GC, so assert the
+    # DELTA this query adds is fully released, not a globally clean
+    # session.
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     docs = load_table(spark, SF_SMOKE, "documents")
     out = dedup.minhash_lsh_pairs(docs)
     out.count()  # materialize → signature frame cached
-    jsc = spark.sparkContext._jsc
-    assert jsc.getPersistentRDDs().size() > 0
+    assert set(jsc.getPersistentRDDs().keySet().toArray()) - before
     dedup.release_cached_frames()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert not set(jsc.getPersistentRDDs().keySet().toArray()) - before
 
 
 def test_connected_components_transitive_closure(spark):
@@ -138,3 +143,61 @@ def test_connected_components_long_chain_converges(spark):
         dedup.release_cached_frames()
     assert {r["component_id"] for r in rows} == {0}
     assert all(r["component_size"] == n for r in rows)
+
+
+def test_bloom_prefilter_lossless_and_pruning(spark):
+    """The bloom prefilter must keep every true benchmark match (no
+    false negatives — the property the oracle hash-match also proves)
+    while discarding ~all non-matching corpus postings map-side."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corp, bench = dedup._contamination_postings(docs)
+    bloom = dedup.bloom_build(bench.select("h").distinct())
+    survivors = dedup.bloom_prefilter(corp, bloom)
+    true_matches = corp.join(bench, "h").select("doc_id", "h").distinct()
+    n_corp = corp.count()
+    n_surv = survivors.count()
+    n_true = true_matches.count()
+    # lossless: every true match survives the prefilter
+    assert true_matches.join(survivors, ["doc_id", "h"], "left_anti").count() == 0
+    # effective: false-positive overhead stays tiny (observed 222 vs
+    # 212 true over 24507 postings at sf0.001)
+    assert n_true <= n_surv < n_true + 0.01 * n_corp
+    # the filter itself is broadcast-sized regardless of build side
+    assert bloom.count() <= dedup.BLOOM_M_BITS // 64
+
+
+def test_incremental_lsh_finds_cross_split_dups(spark):
+    """Exact duplicates whose two copies land on opposite sides of the
+    batch/index hash split must be reported (batch doc -> index doc,
+    est 1.0); same-side duplicates are out of scope by contract."""
+    import hashlib
+
+    def is_batch(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return h % dedup.INCR_BATCH_MOD == dedup.INCR_BATCH_REM
+
+    rows = []
+    for i in range(20):
+        t = (
+            f"alpha{i} bravo{i} charlie{i} delta{i} "
+            f"echo{i} fox{i} golf{i} hotel{i}"
+        )
+        rows.append((i, t))
+        rows.append((i + 100, t))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    try:
+        got = {
+            (r["doc_id"], r["dup_of"]): r["est_jaccard"]
+            for r in dedup.incremental_lsh_matches(docs).collect()
+        }
+    finally:
+        dedup.release_cached_frames()
+    expected = {}
+    for i in range(20):
+        a, b = i, i + 100
+        if is_batch(a) and not is_batch(b):
+            expected[(a, b)] = 1.0
+        elif is_batch(b) and not is_batch(a):
+            expected[(b, a)] = 1.0
+    assert expected, "fixture must produce at least one crossing pair"
+    assert got == expected

@@ -269,3 +269,37 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in rep.plan
     assert "CartesianProduct" not in rep.plan
     assert "BroadcastNestedLoopJoin" not in rep.plan
+
+
+def test_bloom_contamination_broadcasts_filter_not_bench(spark):
+    """The bloom pattern's whole point: the m-bit word table broadcasts
+    (KBs regardless of build-side size) while the exact verify join
+    stays a shuffle join — broadcasting the bench postings there would
+    collapse the pattern back into dedup_contamination."""
+    from energy_data_pipeline_project_spark.operators import dedup
+
+    # At toy scale Catalyst auto-broadcasts the verify join by size
+    # estimate (correct!). Disable the size rule so only EXPLICIT
+    # broadcast hints survive — proving the bloom word table is hinted
+    # and the bench postings are not.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.QUERIES["dedup_contamination_bloom"](spark, SF_SMOKE)
+        rep = plan_report(df)
+        assert rep.broadcast_joins == 1, formatted_plan(df)
+        assert rep.shuffle_joins >= 1, formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_incremental_lsh_caps_index_side(spark):
+    """Candidate generation must stay equi-join + agg (no window sort
+    over the band frame), mirroring the batch LSH plan shape."""
+    from energy_data_pipeline_project_spark.operators import dedup
+
+    plan = formatted_plan(dedup.QUERIES["dedup_incremental_lsh"](spark, SF_SMOKE))
+    try:
+        assert "Window" not in plan
+    finally:
+        dedup.release_cached_frames()
