@@ -98,6 +98,13 @@ EXTRA = [
     "corpus_curation_e2e",
     "dedup_contamination_bloom",
     "dedup_incremental_lsh",
+    "dedup_semantic",
+    "text_quality_classifier",
+    "join_range_interval",
+    "text_containment",
+    "events_quantile_histogram",
+    "text_bpe_merges",
+    "text_segments_udtf",
 ]
 
 

@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     from . import (
         clustering,
+        curation,
         dedup,
         graph,
         multimodal,
@@ -39,6 +40,7 @@ def all_queries() -> dict[str, QueryFn]:
         graph,
         text,
         multimodal,
+        curation,
     ):
         out.update(mod.QUERIES)
     return out
@@ -47,6 +49,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from . import (
         clustering,
+        curation,
         dedup,
         graph,
         multimodal,
@@ -68,6 +71,7 @@ def all_oracles() -> dict[str, str]:
         graph,
         text,
         multimodal,
+        curation,
     ):
         out.update(mod.ORACLES)
     return out

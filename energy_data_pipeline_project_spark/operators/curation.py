@@ -1,0 +1,679 @@
+"""Corpus-curation operators, round 3: semantic dedup, hashed quality
+classification, interval (range) joins, and containment detection.
+
+These extend the LLM-data surface in ``operators/dedup.py`` /
+``operators/text.py`` with the next tier of techniques a training-data
+pipeline needs (reference repo has none of these — it is a two-table
+energy ETL, ``/root/reference/src/main.py:1-118``; this module is pure
+engine extension per SURVEY.md §2.10):
+
+- ``dedup_semantic`` — SemDeDup-style: cluster embeddings, then look
+  for near-duplicates ONLY within a cluster. Pair space drops from
+  O(n²) to O(n²/k); at 100 TB, k scales with the corpus so per-cluster
+  work stays bounded.
+- ``text_quality_classifier`` — fastText-style hashed linear scorer:
+  token → hash bucket → weight, document score = mean bucket weight.
+  The weights here are a deterministic pseudo-random table keyed by
+  bucket id (a real deployment broadcasts trained weights — same plan
+  shape, different literals); everything is codegen'd integer math.
+- ``join_range_interval`` — event-in-interval join via bucketized
+  equi-join (the standard trick to keep Catalyst off a broadcast
+  nested-loop plan for pure range predicates). Hash-matching the
+  naive inequality-join oracle proves the bucketization lossless.
+- ``text_containment`` — asymmetric shingle containment
+  |A∩B| / |A| ≥ t: catches quotes / doc-inside-doc pairs that
+  symmetric Jaccard misses (a 30-word quote inside a 3000-word doc has
+  Jaccard ≈ 0.01 but containment 1.0).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import hashing as H
+from ..sources.tables import load_table
+from ._registry import make_registry
+from .dedup import SHINGLE_DOC_CAP, SHINGLE_N, _bucket_pairs_sql, _cached
+
+QUERIES, ORACLES, query = make_registry()
+
+_TOKS_DUCK = H.tokens_sql("text", duck=True)
+_TOKS_SPARK = H.tokens_sql("text", duck=False)
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-pair semantic deduplication
+# ---------------------------------------------------------------------------
+# Facebook's SemDeDup (Abbas et al. 2023, public) deduplicates web-scale
+# corpora by k-means-clustering embeddings and comparing cosine
+# similarity only within each cluster. The kmeans machinery is shared
+# with operators/clustering.py: quantize to an integer grid so the
+# assignment is EXACT and reproducible in DuckDB, assign each vector to
+# its nearest seed centroid (vec_id < K, ties to lowest cluster id via
+# a composite integer key), then compute exact float cosine for
+# within-cluster pairs only.
+SEM_K = 8
+SEM_QUANT = 10000
+SEM_THRESHOLD = 0.3  # calibrated: testdata embedding pairs max out ~0.5
+
+
+def _semantic_oracle() -> str:
+    k, q, t = SEM_K, SEM_QUANT, SEM_THRESHOLD
+    return f"""
+    WITH m AS (
+      SELECT vec_id, u['d'] AS dim,
+             CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val,
+             CAST(u['v'] AS DOUBLE) AS v
+      FROM (SELECT vec_id,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {{'d': i, 'v': embedding[i]}})) AS u
+            FROM embeddings)
+    ), cent AS (
+      SELECT vec_id AS cluster, dim, val AS cval FROM m WHERE vec_id < {k}
+    ), asn AS (
+      SELECT vec_id, CAST(MIN(dist * {k} + cluster) % {k} AS INT) AS cluster
+      FROM (SELECT m.vec_id, c.cluster,
+                   SUM((m.val - c.cval) * (m.val - c.cval)) AS dist
+            FROM m JOIN cent c USING (dim)
+            GROUP BY 1, 2)
+      GROUP BY vec_id
+    ), nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM m GROUP BY 1),
+    ec AS (
+      SELECT m.vec_id, asn.cluster, m.dim, m.v
+      FROM m JOIN asn USING (vec_id)
+    ), dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
+             SUM(a.v * b.v) AS dp
+      FROM ec a JOIN ec b
+        ON a.cluster = b.cluster AND a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_a, vec_b, cluster,
+           ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON vec_a = na.vec_id
+    JOIN nrm nb ON vec_b = nb.vec_id
+    WHERE ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= {t}
+    """
+
+
+def semantic_dup_pairs(
+    emb: DataFrame, *, k: int = SEM_K, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (SemDeDup shape).
+
+    Plan: melt once (vec_id, dim, val-int, v-f64); assignment joins the
+    melted frame to K broadcast centroids and argmins with an integer
+    composite key (exact, tie-stable); the pair stage self-joins the
+    melted frame on (cluster, dim) so the shuffle key carries the
+    cluster — pair space is Σ n_c², never n². At 100 TB, k grows with
+    the corpus (SemDeDup uses k ≈ √n·const) keeping n_c bounded; the
+    melt is 64× row inflation but 3 skinny columns, and the float fast
+    path for the pair stage is the Arrow/BLAS kernel in
+    ``similarity.ann_topk_numpy``.
+    """
+    m = _cached(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+        ).select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("dim"),
+            F.floor(F.col("vf").cast("double") * SEM_QUANT)
+            .cast("bigint")
+            .alias("val"),
+            F.col("vf").cast("double").alias("v"),
+        )
+    )
+    cent = F.broadcast(
+        m.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cluster"),
+            "dim",
+            F.col("val").alias("cval"),
+        )
+    )
+    d = F.col("val") - F.col("cval")
+    asn = (
+        m.join(cent, "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(d * d).alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            (F.min(F.col("dist") * k + F.col("cluster")) % k)
+            .cast("int")
+            .alias("cluster")
+        )
+    )
+    nrm = m.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    ec = m.join(asn, "vec_id").select("vec_id", "cluster", "dim", "v")
+    a = ec.select(
+        F.col("vec_id").alias("vec_a"),
+        "cluster",
+        "dim",
+        F.col("v").alias("va"),
+    )
+    b = ec.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster",
+        "dim",
+        F.col("v").alias("vb"),
+    )
+    dots = (
+        a.join(b, ["cluster", "dim"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b", "cluster")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dp"))
+    )
+    na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
+    )
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", "cluster", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+@query("dedup_semantic", _semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style scoring plan)
+# ---------------------------------------------------------------------------
+# Production quality filters (CCNet, fastText-based LLM corpus filters)
+# score each document with a linear model over hashed token features.
+# The plan below is exactly that inference: token → bucket (md5 % B) →
+# weight lookup → mean over the document → threshold. Weights are a
+# deterministic pseudo-random table W(b) = (b * KNUTH) % WMOD so both
+# engines materialize identical integers; swapping in trained weights
+# is a broadcast-join against a (bucket, weight) table with the same
+# plan shape. Score stays in exact integer milli-units: the sigmoid is
+# monotone, so thresholding the raw mean is equivalent to thresholding
+# the probability — no float in the gate.
+CLS_BUCKETS = 4096
+CLS_KNUTH = 2654435761  # Knuth multiplicative-hash constant (public)
+CLS_WMOD = 10007  # prime: weights in [0, 10007)
+CLS_CUTOFF_MILLI = 5_000_000  # ≈ mean-weight * 1000: keeps ~half
+
+
+def _classifier_weight(bucket_sql: str) -> str:
+    """Weight-table lookup as pure integer SQL (identical both engines).
+
+    bucket < 4096 so bucket * KNUTH < 2^44 — no int64 overflow."""
+    return f"(({bucket_sql}) * {CLS_KNUTH}) % {CLS_WMOD}"
+
+
+@query(
+    "text_quality_classifier",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents),
+    f AS (SELECT doc_id,
+                 {_classifier_weight(H.md5_int64("tok", duck=True) + f" % {CLS_BUCKETS}")} AS w
+          FROM t),
+    s AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(w) AS sum_w
+          FROM f GROUP BY doc_id)
+    SELECT doc_id, n_tok, sum_w,
+           CAST((sum_w * 1000) // n_tok AS BIGINT) AS score_milli,
+           CAST((sum_w * 1000) // n_tok >= {CLS_CUTOFF_MILLI} AS INT) AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the hashed linear model.
+
+    One narrow shuffle (groupBy doc_id over 16-byte rows); everything
+    else is whole-stage-codegen'd string/int expressions. At 100 TB
+    this is embarrassingly parallel — the weight 'table' is an
+    expression, so there is no join at all; with trained weights it
+    becomes one broadcast hash join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
+    bucket = H.md5_int64("tok", duck=False) + f" % {CLS_BUCKETS}"
+    f = t.select(
+        "doc_id", F.expr(_classifier_weight(bucket)).alias("w")
+    )
+    s = f.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), F.sum("w").alias("sum_w")
+    )
+    score = F.expr("CAST((sum_w * 1000) DIV n_tok AS BIGINT)")
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "sum_w",
+        score.alias("score_milli"),
+        (score >= CLS_CUTOFF_MILLI).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join via bucketized equi-join
+# ---------------------------------------------------------------------------
+# "Count attributed clicks inside the 24 h window opened by each
+# high-value purchase." A pure range-predicate join gives Catalyst no
+# equi-key and degenerates to broadcast-nested-loop; the scalable
+# formulation buckets time into interval-length cells, explodes each
+# window onto the (≤2) cells it covers, equi-joins on
+# (user_id, bucket), and re-applies the exact range predicate. The
+# DuckDB oracle runs the naive inequality join — hash equality proves
+# the bucket decomposition lossless.
+RANGE_WINDOW_HOURS = 24
+RANGE_BUCKET_SECS = RANGE_WINDOW_HOURS * 3600  # bucket width == window length
+RANGE_MIN_VALUE = 100
+
+
+@query(
+    "join_range_interval",
+    f"""
+    WITH w AS (SELECT event_id AS window_id, user_id, ts AS w_start,
+                      ts + INTERVAL {RANGE_WINDOW_HOURS} HOUR AS w_end
+               FROM events
+               WHERE event_type = 'purchase' AND value >= {RANGE_MIN_VALUE}),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT w.window_id, w.user_id,
+           COUNT(*) AS n_clicks,
+           ROUND(SUM(c.value), 4) AS click_value
+    FROM w JOIN c
+      ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
+    GROUP BY 1, 2
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: equi-join on (user_id, time-bucket).
+
+    Each window spans at most 2 buckets (width == window length), so
+    the build side inflates ≤2× and the probe side not at all; the
+    join is a plain shuffled hash join on two int keys. At 100 TB the
+    shuffle carries (user_id, bucket, ts, value) — no payload — and
+    skew is bounded by events-per-user-per-day. Contrast with the
+    range-only join: Catalyst would pick BroadcastNestedLoopJoin and
+    scan every (window, click) combination per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") >= RANGE_MIN_VALUE)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {RANGE_WINDOW_HOURS} HOUR")).alias(
+            "w_end"
+        ),
+    )
+    wb = w.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("w_start") / RANGE_BUCKET_SECS),
+                F.floor(F.unix_timestamp("w_end") / RANGE_BUCKET_SECS),
+            )
+        ),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        "value",
+        F.floor(F.unix_timestamp("ts") / RANGE_BUCKET_SECS).alias("bkt"),
+    )
+    return (
+        c.join(wb, ["user_id", "bkt"])
+        .where((F.col("c_ts") >= F.col("w_start")) & (F.col("c_ts") < F.col("w_end")))
+        .groupBy("window_id", "user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("value"), 4).alias("click_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+# Containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| finds quotes, excerpts,
+# and boilerplate-wrapped copies that symmetric Jaccard misses. Same
+# capped inverted index as dedup_shingle_jaccard (postings shuffle as
+# 8-byte hashes; hot shingles dropped pre-pairing), but both pair
+# orientations are emitted, each thresholded on ITS OWN size.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@query(
+    "text_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+           FROM t),
+    hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    hx AS (SELECT doc_id, h FROM (
+             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
+             FROM hx0
+           ) WHERE cnt <= {SHINGLE_DOC_CAP}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), both_dirs AS (
+      SELECT doc_a AS doc_inner, doc_b AS doc_outer, c FROM common
+      UNION ALL
+      SELECT doc_b AS doc_inner, doc_a AS doc_outer, c FROM common
+    )
+    SELECT doc_inner, doc_outer, (c * 1.0 / sz.n) AS containment
+    FROM both_dirs JOIN sz ON doc_inner = sz.doc_id
+    WHERE c * 1.0 / sz.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over the capped shingle inverted index.
+
+    Identical index plan to ``shingle_jaccard_pairs`` (see
+    operators/dedup.py for the cap rationale); the pair expansion is
+    in-array (O(cap²) per posting, codegen'd), then each unordered
+    pair fans out to its two orientations and is thresholded against
+    the inner doc's own shingle count. Call
+    ``dedup.release_cached_frames()`` after consuming.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias(
+            "s"
+        ),
+    )
+    hx = _cached(
+        sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+    )
+    ok_h = (
+        hx.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") <= SHINGLE_DOC_CAP)
+        .select("h")
+    )
+    grouped = _cached(
+        hx.join(ok_h, "h")
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+    sz = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    common = (
+        grouped.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    both = common.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        "c",
+    ).unionAll(
+        common.select(
+            F.col("doc_b").alias("doc_inner"),
+            F.col("doc_a").alias("doc_outer"),
+            "c",
+        )
+    )
+    cont = F.col("c") * 1.0 / F.col("n")
+    return (
+        both.join(sz.withColumnRenamed("doc_id", "doc_inner"), "doc_inner")
+        .where(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_inner", "doc_outer", cont.alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (iterative pair-merge vocabulary induction)
+# ---------------------------------------------------------------------------
+# Gage's byte-pair-encoding algorithm, run at word granularity (the
+# alphabet is whitespace tokens instead of bytes — the melted-frame
+# plans are identical, corpus phrase mining instead of subword
+# induction): repeatedly find the most frequent adjacent symbol pair
+# and merge every greedy-left-to-right occurrence into one symbol.
+# Training a tokenizer IS a corpus-scale data job, and the interesting
+# part is making the merge step — inherently sequential within a
+# document — a pure window-function plan:
+#
+#   match(i)   = (sym_i, sym_{i+1}) == best pair     (lead window)
+#   islands    = contiguous match runs               (pos - row_number)
+#   valid(i)   = match(i) AND even offset in island  (min-over-island)
+#   consumed   = lag(valid)                          (drop right halves)
+#
+# The island/offset step is what makes greedy semantics exact for
+# self-overlapping runs ("a a a a" with pair (a,a) → merge positions
+# 1-2 and 3-4, never 2-3); for non-self-adjacent pairs every island
+# has length 1 and the rule degenerates to plain matching. The DuckDB
+# oracle replays the identical window chain per iteration, so three
+# rounds of a data-dependent iterative algorithm sit under the exact
+# hash gate.
+BPE_ITERS = 3
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One merge round as DuckDB CTEs: s{i-1} -> pc{i}, best{i}, s{i}."""
+    p, c = i - 1, i
+    return f"""
+    , pc{c} AS (
+      SELECT tok AS tok_a, nxt AS tok_b, COUNT(*) AS cnt
+      FROM (SELECT tok, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM s{p})
+      WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), best{c} AS (
+      SELECT tok_a, tok_b, cnt FROM pc{c}
+      ORDER BY cnt DESC, tok_a, tok_b LIMIT 1
+    ), m{c} AS (
+      SELECT doc_id, pos, tok, nxt,
+             COALESCE(tok = b.tok_a AND nxt = b.tok_b, FALSE) AS mt
+      FROM (SELECT doc_id, pos, tok,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM s{p}) CROSS JOIN best{c} b
+    ), i{c} AS (
+      SELECT *, CASE WHEN mt THEN pos - ROW_NUMBER()
+                       OVER (PARTITION BY doc_id, mt ORDER BY pos)
+                END AS isl
+      FROM m{c}
+    ), v{c} AS (
+      SELECT *, CASE WHEN mt THEN
+                  (pos - MIN(pos) OVER (PARTITION BY doc_id, isl)) % 2 = 0
+                ELSE FALSE END AS valid
+      FROM i{c}
+    ), s{c} AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN valid THEN tok || ' ' || nxt ELSE tok END AS tok
+      FROM (SELECT *, COALESCE(LAG(valid)
+                        OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                      AS consumed
+            FROM v{c})
+      WHERE NOT consumed
+    )"""
+
+
+def _bpe_oracle() -> str:
+    head = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s0 AS (
+      SELECT doc_id, u['p'] AS pos, u['t'] AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks)),
+                          i -> {{'p': i, 't': toks[i]}})) AS u
+            FROM t)
+    )"""
+    iters = "".join(_bpe_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, tok_a, tok_b, cnt AS pair_count FROM best{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return head + iters + "\n" + sel
+
+
+def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round: returns (best-pair frame, merged sequence frame)."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    with_next = s.withColumn("nxt", F.lead("tok").over(wdoc))
+    best = (
+        with_next.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("tok_a"), F.col("nxt").alias("tok_b"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok_a", "tok_b")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    m = with_next.crossJoin(
+        F.broadcast(
+            best.select(
+                F.col("tok_a").alias("b_a"), F.col("tok_b").alias("b_b")
+            )
+        )
+    ).withColumn(
+        "mt",
+        F.coalesce(
+            (F.col("tok") == F.col("b_a")) & (F.col("nxt") == F.col("b_b")),
+            F.lit(False),
+        ),
+    )
+    wisl = Window.partitionBy("doc_id", "mt").orderBy("pos")
+    i_ = m.withColumn(
+        "isl",
+        F.when(F.col("mt"), F.col("pos") - F.row_number().over(wisl)),
+    )
+    wmin = Window.partitionBy("doc_id", "isl")
+    v = i_.withColumn(
+        "valid",
+        F.when(
+            F.col("mt"),
+            (F.col("pos") - F.min("pos").over(wmin)) % 2 == 0,
+        ).otherwise(F.lit(False)),
+    )
+    nxt_seq = (
+        v.withColumn(
+            "consumed",
+            F.coalesce(F.lag("valid").over(wdoc), F.lit(False)),
+        )
+        .where(~F.col("consumed"))
+        .select(
+            "doc_id",
+            F.row_number().over(wdoc).alias("pos"),
+            F.when(
+                F.col("valid"), F.concat_ws(" ", "tok", "nxt")
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return best, nxt_seq
+
+
+@query("text_bpe_merges", _bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_ITERS} BPE merge rules over the document corpus.
+
+    Per round: pair counting is one map-side-combined shuffle on
+    (tok_a, tok_b); the argmax is a TakeOrdered of ONE row (broadcast
+    back — the only driver-sized data); the merge itself is windows
+    partitioned by doc_id (state bounded by document length) plus a
+    broadcast of the single rule. Each round ends in an eager
+    localCheckpoint: BPE is data-dependent — round n's plan cannot be
+    declared until round n-1's argmax is known — and checkpointing
+    keeps the lineage flat (same pattern as clustering.kmeans).
+    At 100 TB, production trainers amortize scans by applying the
+    top-k non-overlapping pairs per round instead of top-1 — same
+    plan, wider broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    s = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    rules = []
+    for step in range(1, BPE_ITERS + 1):
+        best, s = _bpe_merge_round(s)
+        rules.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "tok_a",
+                "tok_b",
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4) — table-valued document segmentation
+# ---------------------------------------------------------------------------
+# Completes the UDF API surface (§2.8: scalar pandas_udf, mapInPandas,
+# applyInPandas, applyInPandasWithState are already exercised): a
+# lateral-joined Python UDTF that explodes each document into fixed
+# 10-token segments. The semantics are deliberately SQL-expressible so
+# the UDTF path itself is what's under test — the DuckDB twin
+# recomputes the segmentation relationally and the hash gate proves
+# the Python table function emits byte-identical rows. Real users put
+# genuinely non-relational logic here (tokenizer-aware splitting,
+# layout parsing); this pins the plumbing they'd rely on.
+SEGMENT_TOKS = 10
+
+
+def _register_segment_udtf(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    class SegmentDoc:
+        def eval(self, text):  # noqa: ANN001 — UDTF protocol
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, len(toks), SEGMENT_TOKS):
+                seg = toks[i : i + SEGMENT_TOKS]
+                yield i // SEGMENT_TOKS + 1, " ".join(seg), len(seg)
+
+    spark.udtf.register(
+        "segment_doc",
+        udtf(SegmentDoc, returnType="seg_pos int, segment string, seg_toks int"),
+    )
+
+
+@query(
+    "text_segments_udtf",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id, i AS seg_pos,
+             list_slice(toks, (i - 1) * {SEGMENT_TOKS} + 1,
+                        LEAST(i * {SEGMENT_TOKS}, len(toks))) AS seg
+      FROM t, LATERAL (SELECT unnest(generate_series(1,
+             CAST(CEIL(len(toks) / {SEGMENT_TOKS}.0) AS BIGINT))) AS i)
+    )
+    SELECT doc_id, CAST(seg_pos AS INT) AS seg_pos,
+           array_to_string(seg, ' ') AS segment,
+           CAST(len(seg) AS INT) AS seg_toks
+    FROM seg
+    """,
+)
+def text_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL Python UDTF over documents.
+
+    The UDTF runs once per input row in a Python worker (Arrow-batched
+    transfer in Spark 4) — acceptable here because segmentation is a
+    narrow map with no shuffle, and the declared contract is 'arbitrary
+    Python emitting rows'. For splitting that IS relational, prefer the
+    pure-SQL plans (text_chunk, text_segment_dedup) — this query
+    exists to keep the UDTF path tested."""
+    _register_segment_udtf(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_pos, s.segment, s.seg_toks
+        FROM _udtf_docs d, LATERAL segment_doc(d.text) s
+        """
+    )
