@@ -105,6 +105,7 @@ EXTRA = [
     "events_quantile_histogram",
     "text_bpe_merges",
     "text_segments_udtf",
+    "corpus_dedup_keep_best",
 ]
 
 

@@ -207,9 +207,9 @@ def _classifier_weight(bucket_sql: str) -> str:
     return f"(({bucket_sql}) * {CLS_KNUTH}) % {CLS_WMOD}"
 
 
-@query(
-    "text_quality_classifier",
-    f"""
+# The full scoring SELECT, reused verbatim as a CTE body by
+# corpus_dedup_keep_best's oracle.
+_CLS_ORACLE = f"""
     WITH t AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents),
     f AS (SELECT doc_id,
                  {_classifier_weight(H.md5_int64("tok", duck=True) + f" % {CLS_BUCKETS}")} AS w
@@ -220,18 +220,12 @@ def _classifier_weight(bucket_sql: str) -> str:
            CAST((sum_w * 1000) // n_tok AS BIGINT) AS score_milli,
            CAST((sum_w * 1000) // n_tok >= {CLS_CUTOFF_MILLI} AS INT) AS keep
     FROM s
-    """,
-)
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score every document with the hashed linear model.
-
-    One narrow shuffle (groupBy doc_id over 16-byte rows); everything
-    else is whole-stage-codegen'd string/int expressions. At 100 TB
-    this is embarrassingly parallel — the weight 'table' is an
-    expression, so there is no join at all; with trained weights it
-    becomes one broadcast hash join.
     """
-    docs = load_table(spark, sf_dir, "documents")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Hashed-linear-model scores: (doc_id, n_tok, sum_w, score_milli,
+    keep). Token-less documents emit no row (explode drops them)."""
     t = docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
     bucket = H.md5_int64("tok", duck=False) + f" % {CLS_BUCKETS}"
     f = t.select(
@@ -248,6 +242,19 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_milli"),
         (score >= CLS_CUTOFF_MILLI).cast("int").alias("keep"),
     )
+
+
+@query("text_quality_classifier", _CLS_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the hashed linear model.
+
+    One narrow shuffle (groupBy doc_id over 16-byte rows); everything
+    else is whole-stage-codegen'd string/int expressions. At 100 TB
+    this is embarrassingly parallel — the weight 'table' is an
+    expression, so there is no join at all; with trained weights it
+    becomes one broadcast hash join.
+    """
+    return quality_scores(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -676,4 +683,78 @@ def text_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.seg_pos, s.segment, s.seg_toks
         FROM _udtf_docs d, LATERAL segment_doc(d.text) s
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best duplicate resolution (clusters × quality, one plan)
+# ---------------------------------------------------------------------------
+# The decision step a real curation pipeline runs after near-dup
+# detection: collapse each duplicate cluster to its single
+# highest-quality member (not an arbitrary min-id — dropping the
+# better-written copy is a real data-quality loss). Composes three
+# verified pieces without new machinery: MinHash-LSH pairs →
+# connected components → hashed-classifier scores, argmax by an exact
+# integer composite key so ties are deterministic (higher score wins,
+# then lower doc_id). Oracle nests the recursive-CTE closure and the
+# classifier CTE and replays the same composite-key argmin.
+KEEP_SCORE_BOUND = 20_000_000  # > max score_milli (≈1.0e7); composite
+KEEP_ID_SPACE = 4_294_967_296  # 2^32 > any doc_id; key fits int64
+
+
+def _keep_best_oracle() -> str:
+    from .dedup import _cc_oracle
+
+    b, m = KEEP_SCORE_BOUND, KEEP_ID_SPACE
+    return f"""
+    WITH cc AS ({_cc_oracle()}),
+    cls AS ({_CLS_ORACLE}),
+    j AS (
+      SELECT cc.component_id, cc.component_size, cls.doc_id,
+             cls.score_milli,
+             ({b} - cls.score_milli) * {m} + cls.doc_id AS k
+      FROM cc JOIN cls ON cc.doc_id = cls.doc_id
+    )
+    SELECT component_id, CAST(component_size AS BIGINT) AS component_size,
+           MIN(k) % {m} AS kept_doc_id,
+           {b} - MIN(k) // {m} AS kept_score_milli
+    FROM j
+    GROUP BY 1, 2
+    """
+
+
+@query("corpus_dedup_keep_best", _keep_best_oracle())
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep-decision row per duplicate component.
+
+    Plan: the LSH pair graph and CC labels come from the iterative
+    components machinery (work proportional to the dup subgraph —
+    singletons take the one-join label path); scores are the
+    no-join classifier expression; the argmax is a single groupBy on
+    component_id over an int64 composite key — no window, no second
+    pass. At 100 TB every stage shuffles ids and 8-byte keys only."""
+    from .dedup import duplicate_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = duplicate_components(docs, minhash_lsh_pairs(docs))
+    scores = quality_scores(docs)
+    k = (
+        (F.lit(KEEP_SCORE_BOUND) - F.col("score_milli"))
+        * F.lit(KEEP_ID_SPACE)
+        + F.col("doc_id")
+    )
+    return (
+        comps.join(scores, "doc_id")
+        .select(
+            "component_id",
+            F.col("component_size").cast("bigint").alias("component_size"),
+            k.alias("k"),
+        )
+        .groupBy("component_id", "component_size")
+        .agg(
+            (F.min("k") % KEEP_ID_SPACE).alias("kept_doc_id"),
+            (F.lit(KEEP_SCORE_BOUND) - F.expr(f"min(k) DIV {KEEP_ID_SPACE}")).alias(
+                "kept_score_milli"
+            ),
+        )
     )

@@ -253,3 +253,40 @@ def test_segments_udtf_runs_through_python_udtf_node(spark):
         .collect()[0]["text"]
     )
     assert rebuilt == " ".join(t for t in orig.split(" ") if t)
+
+
+def test_keep_best_prefers_quality_then_min_id(spark):
+    """Each component's keep decision must pick the max classifier
+    score (ties → lowest doc_id), and cover every scored doc exactly
+    once across components."""
+    from energy_data_pipeline_project_spark.operators.curation import (
+        quality_scores,
+    )
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        duplicate_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(docs, minhash_lsh_pairs(docs)).collect()
+    }
+    scores = {
+        r["doc_id"]: r["score_milli"]
+        for r in quality_scores(docs).collect()
+    }
+    dedup.release_cached_frames()
+    out = curation.QUERIES["corpus_dedup_keep_best"](spark, SF_SMOKE).collect()
+    dedup.release_cached_frames()
+    assert len(out) == len(set(comps.values()))
+    by_comp: dict = {}
+    for d, c in comps.items():
+        by_comp.setdefault(c, []).append(d)
+    assert any(len(v) > 1 for v in by_comp.values())  # real clusters
+    for r in out:
+        members = by_comp[r["component_id"]]
+        best = max(members, key=lambda d: (scores[d], -d))
+        assert r["kept_doc_id"] == best
+        assert r["kept_score_milli"] == scores[best]
+        assert r["component_size"] == len(members)
