@@ -106,6 +106,11 @@ EXTRA = [
     "text_bpe_merges",
     "text_segments_udtf",
     "corpus_dedup_keep_best",
+    "window_distribution_funcs",
+    "hof_map_ops",
+    "embedding_quantize_int8",
+    "join_fuzzy_prefix",
+    "docs_dup_rate_by_source",
 ]
 
 

@@ -758,3 +758,129 @@ def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) join with blocking — record-linkage pattern
+# ---------------------------------------------------------------------------
+# Entity resolution over dirty text: find document pairs whose leading
+# characters are within a small Levenshtein distance. Naively that is
+# an O(n²) string-DP join; the scalable shape is block-and-verify —
+# candidates must share a cheap equi-key before any edit distance is
+# computed. Blocking here: (first token, length band), with the LEFT
+# side exploding to its band ±1 so near-boundary pairs aren't lost;
+# band membership is equi-joinable while |band_a − band_b| ≤ 1 is not.
+# Each qualifying pair meets exactly once (the right side keeps its
+# single true band). levenshtein() is the same classic DP in both
+# engines — the distances hash-match exactly.
+FUZZY_PREFIX_CHARS = 60
+FUZZY_BAND_CHARS = 20  # length band width
+FUZZY_MAX_DIST = 10
+
+
+@query(
+    "join_fuzzy_prefix",
+    f"""
+    WITH p AS (
+      SELECT doc_id, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx,
+             list_filter(string_split(text, ' '), x -> x != '')[1] AS t1,
+             len(text) // {FUZZY_BAND_CHARS} AS band
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.pfx, b.pfx) AS lev_dist
+    FROM p a JOIN p b
+      ON a.t1 = b.t1 AND abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= {FUZZY_MAX_DIST}
+    """,
+)
+def join_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: equi-join on (first token, band),
+    left side exploded to band ±1, Levenshtein verify after blocking.
+
+    The DP verify runs only on candidates (~0.1% of the pair space on
+    this corpus); everything before it shuffles short strings and two
+    ints. Band explosion is the standard equi-fication of a ±1
+    inequality — 3× the left postings, not 3× the pairs. At 100 TB the
+    blocking key must be chosen against real skew (a stopword first
+    token would flood one reducer — compose with the hot-bucket caps
+    from operators/dedup.py if the key can't be trusted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.expr(f"substr(text, 1, {FUZZY_PREFIX_CHARS})").alias("pfx"),
+        F.expr(f"element_at({_TOKS_SPARK}, 1)").alias("t1"),
+        F.expr(f"length(text) DIV {FUZZY_BAND_CHARS}").alias("band"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pfx").alias("pfx_a"),
+        "t1",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("jband"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pfx").alias("pfx_b"),
+        "t1",
+        F.col("band").alias("jband"),
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(b, ["t1", "jband"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("lev_dist"))
+        .where(F.col("lev_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-rate monitoring by source (ops metric for curation)
+# ---------------------------------------------------------------------------
+# The per-source health dashboard a curation pipeline publishes every
+# run: what fraction of each source's documents sit in a multi-doc
+# duplicate component? A source whose dup rate jumps is re-crawling
+# itself or mirroring another — the signal that drives per-source caps
+# (docs_source_cap) and crawl scheduling.
+def _dup_rate_oracle() -> str:
+    from .dedup import _cc_oracle
+
+    return f"""
+    WITH cc AS ({_cc_oracle()}),
+    j AS (
+      SELECT d.source, cc.component_size
+      FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN component_size >= 2 THEN 1 END) AS BIGINT)
+             AS n_dup_docs,
+           COUNT(CASE WHEN component_size >= 2 THEN 1 END) * 1.0 / COUNT(*)
+             AS dup_rate
+    FROM j GROUP BY source
+    """
+
+
+@query("docs_dup_rate_by_source", _dup_rate_oracle())
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join CC labels to the source dimension and aggregate.
+
+    Work beyond the components run itself is one broadcast-sized join
+    (source is a low-cardinality column on the docs frame — the join
+    is docs ⋈ labels on doc_id, then a tiny groupBy). dup_rate is an
+    exact-int ratio, bitwise identical cross-engine."""
+    from .dedup import duplicate_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = duplicate_components(docs, minhash_lsh_pairs(docs))
+    dup = F.count(F.when(F.col("component_size") >= 2, F.lit(1)))
+    return (
+        docs.select("doc_id", "source")
+        .join(comps, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dup.cast("bigint").alias("n_dup_docs"),
+            (dup * F.lit(1.0) / F.count("*")).alias("dup_rate"),
+        )
+    )

@@ -2376,3 +2376,124 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.u").alias("xml_user"),
         F.col("x.v").alias("xml_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions (ntile / percent_rank / cume_dist /
+# first_value / last_value / nth_value)
+# ---------------------------------------------------------------------------
+# Closes out the SQL window-function families: ranking (window_rank_topk),
+# frames (window_range_7day, window_running_sum), offsets
+# (window_lag_delta) are already pinned — this adds the distribution
+# and value functions. Determinism: the window orders by
+# (o_totalprice cents, o_orderkey) — the trailing unique key means
+# every function below is tie-free and bitwise reproducible;
+# percent_rank/cume_dist are exact-int divisions, value functions use
+# an explicit full-partition frame (their default cumulative frame
+# would make last/nth depend on the current row, a classic silent-bug
+# default both engines share).
+@query(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER wf
+             AS min_cents,
+           last_value(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER wf
+             AS max_cents,
+           nth_value(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2) OVER wf
+             AS second_cents
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_orderpriority
+            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey),
+      wf AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + value window functions over per-priority partitions.
+
+    One shuffle on the partition key, one in-partition sort shared by
+    both window specs (Catalyst collapses same-ordering windows into a
+    single Window node). Partition cardinality is bounded by the
+    priority dimension — no single-partition global window."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents.asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first_value(cents).over(wf).alias("min_cents"),
+        F.last_value(cents).over(wf).alias("max_cents"),
+        F.nth_value(cents, 2).over(wf).alias("second_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed higher-order functions
+# ---------------------------------------------------------------------------
+# The map twin of hof_array_ops: metrics modeled as map<string,bigint>
+# and processed entirely with map HOFs — map_from_arrays,
+# transform_values, map_filter — then exploded back to rows for the
+# cross-engine gate (map column ordering is engine-defined, exploded
+# entries are not). The oracle computes the surviving (key, value)
+# rows relationally: what the hash check certifies is that the map
+# pipeline neither drops, duplicates, nor mis-scales entries.
+MAP_OPS_MIN_CENTS = 2_000_00  # map_filter floor: metrics under $2000 drop
+
+
+@query(
+    "hof_map_ops",
+    f"""
+    WITH m AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               AS net_cents,
+             CAST(l_quantity AS BIGINT) * 100 AS qty_centi
+      FROM lineitem WHERE l_orderkey < 100
+    ), e AS (
+      SELECT l_orderkey, l_linenumber, 'price' AS metric,
+             price_cents * 2 AS doubled FROM m
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'net', net_cents * 2 FROM m
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'qty', qty_centi * 2 FROM m
+    )
+    SELECT l_orderkey, l_linenumber, metric, doubled
+    FROM e WHERE doubled >= {MAP_OPS_MIN_CENTS} * 2
+    """,
+)
+def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_arrays → transform_values (×2) → map_filter (floor) →
+    explode, all codegen'd JVM map expressions — no shuffle before the
+    final explode, which is a narrow Generate."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    metrics = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("net"), F.lit("qty")),
+        F.array(
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"),
+            F.expr(
+                "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)"
+            ),
+            F.expr("CAST(l_quantity AS BIGINT) * 100"),
+        ),
+    )
+    doubled = F.transform_values(metrics, lambda _, v: v * 2)
+    kept = F.map_filter(
+        doubled, lambda _, v: v >= F.lit(MAP_OPS_MIN_CENTS * 2)
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", F.explode(kept).alias("metric", "doubled"))
+    )

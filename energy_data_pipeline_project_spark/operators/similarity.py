@@ -485,3 +485,79 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.array_max(quant).alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization accounting
+# ---------------------------------------------------------------------------
+# At 100 TB, embedding stores ship int8, not float32 (4× smaller, and
+# SIMD dot products run on the quantized domain). This operator runs
+# the quantization pass and accounts for its error budget in EXACT
+# integer arithmetic: values land on the 1e-4 grid (same grid as the
+# kmeans/SemDeDup machinery), each vector gets a symmetric max-abs
+# scale, codes are produced by non-negative integer division (shifting
+# by +amax first — signed integer division semantics differ between
+# engines, non-negative division doesn't), and the rounding remainder
+# of every dimension is summed exactly. sum_rem / (255·2·amax·n_dims)
+# is the mean relative quantization error — kept as exact numerator /
+# denominator columns so the gate never sees a float.
+QUANT_GRID = 10000
+
+
+@query(
+    "embedding_quantize_int8",
+    f"""
+    WITH m AS (
+      SELECT vec_id, CAST(FLOOR(CAST(u AS DOUBLE) * {QUANT_GRID}) AS BIGINT) AS vq
+      FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings)
+    ), sc AS (
+      SELECT vec_id, MAX(ABS(vq)) AS amax, COUNT(*) AS n_dims
+      FROM m GROUP BY vec_id
+    ), q AS (
+      SELECT m.vec_id,
+             ((m.vq + sc.amax) * 255) // (2 * sc.amax) - 128 AS code,
+             ((m.vq + sc.amax) * 255) % (2 * sc.amax) AS rem
+      FROM m JOIN sc USING (vec_id) WHERE sc.amax > 0
+    )
+    SELECT q.vec_id, sc.amax, sc.n_dims,
+           SUM(q.code) AS sum_code,
+           MIN(q.code) AS min_code, MAX(q.code) AS max_code,
+           SUM(q.rem) AS sum_rem
+    FROM q JOIN sc USING (vec_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 codes + exact error accounting.
+
+    Plan: melt (narrow Generate), per-vector max-abs (one map-side
+    combined shuffle on vec_id), quantize in codegen'd int expressions,
+    re-aggregate. The second join back to scales is vec_id-equi and
+    reuses the aggregation exchange. min/max code bounds double as the
+    saturation check (must stay within [-128, 127])."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id", F.explode("embedding").alias("vf")
+    ).select(
+        "vec_id",
+        F.floor(F.col("vf").cast("double") * QUANT_GRID)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    sc = m.groupBy("vec_id").agg(
+        F.max(F.abs("vq")).alias("amax"), F.count("*").alias("n_dims")
+    )
+    j = m.join(sc, "vec_id").where(F.col("amax") > 0)
+    shifted = (F.col("vq") + F.col("amax")) * 255
+    code = F.expr("((vq + amax) * 255) DIV (2 * amax) - 128")
+    rem = shifted % (2 * F.col("amax"))
+    return (
+        j.select("vec_id", "amax", "n_dims", code.alias("code"), rem.alias("rem"))
+        .groupBy("vec_id", "amax", "n_dims")
+        .agg(
+            F.sum("code").alias("sum_code"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+            F.sum("rem").alias("sum_rem"),
+        )
+    )

@@ -231,3 +231,54 @@ def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
         "category",
         weighted.alias("weighted_cents"),
     )
+
+
+def click_conversion_outcomes(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    converting purchase where one exists and NULLs where none does.
+
+    The outer side is the part inner joins can't express: "clicks that
+    did NOT convert" is the retargeting audience. Semantics under
+    watermarks: a null-extended row for an unmatched click is emitted
+    only once the watermark passes click_ts + window (before that a
+    matching purchase could still arrive), so outer results trail the
+    watermark by design — the batch twin emits them immediately. Same
+    bounded state as the inner form: both sides watermark, and the
+    interval condition lets eviction drop clicks older than
+    watermark + window.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {CONVERSION_WINDOW}
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_id").isNotNull()).alias("converted"),
+    )

@@ -290,3 +290,46 @@ def test_keep_best_prefers_quality_then_min_id(spark):
         assert r["kept_doc_id"] == best
         assert r["kept_score_milli"] == scores[best]
         assert r["component_size"] == len(members)
+
+
+def test_window_distribution_funcs_one_window_pass(spark):
+    """Both window specs share partitioning+ordering, so Catalyst must
+    plan ONE sort/exchange pass, and the functions must be internally
+    consistent."""
+    from energy_data_pipeline_project_spark.operators import relational
+
+    df = relational.QUERIES["window_distribution_funcs"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.exchanges == 1  # one hash-partition exchange, reused
+    rows = df.collect()
+    assert rows
+    for r in rows[:200]:
+        assert 1 <= r["quartile"] <= 4
+        assert 0.0 <= r["pr"] <= 1.0
+        assert 0.0 < r["cd"] <= 1.0
+        assert r["min_cents"] <= r["second_cents"] <= r["max_cents"]
+
+
+def test_hof_map_ops_is_shuffle_free(spark):
+    from energy_data_pipeline_project_spark.operators import relational
+
+    df = relational.QUERIES["hof_map_ops"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.exchanges == 0  # map pipeline: scan → project → explode
+    assert rep.n_scans == 1
+    assert not rep.python_eval and not rep.arrow_eval
+
+
+def test_quantize_int8_codes_saturate_correctly(spark):
+    from energy_data_pipeline_project_spark.operators import similarity
+
+    rows = similarity.QUERIES["embedding_quantize_int8"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -128 <= r["min_code"] <= r["max_code"] <= 127
+        # max-abs scaling guarantees at least one dimension at a rail
+        assert r["min_code"] == -128 or r["max_code"] >= 126
+        # exact error budget: remainder strictly below divisor per dim
+        assert 0 <= r["sum_rem"] < r["n_dims"] * 2 * r["amax"]

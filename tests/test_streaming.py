@@ -446,3 +446,64 @@ def test_stream_static_enrich_parity(spark, event_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) == ev.count(), "dim must cover every type"
+
+
+def test_stream_stream_left_outer_join_parity(spark, event_dir):
+    """LEFT OUTER stream-stream interval join: matched rows must equal
+    the batch twin exactly; unmatched clicks appear with NULL purchase
+    once the watermark passes them (all of testdata is far behind the
+    final watermark, so every click must be accounted for)."""
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_to_memory(
+        jobs.click_conversion_outcomes(stream),
+        "conversion_outcomes",
+        output_mode="append",
+    )
+    stream_rows = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["converted"])
+        for r in got.collect()
+    }
+    ev = spark.read.parquet(event_dir)
+    batch_rows = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["converted"])
+        for r in jobs.click_conversion_outcomes(ev).collect()
+    }
+    # Matched rows are emitted eagerly — exact parity required.
+    assert {r for r in stream_rows if r[3]} == {
+        r for r in batch_rows if r[3]
+    }
+    # Null-extended rows are emitted only once the watermark passes
+    # click_ts + window, so clicks inside the final
+    # (watermark + window) tail of the stream are legitimately still
+    # pending when the stream drains. Everything older must be present.
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    # the join's global watermark is the MIN of the two sides'
+    # (max event time - delay); null emission further waits out the
+    # 30-minute join interval
+    max_click = (
+        ev.where(F.col("event_type") == "click")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    max_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    cutoff = min(max_click, max_purchase) - datetime.timedelta(
+        hours=1, minutes=30
+    )
+    click_ts = {
+        r["event_id"]: r["ts"]
+        for r in ev.where(F.col("event_type") == "click").collect()
+    }
+    stream_unmatched = {r for r in stream_rows if not r[3]}
+    batch_unmatched = {r for r in batch_rows if not r[3]}
+    assert stream_unmatched <= batch_unmatched
+    late = batch_unmatched - stream_unmatched
+    assert all(click_ts[r[1]] >= cutoff for r in late)
+    assert stream_unmatched, "expected drained null-extended clicks"
+    assert all(r[2] is None for r in stream_unmatched)
