@@ -111,6 +111,9 @@ EXTRA = [
     "embedding_quantize_int8",
     "join_fuzzy_prefix",
     "docs_dup_rate_by_source",
+    "graph_triangle_count",
+    "events_funnel_ordered",
+    "orders_retention_cohorts",
 ]
 
 

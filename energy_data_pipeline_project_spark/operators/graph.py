@@ -127,3 +127,57 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph (same pair generation as ``dedup_cluster_cc``)."""
     docs = load_table(spark, sf_dir, "documents")
     return pagerank_exact(minhash_lsh_pairs(docs))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph
+# ---------------------------------------------------------------------------
+# The standard clustering-coefficient signal: near-dup TEMPLATE
+# families (boilerplate variants) form near-cliques — triangle-dense —
+# while chains of pairwise-similar-but-distinct docs don't. Triangle
+# density per component is the cheap discriminator between "drop all
+# but one" and "inspect before dropping". The ordered-edge triple join
+# (a<b<c: wedge join + closing-edge join) counts each triangle exactly
+# once and is the textbook distributed formulation — no recursion, two
+# equi-joins, skew bounded by max degree (the LSH bucket caps already
+# bound degree upstream).
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH pairs AS ({{pairs}}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e ab JOIN e bc ON ab.b = bc.a
+                JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """.format(pairs=_minhash_oracle()),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the LSH near-dup graph.
+
+    Edges arrive ordered (doc_a < doc_b) from the pair generator, so
+    the wedge join (ab.b = bc.a) enumerates each candidate a<b<c once;
+    the second join checks the closing edge. Both joins shuffle 8-byte
+    id pairs. At 100 TB the guard is the max-degree bound the LSH
+    bucket caps enforce — wedge count is Σ deg(v)², capped at
+    cap²·buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    ac = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = (
+        ab.join(bc, "t_b")
+        .join(ac, ["t_a", "t_c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(tri).select(
+        "n_edges", F.col("n_triangles").cast("bigint").alias("n_triangles")
+    )

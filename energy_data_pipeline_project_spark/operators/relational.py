@@ -2497,3 +2497,111 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", "l_linenumber", F.explode(kept).alias("metric", "doubled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view → click → purchase)
+# ---------------------------------------------------------------------------
+# The product-analytics staple: how many users complete each stage IN
+# ORDER — a click only counts after that user's first view, a purchase
+# only after that qualifying click. Set-intersection funnels (user did
+# all three, any order) overcount; the ordered form needs each stage's
+# anchor timestamp. Three narrow aggregations chained by user-key
+# joins — at 100 TB each stage shuffles (user_id, one timestamp).
+@query(
+    "events_funnel_ordered",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', COUNT(*) FROM c
+    UNION ALL
+    SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(df, etype, anchor):
+        s = ev.where(F.col("event_type") == etype)
+        if anchor is not None:
+            prev, col = anchor
+            s = s.join(prev, "user_id").where(F.col("ts") > F.col(col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
+
+    v = stage(ev, "view", None)
+    c = stage(ev, "click", (v, "view_ts"))
+    p = stage(ev, "purchase", (c, "click_ts"))
+    rows = [
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count("*").alias("n_users")).select(
+            F.lit("2_click").alias("stage"), "n_users"
+        ),
+        p.agg(F.count("*").alias("n_users")).select(
+            F.lit("3_purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (orders)
+# ---------------------------------------------------------------------------
+# Customers grouped by first-order month; each cohort's active-customer
+# count tracked by months-since-first. Months are exact integers
+# (year*12 + month) so the offset arithmetic is engine-identical —
+# months_between()/date_diff('month') interval semantics differ and
+# are avoided. Plan: one agg for cohort anchors, one distinct on
+# (customer, month), one join + final agg — every shuffle keyed on
+# customer or the small (cohort, offset) pair.
+@query(
+    "orders_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_ym
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym
+      FROM orders
+    )
+    SELECT f.cohort_ym, a.ym - f.cohort_ym AS months_since,
+           COUNT(*) AS n_active
+    FROM activity a JOIN first f ON a.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    activity = orders.select("o_custkey", ym.alias("ym")).distinct()
+    return (
+        activity.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("months_since")
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -333,3 +333,72 @@ def test_quantize_int8_codes_saturate_correctly(spark):
         assert r["min_code"] == -128 or r["max_code"] >= 126
         # exact error budget: remainder strictly below divisor per dim
         assert 0 <= r["sum_rem"] < r["n_dims"] * 2 * r["amax"]
+
+
+def test_triangle_count_matches_python_reference(spark):
+    """Exact triangle count cross-checked against a set-based count on
+    the collected edge list (small at smoke SF)."""
+    from energy_data_pipeline_project_spark.operators import graph
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    edges = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    dedup.release_cached_frames()
+    eset = set(edges)
+    want = sum(
+        1
+        for a, b in eset
+        for c in (x[1] for x in eset if x[0] == b)
+        if (a, c) in eset
+    )
+    row = graph.QUERIES["graph_triangle_count"](spark, SF_SMOKE).collect()[0]
+    dedup.release_cached_frames()
+    assert row["n_edges"] == len(eset)
+    assert row["n_triangles"] == want
+    assert row["n_triangles"] > 0  # near-dup clusters are near-cliques
+
+
+def test_funnel_stages_monotone(spark):
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in relational.QUERIES["events_funnel_ordered"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {"1_view", "2_click", "3_purchase"}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["1_view"] > 0
+
+
+def test_retention_cohort_zero_month_complete(spark):
+    """Every cohort is by definition active at months_since=0, with
+    n_active equal to the cohort's size."""
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = relational.QUERIES["orders_retention_cohorts"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows and all(r["months_since"] >= 0 for r in rows)
+    zero = {r["cohort_ym"]: r["n_active"] for r in rows if r["months_since"] == 0}
+    cohorts = {r["cohort_ym"] for r in rows}
+    assert set(zero) == cohorts
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cohort_sizes = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "cohort_ym"
+            )
+        )
+        .groupBy("cohort_ym")
+        .count()
+        .collect()
+    )
+    for r in cohort_sizes:
+        assert zero[r["cohort_ym"]] == r["count"]
