@@ -114,6 +114,13 @@ EXTRA = [
     "graph_triangle_count",
     "events_funnel_ordered",
     "orders_retention_cohorts",
+    "agg_string_concat",
+    "agg_trimmed_mean_pandas",
+    "basket_part_pairs",
+    "orders_abc_classification",
+    "events_scd2_intervals",
+    "events_markov_transitions",
+    "agg_approx_percentile",
 ]
 
 

@@ -884,3 +884,91 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup * F.lit(1.0) / F.count("*")).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF — trimmed mean
+# ---------------------------------------------------------------------------
+# Completes the UDF API matrix (§2.8): scalar exprs, mapInPandas,
+# applyInPandas, applyInPandasWithState, and the Python UDTF are all
+# exercised — this adds the GROUPED_AGG pandas_udf (a vectorized UDAF:
+# one Arrow batch per group in, one scalar out). The aggregate is a
+# 10%-trimmed mean over integer cents with a tie-free composite order,
+# so the Python path is exactly reproducible in SQL: sum of ints is
+# order-independent, making the UDAF hash-checkable — the point is
+# verifying the UDAF plumbing, not hiding logic in Python. Real users
+# put genuinely non-SQL reductions here (robust estimators, sketch
+# finalizers).
+TRIM_FRACTION_DENOM = 10  # drop floor(n/10) rows from each tail
+
+
+@query(
+    "agg_trimmed_mean_pandas",
+    f"""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, MAX(n) AS n,
+           CAST(MAX(n) - 2 * (MAX(n) // {TRIM_FRACTION_DENOM}) AS BIGINT)
+             AS n_kept,
+           SUM(CASE WHEN rn > n // {TRIM_FRACTION_DENOM}
+                     AND rn <= n - n // {TRIM_FRACTION_DENOM}
+                    THEN cents END) AS trimmed_sum_cents
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed sum per event type via a GROUPED_AGG pandas UDAF.
+
+    The UDAF receives (cents, event_id) Arrow batches per group, sorts
+    by the composite key, drops floor(n/10) rows from each tail, and
+    returns the exact integer sum. Count and kept-count stay JVM-side
+    (they need no per-row Python). Grouped-agg UDAFs hold one group in
+    memory per call — fine for bounded groups like event types; for
+    unbounded groups prefer two-phase SQL (the oracle's window form).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed
+    # annotations (PEP 563), which defeats pandas_udf's hint-based
+    # GROUPED_AGG inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_sum(cents, eid):
+        df = pd.DataFrame({"c": cents, "e": eid}).sort_values(["c", "e"])
+        k = len(df) // TRIM_FRACTION_DENOM
+        kept = df.iloc[k : len(df) - k] if k else df
+        return int(kept["c"].sum())
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    # Catalyst refuses GROUPED_AGG UDFs alongside JVM aggregates in one
+    # Aggregate — counts run as a plain agg and join back on the tiny
+    # group key (broadcast)
+    trimmed = c.groupBy("event_type").agg(
+        trimmed_sum("cents", "event_id").alias("trimmed_sum_cents")
+    )
+    n = F.count("*")
+    counts = c.groupBy("event_type").agg(
+        n.alias("n"),
+        F.expr(
+            f"CAST(count(*) - 2 * (count(*) DIV {TRIM_FRACTION_DENOM})"
+            " AS BIGINT)"
+        ).alias("n_kept"),
+    )
+    return counts.join(trimmed, "event_type").select(
+        "event_type", "n", "n_kept", "trimmed_sum_cents"
+    )

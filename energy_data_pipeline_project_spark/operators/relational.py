@@ -2605,3 +2605,253 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+# The BI-report staple Spark only gained natively in 4.0: concatenate
+# group members in a DEFINED order. Unordered listagg is
+# nondeterministic under parallel aggregation (merge order follows
+# task completion) — the WITHIN GROUP clause is what makes the result
+# reproducible, and the oracle twin (DuckDB string_agg ... ORDER BY)
+# hash-matching proves both engines apply it identically.
+@query(
+    "agg_string_concat",
+    """
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           string_agg(s_name, '|' ORDER BY s_name) AS names
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP: one partial+final agg; the sort is
+    group-local (bounded by group size), never a global order."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").alias(
+            "names"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (association mining support counts)
+# ---------------------------------------------------------------------------
+# The frequent-itemset building block: how often are two parts ordered
+# together? Pair space is bounded per order (≤13 lineitems in this
+# schema — Σ|basket|² per order, the same in-group quadratic bound the
+# dedup bucket caps enforce), so the self-join on the order key is the
+# correct distributed plan; dedup to DISTINCT (order, part) first so a
+# part appearing twice in one order doesn't inflate support.
+BASKET_MIN_SUPPORT = 2
+
+
+@query(
+    "basket_part_pairs",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM b a JOIN b b2
+      ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(c, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification via banded (distributed) prefix sum
+# ---------------------------------------------------------------------------
+# "Class A parts = top sellers covering 80% of revenue" needs a GLOBAL
+# cumulative sum in revenue order — the textbook single-partition
+# window trap. The scalable decomposition: band parts by revenue
+# magnitude, run the cumulative window WITHIN each band (parallel),
+# and add each band's prefix (the total of all higher bands — a
+# band-count-sized window, bounded, not corpus-sized). The oracle runs
+# the naive global window; hash equality proves the decomposition
+# exact. Class edges are exact integer cross-multiplications (80% =
+# 4/5, 95% = 19/20) — no float share.
+ABC_BAND_CENTS = 1_000_000  # revenue band width ($10k)
+
+
+@query(
+    "orders_abc_classification",
+    """
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS total
+      FROM r
+    )
+    SELECT l_partkey, rev,
+           CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded prefix-sum Pareto classes, no single-partition window.
+
+    Three bounded steps: per-part revenue (one shuffle); band totals
+    (band count ≈ max_rev / band — tiny) with a band-level running
+    prefix; within-band cumulative windows partitioned by band. Global
+    cum = higher-bands prefix + in-band cum. Only the band-total frame
+    ever passes through a 1-partition window, and it is O(bands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+    )
+    r = li.groupBy("l_partkey").agg(F.sum(rev).cast("bigint").alias("rev"))
+    r = r.withColumn("band", F.expr(f"rev DIV {ABC_BAND_CENTS}"))
+    btot = r.groupBy("band").agg(F.sum("rev").alias("brev"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "band",
+        F.coalesce(F.sum("brev").over(wb), F.lit(0)).alias("higher"),
+        F.sum("brev").over(
+            Window.orderBy(F.desc("band")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    win = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        r.join(F.broadcast(prefix), "band")
+        .withColumn("cum", F.col("higher") + F.sum("rev").over(win))
+    )
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return c.select("l_partkey", "rev", cls.alias("abc_class"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build (type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+# Turn an event log into validity intervals: each user's latest event
+# type is their "status", valid from its timestamp until the next
+# status event. The lead() build is the standard warehouse pattern;
+# the open interval (valid_to NULL) marks the current row, flagged as
+# an int for the hash gate.
+@query(
+    "events_scd2_intervals",
+    """
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS INT) AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+# First-order behavioral model: P(next event type | current), counted
+# per user sequence (lag/lead windows partitioned by user — state
+# bounded per user, fully parallel) with transition probabilities as
+# exact integer ratios.
+@query(
+    "events_markov_transitions",
+    """
+    WITH s AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n,
+           COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("to_type")
+    ).where(F.col("to_type").isNotNull())
+    counts = s.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") * F.lit(1.0) / F.sum("n").over(wt)).alias("p"),
+    )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the at-scale
+    replacement for the exact `agg_percentiles` query (exact needs a
+    per-group sort of raw values; GK holds a bounded sketch). No SQL
+    oracle: the sketch is engine-specific, so the driver records a
+    rows-only check and tests/test_curation_ops.py gates the error
+    against the exact result (accuracy parameter 10000 → rank error
+    ≤ 1/10000)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_p"),
+        F.count("*").alias("n"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.col("approx_p")[0].alias("p50"),
+        F.col("approx_p")[1].alias("p90"),
+        F.col("approx_p")[2].alias("p99"),
+    )

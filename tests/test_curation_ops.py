@@ -402,3 +402,144 @@ def test_retention_cohort_zero_month_complete(spark):
     )
     for r in cohort_sizes:
         assert zero[r["cohort_ym"]] == r["count"]
+
+
+def test_string_concat_is_ordered(spark):
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = relational.QUERIES["agg_string_concat"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        names = r["names"].split("|")
+        assert len(names) == r["n_suppliers"]
+        assert names == sorted(names)
+
+
+def test_trimmed_mean_uses_grouped_agg_pandas(spark):
+    """The plan must go through the Arrow GROUPED_AGG node, and the
+    trimmed sum must match a driver-side reference."""
+    rows = curation.QUERIES["agg_trimmed_mean_pandas"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["cents"], r["event_id"])
+        )
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        k = len(vals) // 10
+        kept = vals[k : len(vals) - k] if k else vals
+        assert r["n"] == len(vals)
+        assert r["n_kept"] == len(kept)
+        assert r["trimmed_sum_cents"] == sum(c for c, _ in kept)
+    df = curation.QUERIES["agg_trimmed_mean_pandas"](spark, SF_SMOKE)
+    assert "ArrowAggregatePython" in plan_report(df).plan
+
+
+def test_abc_classification_no_global_single_partition_window(spark):
+    """The plan must not sort the full part frame in one partition:
+    the only 1-partition window runs over the tiny band-total frame.
+    Semantics: classes are contiguous down the revenue order and class
+    A covers <= 80% of total revenue."""
+    from energy_data_pipeline_project_spark.operators import relational
+
+    df = relational.QUERIES["orders_abc_classification"](spark, SF_SMOKE)
+    rows = sorted(
+        df.collect(), key=lambda r: (-r["rev"], r["l_partkey"])
+    )
+    order = [r["abc_class"] for r in rows]
+    assert order == sorted(order)  # A...B...C contiguous
+    total = sum(r["rev"] for r in rows)
+    a_rev = sum(r["rev"] for r in rows if r["abc_class"] == "A")
+    assert a_rev * 5 <= total * 4
+    assert {"A", "B", "C"} >= set(order) and "A" in order and "C" in order
+
+
+def test_basket_pairs_support_counts(spark):
+    """Support must equal the number of distinct orders containing both
+    parts — cross-checked on a sample pair."""
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = relational.QUERIES["basket_part_pairs"](spark, SF_SMOKE).collect()
+    assert rows
+    top = max(rows, key=lambda r: (r["support"], -r["part_a"]))
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders_a = {
+        r["l_orderkey"]
+        for r in li.where(F.col("l_partkey") == top["part_a"]).collect()
+    }
+    orders_b = {
+        r["l_orderkey"]
+        for r in li.where(F.col("l_partkey") == top["part_b"]).collect()
+    }
+    assert top["support"] == len(orders_a & orders_b)
+
+
+def test_scd2_intervals_are_gapless_chains(spark):
+    """Per user: intervals ordered by valid_from must chain exactly
+    (each valid_to equals the next valid_from) and end in one open
+    current row."""
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = relational.QUERIES["events_scd2_intervals"](
+        spark, SF_SMOKE
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in user_rows) == 1
+        assert user_rows[-1]["valid_to"] is None
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_markov_transition_rows_sum_to_one(spark):
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = relational.QUERIES["events_markov_transitions"](
+        spark, SF_SMOKE
+    ).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    assert len(by_from) == 5
+    for rs in by_from.values():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9
+        n_tot = sum(r["n"] for r in rs)
+        for r in rs:
+            assert r["p"] == r["n"] / n_tot
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """GK sketch guarantee: each reported quantile must sit within
+    rank-error bounds of the exact order statistics."""
+    from energy_data_pipeline_project_spark.operators import relational
+
+    rows = relational.QUERIES["agg_approx_percentile"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    by_prio: dict = {}
+    for r in orders:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for r in rows:
+        vals = sorted(by_prio[r["o_orderpriority"]])
+        n = len(vals)
+        assert r["n"] == n
+        for q, got in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            # allow ±(rank error 1e-4 + 1 index) around the target rank
+            slack = max(1, int(n * 1e-4) + 1)
+            lo = vals[max(0, int(q * n) - slack)]
+            hi = vals[min(n - 1, int(q * n) + slack)]
+            assert lo <= got <= hi
