@@ -65,3 +65,31 @@ def read_format(
         .schema(schema)
         .load(path)
     )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Probe for the spark-avro module (external since Spark 2.4 —
+    not bundled in the pip distribution this engine targets, same
+    container constraint as Delta in pipeline/lake.py). The IO layer
+    gates on this instead of assuming, so deployments that DO ship
+    the jar get Avro round-trips with the same explicit-schema rules.
+
+    The probe attempts a real DataSource lookup via a 0-row write
+    plan — a Class.forName check is insufficient (parts of the avro
+    classes ship in the main jars while the DataSource registration
+    does not, and lookup is what `format("avro")` actually exercises).
+    """
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="avro-probe-")
+    try:
+        spark.range(0).write.format("avro").mode("overwrite").save(
+            f"{d}/probe"
+        )
+        return True
+    except Exception as e:
+        return "Failed to find data source" not in str(e)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

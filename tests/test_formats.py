@@ -51,3 +51,26 @@ def test_csv_null_vs_empty_string(spark, tmp_path):
     assert got[2] == ""
     assert got[3] == "x"
     assert got[4] is None
+
+
+def test_avro_gated_roundtrip(spark, tmp_path):
+    """Avro is an external Spark module not shipped in this container
+    (same constraint as Delta): the probe must report truthfully, and
+    where the jar exists the round-trip must be lossless — proven the
+    day the classpath gains spark-avro, skipped (but collected) here.
+    """
+    from energy_data_pipeline_project_spark.sources.formats import (
+        avro_available,
+    )
+
+    if not avro_available(spark):
+        with pytest.raises(Exception, match="avro|Avro"):
+            spark.range(3).write.format("avro").save(
+                str(tmp_path / "avro_probe")
+            )
+        pytest.skip("spark-avro not on the classpath in this container")
+    src = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "lineitem_avro")
+    src.write.format("avro").save(path)
+    back = spark.read.format("avro").schema(src.schema).load(path)
+    assert _canon(back) == _canon(src)
