@@ -167,3 +167,108 @@ def test_shingle_parity_spark_duckdb(spark):
         ).fetchone()
         assert sorted(sh) == got[d], repr(d)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge: the window-function plan vs a sequential reference
+# ---------------------------------------------------------------------------
+def _bpe_reference_merge(seq: list, pair: tuple) -> list:
+    """Left-to-right greedy merge, the definitional implementation."""
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+            out.append(seq[i] + " " + seq[i + 1])
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_merge_round_equals_sequential_reference(spark, docs):
+    """For ANY token sequences over a tiny alphabet (maximizing
+    self-overlapping runs), one distributed merge round must equal the
+    sequential greedy reference applied with the same argmax pair."""
+    from collections import Counter
+
+    from energy_data_pipeline_project_spark.operators.curation import (
+        _bpe_merge_round,
+    )
+
+    rows = [
+        (d, i + 1, t)
+        for d, seq in enumerate(docs)
+        for i, t in enumerate(seq)
+    ]
+    if not rows:
+        return
+    s = spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+    best, merged = _bpe_merge_round(s)
+    # reference argmax: same (count desc, pair asc) tie-break
+    pairs = Counter()
+    for seq in docs:
+        for x, y in zip(seq, seq[1:]):
+            pairs[(x, y)] += 1
+    if not pairs:
+        return
+    want_pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    b = best.collect()[0]
+    assert (b["tok_a"], b["tok_b"]) == want_pair
+    got = {}
+    for r in merged.collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["tok"]))
+    for d, seq in enumerate(docs):
+        want = _bpe_reference_merge(seq, want_pair)
+        have = [t for _, t in sorted(got.get(d, []))]
+        assert have == want, (d, seq, want_pair)
+
+
+# ---------------------------------------------------------------------------
+# Banded prefix sum: ABC decomposition vs the naive global cumsum
+# ---------------------------------------------------------------------------
+@SETTINGS
+@given(
+    revs=st.lists(st.integers(0, 5_000_000), min_size=1, max_size=60),
+)
+def test_banded_prefix_sum_equals_global_cumsum(spark, revs):
+    """The band decomposition in orders_abc_classification must
+    reproduce the exact global running sum for ANY revenue multiset
+    (including ties and values straddling band edges)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    band_w = 1_000_000
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(revs)], "k long, rev long"
+    ).withColumn("band", F.expr(f"rev DIV {band_w}"))
+    btot = df.groupBy("band").agg(F.sum("rev").alias("brev"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "band", F.coalesce(F.sum("brev").over(wb), F.lit(0)).alias("higher")
+    )
+    win = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("rev"), F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in df.join(prefix, "band")
+        .withColumn("cum", F.col("higher") + F.sum("rev").over(win))
+        .collect()
+    }
+    order = sorted(range(len(revs)), key=lambda i: (-revs[i], i))
+    cum = 0
+    for i in order:
+        cum += revs[i]
+        assert got[i] == cum
