@@ -16,3 +16,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return list(TABLES)
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> dict[str, str]:
+    """Collect table + column statistics into the catalog (the CBO
+    feed): row count and total size always; per-column NDV / null
+    count / min / max for ``columns``. At 100 TB stats are what let
+    Catalyst's cost-based optimizer reorder multi-way joins and pick
+    broadcast sides from DATA rather than defaults — un-analyzed
+    catalogs silently fall back to size-only heuristics. Returns the
+    statistics line(s) from DESCRIBE EXTENDED for verification.
+
+    Temp views can't hold catalog stats — this targets saved tables
+    (saveAsTable / external parquet tables), the same objects a
+    production metastore would track.
+    """
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    out: dict[str, str] = {}
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] in ("Statistics",):
+            out[row["col_name"]] = row["data_type"]
+    return out

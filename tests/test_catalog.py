@@ -53,3 +53,37 @@ def test_delta_write_roundtrip(spark, tmp_path_factory):
     # overwrite idempotency holds in Delta exactly as in parquet (S6)
     write_table(df, path, fmt="delta")
     assert read_table(spark, path, fmt="delta").count() == 10
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path_factory):
+    """ANALYZE must land rowCount in the catalog and per-column NDV
+    must be queryable — the inputs Catalyst's cost-based optimizer
+    reorders joins with."""
+    from energy_data_pipeline_project_spark.sources.catalog import (
+        analyze_table,
+    )
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS statdb LOCATION '{wh}'")
+    try:
+        nation = load_table(spark, SF_SMOKE, "nation")
+        nation.write.mode("overwrite").saveAsTable("statdb.nation_t")
+        stats = analyze_table(
+            spark, "statdb.nation_t", ["n_nationkey", "n_regionkey"]
+        )
+        assert "Statistics" in stats
+        assert "25rows" in stats["Statistics"].replace(" ", "")
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED statdb.nation_t n_regionkey"
+            ).collect()
+        }
+        assert col.get("distinct_count") == "5"
+        assert col.get("num_nulls") == "0"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS statdb.nation_t")
+        spark.sql("DROP DATABASE IF EXISTS statdb")
