@@ -889,12 +889,14 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     ``spark.sparkContext.setCheckpointDir`` at reliable storage and use
     ``checkpoint()`` instead (survives executor loss).
     """
+    # pairs arrive distinct with doc_a < doc_b, so the symmetric union
+    # is distinct by construction (a<b rows can't collide with a>b
+    # rows) — no dedup shuffle needed before the iteration.
     edges = _cached(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .distinct()
     )
 
     labels = (

@@ -48,12 +48,12 @@ def pagerank_exact(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     Returns ``(doc_id, rank)`` for every node incident to at least one
     pair, ``rank`` on the RANK_SCALE fixed-point grid.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .distinct()
+    # pairs arrive distinct with doc_a < doc_b → the symmetric union is
+    # already duplicate-free; skipping .distinct() saves a full shuffle.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # (src, dst, deg) is iteration-invariant: checkpoint once up front
@@ -89,16 +89,17 @@ def pagerank_exact(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
 def _pagerank_oracle() -> str:
     parts = [
         f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       {_minhash_oracle()}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
-    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    ed AS MATERIALIZED (
+      SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
     r0 AS (SELECT DISTINCT src, CAST({RANK_SCALE} AS BIGINT) AS rank
            FROM edges)"""
     ]
@@ -181,3 +182,208 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.crossJoin(tri).select(
         "n_edges", F.col("n_triangles").cast("bigint").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (peeling) over the near-dup graph
+# ---------------------------------------------------------------------------
+# Curation use: the k-core of the near-dup graph isolates DENSE template
+# families (every member similar to >= k others) from incidental pairwise
+# matches. Components/PageRank say "connected"/"central"; the k-core says
+# "mutually redundant" — the set a curator can drop wholesale.
+# k = 2 (cycle-closing density) keeps the core non-empty at the
+# driver's sf0.01 correctness scale; the k knob is free.
+#
+# Determinism: peeling is a monotone fixpoint (each round only removes
+# nodes), so the result is independent of evaluation order — no floats,
+# no tie-breaks. The oracle replays the same fixed number of peel
+# rounds as generated CTEs; the Spark loop stops early on convergence,
+# which is equal to the fixed-round result because converged rounds are
+# idempotent (asserted: must converge within KCORE_ROUNDS).
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def kcore_nodes(pairs: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """Nodes of the k-core with their within-core degree.
+
+    Scale shape: each peel round is one semi-join of the edge list
+    against the surviving node set (both endpoints) + one degree
+    aggregate — all on 8-byte ids. Rounds are bounded by the graph's
+    degeneracy ordering depth, small for near-clique dup graphs;
+    ``localCheckpoint`` truncates the per-round plan growth exactly as
+    in the CC/PageRank loops.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("v")).distinct()
+    n_alive = alive.count()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(alive.withColumnRenamed("v", "src"), "src")
+            .join(alive.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
+        )
+        nxt = (
+            deg.where(F.col("core_degree") >= k)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            return deg.where(F.col("core_degree") >= k).select(
+                F.col("src").alias("doc_id"), "core_degree"
+            )
+        alive, n_alive = nxt, n_nxt
+    raise RuntimeError(f"k-core peeling did not converge in {KCORE_ROUNDS} rounds")
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # alive set twice, and DuckDB inlines plain CTEs — without it the
+    # whole LSH pair pipeline would be re-planned 2^rounds times.
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      {_minhash_oracle()}
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges)"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"a{r - 1}"
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+      SELECT e.src AS v, COUNT(*) AS c
+      FROM edges e
+      JOIN {prev} pa ON e.src = pa.v
+      JOIN {prev} pb ON e.dst = pb.v
+      GROUP BY 1
+    ), a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE c >= {KCORE_K})"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS doc_id, c AS core_degree
+    FROM d{KCORE_ROUNDS} WHERE c >= {KCORE_K}
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", _kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the MinHash-LSH near-dup graph (k = KCORE_K)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return kcore_nodes(minhash_lsh_pairs(docs))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, deterministic)
+# ---------------------------------------------------------------------------
+# Community detection distinguishes sub-families INSIDE a connected
+# component (CC merges everything reachable; LPA splits it where
+# connectivity is thin). Synchronous LPA with a total tie order is
+# fully deterministic: every node simultaneously adopts the most
+# frequent label among its neighbors, ties broken by smallest label —
+# counts are integers, labels are doc ids, no randomness.
+LPA_ROUNDS = 3
+
+
+def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(doc_id, community, community_size) after ``rounds`` synchronous
+    LPA steps over the undirected pair graph; community = the adopted
+    label (a doc id), size = members after the final round.
+
+    Scale shape per round: one join of the label frame onto edges
+    (shuffle on dst), one (node, label) count aggregate, one
+    row_number window partitioned by node — all on 8-byte ids. The
+    window partitions by node over at most deg(node) rows, so the
+    per-partition sort is bounded by max degree (capped upstream by
+    the LSH bucket caps)."""
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    for _ in range(rounds):
+        labels = (
+            edges.join(
+                labels.select(F.col("v").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("v"), "label")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      {_minhash_oracle()}
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM edges)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        prev = f"l{r - 1}"
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT e.src AS v, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN {prev} l ON e.dst = l.v
+        GROUP BY e.src, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT l.v AS doc_id, l.label AS community,
+           s.community_size
+    FROM l{LPA_ROUNDS} l
+    JOIN (SELECT label, COUNT(*) AS community_size
+          FROM l{LPA_ROUNDS} GROUP BY 1) s USING (label)
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous deterministic LPA rounds over the near-dup
+    graph; splits CC components into densely-linked sub-families."""
+    docs = load_table(spark, sf_dir, "documents")
+    return label_propagation(minhash_lsh_pairs(docs))

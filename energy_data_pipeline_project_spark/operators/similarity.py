@@ -287,36 +287,51 @@ def ann_topk_ivf(
         "vec_id", "label", F.posexplode("de").alias("pos0", "v")
     ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
     cent = ep.groupBy("label", "pos").agg(F.avg("v").alias("c"))
-    carr = F.broadcast(
-        cent.groupBy("label").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
-            ).alias("cv")
-        )
+    carr = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+        ).alias("cv")
     )
-
-    scored = e.crossJoin(carr.select(F.col("label").alias("clabel"), "cv")).select(
-        "vec_id",
-        "clabel",
-        V.cosine("de", "cv").alias("cos"),
+    # One row holding all k centroids: cell assignment becomes a pure
+    # per-row EXPRESSION (sort k (−cos, label) structs, take the head)
+    # instead of a crossJoin + row_number window — no assignment
+    # shuffle, no second pass for the query probes. Arithmetic is
+    # identical to V.cosine (dot / (norm·norm) over f64), and struct
+    # ordering (−cos asc, label asc) replays the window's
+    # (cos DESC, label ASC), so the oracle hash is unchanged.
+    cents = F.broadcast(
+        carr.agg(F.collect_list(F.struct("label", "cv")).alias("cents"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
-    assigned = scored.withColumn("rn", F.row_number().over(w_assign))
-    cells = assigned.where(F.col("rn") == 1).select(
-        "vec_id", F.col("clabel").alias("cell")
+    cos_sql = (
+        "(aggregate(zip_with(de, c.cv, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+        "/ (sqrt(aggregate(de, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x)) "
+        "* sqrt(aggregate(c.cv, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x))))"
+    )
+    assigned = e.crossJoin(cents).withColumn(
+        "cells",
+        F.expr(
+            "array_sort(transform(cents, c -> "
+            f"struct(-{cos_sql} AS negcos, c.label AS clabel)))"
+        ),
+    )
+    ec = assigned.select(
+        "vec_id", "de", F.expr("cells[0].clabel").alias("cell")
     )
     # queries probe their nprobe nearest cells (candidates stay in
     # their single home cell, so each (query, candidate) pair is unique)
-    qcells = assigned.where(
-        (F.col("rn") <= nprobe) & (F.col("vec_id") < N_QUERY_VECS)
-    ).select("vec_id", F.col("clabel").alias("cell"))
-
-    ec = e.join(cells, "vec_id")
     q = F.broadcast(
-        e.join(qcells, "vec_id").select(
+        assigned.where(F.col("vec_id") < N_QUERY_VECS).select(
             F.col("vec_id").alias("query_id"),
             F.col("de").alias("qe"),
-            F.col("cell").alias("qcell"),
+            F.explode(
+                F.expr(
+                    f"transform(slice(cells, 1, {int(nprobe)}), "
+                    "x -> x.clabel)"
+                )
+            ).alias("qcell"),
         )
     )
     s = (
