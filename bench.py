@@ -121,6 +121,10 @@ EXTRA = [
     "events_scd2_intervals",
     "events_markov_transitions",
     "agg_approx_percentile",
+    "graph_kcore",
+    "graph_label_propagation",
+    "text_bigram_pmi",
+    "events_ab_lift",
 ]
 
 

@@ -2855,3 +2855,110 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_p")[1].alias("p90"),
         F.col("approx_p")[2].alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: hash-assigned arms, exact counts, z-statistic
+# ---------------------------------------------------------------------------
+# The analytics-engine staple the events table was made for: users are
+# assigned to arms by a deterministic key hash (the same
+# hash-bucketing used for data splits — assignment is reproducible and
+# engine-independent), conversion = "user emitted >= 1 purchase
+# event with value >= 90" (a plain purchase is near-universal in the
+# fixture, which would make the readout degenerate). Counts are exact integers; rates are plain divisions of
+# exactly-representable ints (bitwise identical across engines); the
+# pooled two-proportion z-score is the only continuous value and is
+# ROUNDed. One output row — at any corpus size this is two hash
+# aggregates (user grain, then arm grain) and a 1-row pivot, no joins
+# of raw events.
+AB_ARM_MOD = 2
+
+
+@query(
+    "events_ab_lift",
+    """
+    WITH peruser AS (
+      SELECT user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT) % 2
+               AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 90
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(conv) AS k
+      FROM peruser GROUP BY 1
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 0 THEN k END) AS k_a,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 1 THEN k END) AS k_b
+      FROM arms
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           k_a * 1.0 / n_a AS rate_a,
+           k_b * 1.0 / n_b AS rate_b,
+           ROUND((k_b * 1.0 / n_b - k_a * 1.0 / n_a)
+             / NULLIF(sqrt(((k_a + k_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (k_a + k_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment summary with a pooled z-score."""
+    events = load_table(spark, sf_dir, "events")
+    peruser = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 90),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)),1,8),16,10)"
+                " AS BIGINT) % 2"
+            ),
+        )
+    )
+    arms = peruser.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_b"),
+    )
+    rate_a = F.col("k_a") * F.lit(1.0) / F.col("n_a")
+    rate_b = F.col("k_b") * F.lit(1.0) / F.col("n_b")
+    pooled = (F.col("k_a") + F.col("k_b")) * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # NULLIF guard: a degenerate experiment (pooled rate 0 or 1) has
+    # zero variance — z is undefined, reported as NULL, not an error.
+    z_den = F.nullif(
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    z = (rate_b - rate_a) / z_den
+    return wide.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -1357,3 +1357,91 @@ def text_dechunk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _dechunk_recursive_sql("dechunk_chunks_v", _REBUILD_TAIL_SPARK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: bigram lift (PMI's exact-arithmetic core)
+# ---------------------------------------------------------------------------
+# Tokenizer curricula and phrase-vocab induction rank bigrams by how
+# much MORE often they co-occur than independence predicts:
+# lift(a,b) = p(ab) / (p(a)·p(b)) = c_ab·N² / (B·c_a·c_b) — PMI is
+# ln(lift), a monotone map, so ranking by lift IS ranking by PMI while
+# staying in exact arithmetic: the numerator and denominator are exact
+# int64 products (bounded: N ≤ 2^17 at bench scale keeps N²·c_ab well
+# under 2^53) and the final division of two exactly-representable
+# integers is the same IEEE double in every engine. At 100 TB the
+# products outgrow int64 — the documented migration is DECIMAL(38)
+# intermediates, same plan shape. A min-count floor drops the
+# hapax-pair noise that dominates raw PMI rankings.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 15
+
+
+@query(
+    "text_bigram_pmi",
+    f"""
+    WITH t AS (SELECT {_TOKS_DUCK} AS toks FROM documents),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+    n AS (SELECT COUNT(*) AS n FROM u),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+      FROM t
+    ),
+    bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_ab
+           FROM b GROUP BY 1, 2),
+    bt AS (SELECT COUNT(*) AS b FROM b)
+    SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b,
+           (c_ab * n.n * n.n) * 1.0 / (bt.b * ca.c * cb.c) AS lift
+    FROM bc, n, bt
+    JOIN uc ca ON bc.w1 = ca.w
+    JOIN uc cb ON bc.w2 = cb.w
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY lift DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bigrams by independence lift (monotone in PMI), exact.
+
+    Plan: one token explode feeds both the unigram counts and (via the
+    positional struct transform) the bigram counts; totals are 1-row
+    aggregates broadcast into the scoring join; the two unigram-count
+    joins key on the word string. orderBy.limit compiles to
+    TakeOrderedAndProject — no global sort. The bigram→unigram joins
+    broadcast only if stats allow; at corpus scale they are plain hash
+    joins on the word key, with hot words (stopwords) bounded because
+    the min-count floor is applied BEFORE the join on the already
+    aggregated bigram side."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.expr(_TOKS_SPARK).alias("toks"))
+    u = t.select(F.explode("toks").alias("w"))
+    uc = u.groupBy("w").agg(F.count("*").alias("c"))
+    n = u.agg(F.count("*").alias("n"))
+    bg = F.expr(
+        "IF(size(toks) < 2, array(), "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2)))"
+    )
+    b = t.select(F.explode(bg).alias("bg")).select("bg.w1", "bg.w2")
+    bc = (
+        b.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    bt = b.agg(F.count("*").alias("b"))
+    ca = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    lift = (F.col("c_ab") * F.col("n") * F.col("n")) * F.lit(1.0) / (
+        F.col("b") * F.col("c_a") * F.col("c_b")
+    )
+    return (
+        bc.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(bt))
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
