@@ -125,6 +125,13 @@ EXTRA = [
     "graph_label_propagation",
     "text_bigram_pmi",
     "events_ab_lift",
+    "cdc_snapshot_diff",
+    "agg_incremental_maintenance",
+    "nest_order_lines",
+    "skyline_parts",
+    "agg_higher_moments",
+    "events_outlier_iqr",
+    "events_dau_mau",
 ]
 
 

@@ -27,6 +27,7 @@ def all_queries() -> dict[str, QueryFn]:
         text,
         timeseries,
         tpch_shapes,
+        warehouse,
     )
 
     out: dict[str, QueryFn] = {}
@@ -34,6 +35,7 @@ def all_queries() -> dict[str, QueryFn]:
         relational,
         tpch_shapes,
         timeseries,
+        warehouse,
         dedup,
         similarity,
         clustering,
@@ -58,6 +60,7 @@ def all_oracles() -> dict[str, str]:
         text,
         timeseries,
         tpch_shapes,
+        warehouse,
     )
 
     out: dict[str, str] = {}
@@ -65,6 +68,7 @@ def all_oracles() -> dict[str, str]:
         relational,
         tpch_shapes,
         timeseries,
+        warehouse,
         dedup,
         similarity,
         clustering,

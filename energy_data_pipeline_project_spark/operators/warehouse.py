@@ -1,0 +1,541 @@
+"""Warehouse-maintenance and advanced-analytics operators (round 3).
+
+The data-engineering surface around a table, not just over it: CDC
+snapshot diffing, incremental aggregate maintenance (the merge algebra
+behind materialized views), nested document assembly for export,
+Pareto-skyline extraction, higher statistical moments, robust IQR
+outlier screens, and rolling DAU/MAU engagement. All pure Catalyst
+expression plans with DuckDB oracle twins; cross-engine float rules per
+``operators/relational.py`` (exact integer cents / power sums, plain
+division for ratios, ROUND only on continuous statistics).
+
+Reference parity anchor: the reference's gold layer is a full-refresh
+daily aggregate (``/root/reference/src/transformations/silver_to_gold.py:
+29-41``); ``agg_incremental_maintenance`` is the incremental form of
+exactly that aggregate, and ``cdc_snapshot_diff`` is the changeset an
+incremental refresh would consume.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from ._registry import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+
+def _cents(expr_sql: str) -> F.Column:
+    return F.expr(f"CAST(ROUND(({expr_sql}) * 100, 0) AS BIGINT)")
+
+
+_CENTS = "CAST(ROUND(({}) * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------------
+# Two deterministic "snapshots" carved from orders simulate a day-over-
+# day table pair: rows keyed %97==0 are missing from the old snapshot
+# (inserts), rows keyed %89==0 are missing from the new one (deletes),
+# and rows keyed %7==0 get a +5.00 price mutation (updates). The diff
+# is ONE full-outer join on the primary key; at 100 TB both snapshots
+# are partitioned/bucketed by key so the join is co-partitioned, and
+# the output is just the changeset (unchanged rows dropped before any
+# further processing).
+@query(
+    "cdc_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT o_orderkey, {_CENTS.format("o_totalprice")} AS cents
+      FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             {_CENTS.format("o_totalprice")}
+               + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 89 != 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           old.cents AS old_cents, new.cents AS new_cents
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.cents != new.cents
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify per-key changes between two table snapshots."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        (
+            _cents("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, 500).otherwise(0)
+        ).alias("cents"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+    )
+    return j.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.cents") != F.col("n.cents"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        change.alias("change_type"),
+        F.col("o.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view merge algebra)
+# ---------------------------------------------------------------------------
+# The reference recomputes its gold daily aggregate from scratch every
+# run (full overwrite, silver_to_gold.py:29-41). The incremental form
+# keeps yesterday's partial aggregates (SUM + COUNT are the mergeable
+# state; AVG is derived at read time) and folds in only the new
+# partition. Here the "base" partials cover ship dates before the
+# cutoff and the "delta" batch covers the rest; merging is a UNION of
+# partial-agg rows re-aggregated by pure addition. The oracle computes
+# the aggregate directly over all rows — the hash match is the proof
+# that the merge algebra loses nothing. At 100 TB this is the
+# difference between touching one day and touching seven years.
+_MAINT_CUTOFF = "2001-06-01"
+
+
+@query(
+    "agg_incremental_maintenance",
+    f"""
+    WITH rev AS (SELECT CAST(l_shipdate AS DATE) AS ship_date,
+                        {_CENTS.format("l_extendedprice * (1 - l_discount)")}
+                          AS cents
+                 FROM lineitem)
+    SELECT ship_date,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*) AS avg_item_value
+    FROM rev GROUP BY ship_date
+    """,
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge base partial aggregates with a delta batch; prove the merge
+    against a direct full recompute (the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.select(
+        F.to_date("l_shipdate").alias("ship_date"),
+        _cents("l_extendedprice * (1 - l_discount)").alias("cents"),
+    )
+    cutoff = F.lit(_MAINT_CUTOFF).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("ship_date").agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            F.count("*").alias("c"),
+        )
+
+    base = partial(rev.where(F.col("ship_date") < cutoff))
+    delta = partial(rev.where(F.col("ship_date") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("ship_date")
+        .agg(F.sum("s").cast("bigint").alias("s"), F.sum("c").alias("c"))
+    )
+    return merged.select(
+        "ship_date",
+        F.col("s").alias("revenue_cents"),
+        F.col("c").alias("n_items"),
+        (F.col("s").cast("double") / 100.0 / F.col("c")).alias(
+            "avg_item_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested document assembly (training-data export shape)
+# ---------------------------------------------------------------------------
+# Fan a fact table's children into one deterministic per-parent record —
+# the shape every JSONL training-data export needs. The line array is
+# sorted inside the aggregate (array_sort over structs: field-order
+# lexicographic over ALL fields — (partkey, linenumber) alone is not
+# unique in this data, so the quantity participates in the order on
+# both engines), making the fingerprint independent of shuffle arrival
+# order. One shuffle on the parent key;
+# payload assembly is codegen'd string work, no Python.
+@query(
+    "nest_order_lines",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           md5(array_to_string(
+             list(
+               l_partkey || ':' || l_linenumber || ':'
+                 || CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+               ORDER BY l_partkey, l_linenumber,
+                        CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+             ), ',')) AS lines_fp
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(_cents("l_extendedprice * (1 - l_discount)"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.md5(
+            F.expr(
+                "array_join(transform("
+                "  array_sort(collect_list(struct("
+                "    l_partkey, l_linenumber,"
+                "    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qc))),"
+                "  x -> concat(x.l_partkey, ':', x.l_linenumber, ':', x.qc)"
+                "), ',')"
+            )
+        ).alias("lines_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (banded running-min, no global single-partition window)
+# ---------------------------------------------------------------------------
+# A part is on the (cheapest, smallest) skyline iff no other part is <=
+# on both price and size with at least one strict <. The naive form is
+# the O(n²) NOT-EXISTS dominance join (that's the oracle); the engine
+# plan is linear: (1) collapse to price-grain minimum size, (2) band
+# the price axis and take per-band minima — the only single-partition
+# window runs over O(bands) rows, (3) within each band a partitioned
+# running min completes the strict-prefix minimum. Same banded
+# prefix-scan decomposition as orders_abc_classification, with MIN as
+# the monoid instead of SUM; the oracle hash match proves the
+# decomposition exact.
+_SKYLINE_BAND_CENTS = 10_000  # $100 price bands
+
+
+@query(
+    "skyline_parts",
+    """
+    WITH p AS (SELECT p_partkey,
+                      CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents,
+                      p_size
+               FROM part)
+    SELECT p.p_partkey, p.cents AS price_cents, p.p_size
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.cents <= p.cents AND q.p_size <= p.p_size
+        AND (q.cents < p.cents OR q.p_size < p.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        _cents("p_retailprice").alias("cents"),
+        "p_size",
+    )
+    sky = pareto_skyline(p, band_width=_SKYLINE_BAND_CENTS)
+    return sky.select(
+        "p_partkey", F.col("cents").alias("price_cents"), "p_size"
+    )
+
+
+def pareto_skyline(p: DataFrame, *, band_width: int) -> DataFrame:
+    """Minimize-both skyline of ``(p_partkey, cents, p_size)`` rows via
+    the banded strict-prefix running-MIN decomposition (linear, no
+    global window). Property-tested against brute-force dominance in
+    tests/test_properties.py."""
+    # price-grain minimum: at equal price only min-size rows can survive
+    gm = p.groupBy("cents").agg(F.min("p_size").alias("gmin"))
+    gm = gm.withColumn("band", F.expr(f"cents DIV {int(band_width)}"))
+    bmin = gm.groupBy("band").agg(F.min("gmin").alias("bm"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmin.select("band", F.min("bm").over(wb).alias("band_prev"))
+    wg = (
+        Window.partitionBy("band")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surv = (
+        gm.join(F.broadcast(prefix), "band")
+        .withColumn(
+            "prev_min",
+            F.least(
+                F.coalesce(F.min("gmin").over(wg), F.lit(2**31)),
+                F.coalesce(F.col("band_prev"), F.lit(2**31)),
+            ),
+        )
+        # dominated iff some strictly-cheaper price reached size <= gmin
+        .where(F.col("gmin") < F.col("prev_min"))
+        .select("cents", "gmin")
+    )
+    return p.join(surv, "cents").where(F.col("p_size") == F.col("gmin"))
+
+
+# ---------------------------------------------------------------------------
+# Higher statistical moments from exact integer power sums
+# ---------------------------------------------------------------------------
+# Skewness, excess kurtosis, and cross-correlation computed from exact
+# int64 power sums (x ≤ 50 units, y ≤ ~2e5 dollars, so x⁴ and y² sums
+# stay within int64 up to ~sf10) — one map-side-combined aggregation
+# pass, then a fixed IEEE expression over the exact sums, identical
+# text in both engines, ROUND(…, 4) on the continuous outputs only.
+# This is the profile pass a curation pipeline runs per column to pick
+# clipping/normalization constants.
+_MOM_X = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
+_MOM_Y = "CAST(ROUND(l_extendedprice, 0) AS BIGINT)"
+
+
+@query(
+    "agg_higher_moments",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM({_MOM_X}) AS sx,
+             SUM({_MOM_X} * {_MOM_X}) AS sxx,
+             SUM({_MOM_X} * {_MOM_X} * {_MOM_X}) AS sxxx,
+             SUM({_MOM_X} * {_MOM_X} * {_MOM_X} * {_MOM_X}) AS sxxxx,
+             SUM({_MOM_Y}) AS sy,
+             SUM({_MOM_Y} * {_MOM_Y}) AS syy,
+             SUM({_MOM_X} * {_MOM_Y}) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           ROUND((CAST(sxxx AS DOUBLE) / n
+                  - 3 * (CAST(sx AS DOUBLE) / n) * (CAST(sxx AS DOUBLE) / n)
+                  + 2 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                      * (CAST(sx AS DOUBLE) / n))
+                 / pow(CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+                       1.5), 4) AS skew_qty,
+           ROUND((CAST(sxxxx AS DOUBLE) / n
+                  - 4 * (CAST(sx AS DOUBLE) / n) * (CAST(sxxx AS DOUBLE) / n)
+                  + 6 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                      * (CAST(sxx AS DOUBLE) / n)
+                  - 3 * pow(CAST(sx AS DOUBLE) / n, 4.0))
+                 / pow(CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+                       2.0) - 3.0, 4) AS kurt_qty,
+           ROUND((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / sqrt((CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                        * (CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n)
+                             * (CAST(sy AS DOUBLE) / n))), 4)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.expr(_MOM_X)
+    y = F.expr(_MOM_Y)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * x * x).alias("sxxx"),
+        F.sum(x * x * x * x).alias("sxxxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double") / F.col("n")  # noqa: E731
+    mx, my = d("sx"), d("sy")
+    m2x = d("sxx") - mx * mx
+    m2y = d("syy") - my * my
+    m3 = d("sxxx") - 3 * mx * d("sxx") + 2 * mx * mx * mx
+    m4 = (
+        d("sxxxx")
+        - 4 * mx * d("sxxx")
+        + 6 * mx * mx * d("sxx")
+        - 3 * F.pow(mx, F.lit(4.0))
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        mx.alias("mean_qty"),
+        F.round(m3 / F.pow(m2x, F.lit(1.5)), 4).alias("skew_qty"),
+        F.round(m4 / F.pow(m2x, F.lit(2.0)) - 3.0, 4).alias("kurt_qty"),
+        F.round((d("sxy") - mx * my) / F.sqrt(m2x * m2y), 4).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust IQR outlier screen (Tukey fences on exact integer ranks)
+# ---------------------------------------------------------------------------
+# The robust companion to events_anomaly_zscore: quartiles come off the
+# value-grain CDF (same decomposition as events_quantile_histogram —
+# windows partitioned by series, cum counts over the value grain, rank
+# k = (q·n+99) DIV 100 in pure int arithmetic), fences are Tukey's
+# 1.5×IQR kept exact by scaling the comparison by 2 (no float halves).
+@query(
+    "events_outlier_iqr",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    q AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN cents END) AS q1,
+             MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN cents END) AS q3
+      FROM c GROUP BY event_type
+    )
+    SELECT q.event_type, q.n, q.q1 AS q1_cents, q.q3 AS q3_cents,
+           CAST(COALESCE(SUM(CASE WHEN 2 * v.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                              OR 2 * v.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                         THEN v.cnt ELSE 0 END), 0) AS BIGINT) AS n_outliers
+    FROM q JOIN v ON q.event_type = v.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.q3
+    """,
+)
+def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy(
+        "event_type", _cents("value").alias("cents")
+    ).agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    c = v.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    rank = lambda q: F.expr(f"({q} * n + 99) DIV 100")  # noqa: E731
+    qq = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= rank(25), F.col("cents"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= rank(75), F.col("cents"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr) | (
+        2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr
+    )
+    return (
+        qq.join(v, "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_out, F.col("cnt")).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 28-day DAU / MAU engagement (distinct-over-sliding-window)
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) over a sliding window can't be windowed directly —
+# distinct is not a mergeable frame aggregate. The distributed trick:
+# dedup to the (user, day) grain, then each active day CONTRIBUTES to
+# the 28 target days it falls inside (a bounded ×28 explode on the
+# deduped grain, not on raw events), and the rolling distinct becomes a
+# plain COUNT(DISTINCT user) per target day. Stickiness = DAU/MAU as a
+# plain division of exact ints.
+_DM_EPOCH = "2024-01-01"
+_DM_WINDOW = 28
+
+
+@query(
+    "events_dau_mau",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{_DM_EPOCH}', CAST(ts AS DATE)) AS day_no
+      FROM events
+    ),
+    b AS (SELECT MAX(day_no) AS hi FROM ud),
+    contrib AS (
+      SELECT ud.user_id, t.target
+      FROM ud, b,
+           LATERAL (SELECT unnest(generate_series(ud.day_no,
+                                 ud.day_no + {_DM_WINDOW - 1})) AS target) t
+      WHERE t.target <= b.hi
+    ),
+    mau AS (SELECT target, COUNT(DISTINCT user_id) AS mau
+            FROM contrib GROUP BY target),
+    dau AS (SELECT day_no, COUNT(*) AS dau FROM ud GROUP BY day_no)
+    SELECT DATE '{_DM_EPOCH}' + CAST(mau.target AS INT) AS d,
+           COALESCE(dau.dau, 0) AS dau, mau.mau,
+           CAST(COALESCE(dau.dau, 0) AS DOUBLE) / mau.mau AS stickiness
+    FROM mau LEFT JOIN dau ON mau.target = dau.day_no
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit(_DM_EPOCH).cast("date")
+        ).alias("day_no"),
+    ).distinct()
+    bounds = ud.agg(F.max("day_no").alias("hi"))
+    contrib = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_no"), F.col("day_no") + (_DM_WINDOW - 1)
+                )
+            ).alias("target"),
+            "hi",
+        )
+        .where(F.col("target") <= F.col("hi"))
+    )
+    mau = contrib.groupBy("target").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    dau = ud.groupBy("day_no").agg(F.count("*").alias("dau"))
+    j = mau.join(dau, mau.target == dau.day_no, "left")
+    dau_c = F.coalesce(F.col("dau"), F.lit(0))
+    return j.select(
+        F.date_add(
+            F.lit(_DM_EPOCH).cast("date"), F.col("target").cast("int")
+        ).alias("d"),
+        dau_c.alias("dau"),
+        "mau",
+        (dau_c.cast("double") / F.col("mau")).alias("stickiness"),
+    )

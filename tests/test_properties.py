@@ -272,3 +272,43 @@ def test_banded_prefix_sum_equals_global_cumsum(spark, revs):
     for i in order:
         cum += revs[i]
         assert got[i] == cum
+
+
+# ---------------------------------------------------------------------------
+# Banded running-MIN skyline vs brute-force dominance
+# ---------------------------------------------------------------------------
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_banded_skyline_equals_bruteforce(spark, pts):
+    """pareto_skyline must return exactly the non-dominated points for
+    ANY point multiset — including duplicate points (both survive: no
+    strict inequality), equal-cost ties, and band-edge straddlers. The
+    band width (7) is chosen co-prime to the value range so bands are
+    exercised unevenly."""
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        pareto_skyline,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c, s) for i, (c, s) in enumerate(pts)],
+        "p_partkey long, cents long, p_size int",
+    )
+    got = {
+        r["p_partkey"]
+        for r in pareto_skyline(df, band_width=7).collect()
+    }
+    want = {
+        i
+        for i, (c, s) in enumerate(pts)
+        if not any(
+            qc <= c and qs <= s and (qc < c or qs < s)
+            for qc, qs in pts
+        )
+    }
+    assert got == want, (pts, got, want)
