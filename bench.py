@@ -132,6 +132,9 @@ EXTRA = [
     "agg_higher_moments",
     "events_outlier_iqr",
     "events_dau_mau",
+    "text_bm25_topk",
+    "dedup_lsh_quality_eval",
+    "multimodal_shard_manifest",
 ]
 
 

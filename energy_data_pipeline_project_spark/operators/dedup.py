@@ -201,6 +201,30 @@ def _melt_bands(sig: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(
+    sig: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) LSH candidate pairs from a signature
+    frame — the pre-verification stage, exposed separately so its
+    recall/precision can be measured against exact ground truth
+    (``dedup_lsh_quality_eval``)."""
+    bands = _melt_bands(sig)
+    # doc_ids are unique per bucket, so COUNT(*) is the bucket's doc
+    # count; only buckets in [2, cap] can produce candidate pairs.
+    bcnt = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bcnt"))
+    ok = bcnt.where(
+        (F.col("bcnt") >= 2) & (F.col("bcnt") <= bucket_cap)
+    ).select("band_id", "band_val")
+    return (
+        bands.join(ok, ["band_id", "band_val"])
+        .groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
@@ -225,22 +249,7 @@ def minhash_lsh_pairs(
     release_cached_frames() once the result is consumed.
     """
     sig = _cached(_minhash_signatures(docs))
-    bands = _melt_bands(sig)
-
-    # doc_ids are unique per bucket, so COUNT(*) is the bucket's doc
-    # count; only buckets in [2, cap] can produce candidate pairs.
-    bcnt = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bcnt"))
-    ok = bcnt.where(
-        (F.col("bcnt") >= 2) & (F.col("bcnt") <= bucket_cap)
-    ).select("band_id", "band_val")
-    cand = (
-        bands.join(ok, ["band_id", "band_val"])
-        .groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sig, bucket_cap=bucket_cap)
 
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -899,10 +908,19 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
     )
 
+    # Star-contraction seed: initialize every node's label with the min
+    # of its CLOSED neighborhood (self ∪ neighbors) — exactly what the
+    # first propagation round would compute against identity labels,
+    # but as ONE aggregation with no join. LSH components are near-
+    # cliques, so most converge at the seed and the loop's first
+    # changed-count often hits zero after a single confirming round.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("comp"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "nmin").alias("comp"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -1228,3 +1246,116 @@ def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = bloom_prefilter(corp, bloom)
     # exact verify: deliberate shuffle join (no broadcast hint)
     return _contamination_report(survivors.join(bench, "h"))
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-generation quality: precision/recall vs exact ground truth
+# ---------------------------------------------------------------------------
+# "Measure, don't guess" for the near-dedup stack itself: how good are
+# the banded-minhash candidates BEFORE verification? Ground truth is
+# the exact capped shingle-Jaccard join at the same threshold; the
+# confusion counts come from ONE full-outer join of the two pair sets
+# on the (doc_a, doc_b) key. Exact int counts; precision/recall as
+# plain divisions of exact ints (NULLIF-guarded). At 100 TB this is
+# the recurring audit query a pipeline runs on a sampled slab to tune
+# bands/rows and the bucket cap — both operand pipelines are the
+# production formulations, so the audit measures what actually runs.
+
+
+def _lsh_eval_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN({H.minhash_expr(i, 'h')}) AS m{i}" for i in range(H.MINHASH_K)
+    )
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_val FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{i}" for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
+            ),
+        )
+        for b in range(H.MINHASH_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+           FROM t),
+    hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    hx AS (SELECT doc_id, h FROM (
+             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
+             FROM hx0
+           ) WHERE cnt <= {SHINGLE_DOC_CAP}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sz sa ON doc_a = sa.doc_id
+                  JOIN sz sb ON doc_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hx0 GROUP BY doc_id),
+    bands AS (
+    {band_rows}
+    ),
+    bands_ok AS (
+      SELECT doc_id, band_id, band_val FROM (
+        SELECT doc_id, band_id, band_val,
+               COUNT(*) OVER (PARTITION BY band_id, band_val) AS bcnt
+        FROM bands
+      ) WHERE bcnt <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_ok a
+      JOIN bands_ok b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT tr.doc_a IS NOT NULL AS in_truth,
+             ca.doc_a IS NOT NULL AS in_cand
+      FROM truth tr FULL OUTER JOIN cand ca
+        ON tr.doc_a = ca.doc_a AND tr.doc_b = ca.doc_b
+    )
+    SELECT
+      CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+        / NULLIF(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END), 0) AS cand_precision,
+      CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+        / NULLIF(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END), 0) AS cand_recall
+    FROM m
+    """
+
+
+@query("dedup_lsh_quality_eval", _lsh_eval_oracle())
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = shingle_jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    sig = _cached(_minhash_signatures(docs))
+    cand = lsh_candidate_pairs(sig).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_cand")
+    )
+    m = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+        F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
+    )
+    tp = F.sum(F.col("in_truth") * F.col("in_cand"))
+    n_cand = F.sum(F.col("in_cand"))
+    n_truth = F.sum(F.col("in_truth"))
+    return m.agg(
+        tp.cast("bigint").alias("tp"),
+        (n_cand - tp).cast("bigint").alias("fp"),
+        (n_truth - tp).cast("bigint").alias("fn"),
+        (
+            tp.cast("double") / F.nullif(n_cand.cast("bigint"), F.lit(0))
+        ).alias("cand_precision"),
+        (
+            tp.cast("double") / F.nullif(n_truth.cast("bigint"), F.lit(0))
+        ).alias("cand_recall"),
+    )

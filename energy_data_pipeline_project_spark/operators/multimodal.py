@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..functions import hashing as H
 from ..sources.tables import load_table, spread_small_scan
 from ._registry import make_registry
 
@@ -323,4 +324,64 @@ def multimodal_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_bytes"),
         F.sum(qabs).alias("q_l1_sum"),
         (F.sum(qabs).cast("double") / F.count("*")).alias("avg_q_l1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Export shard manifest (WebDataset-style packing plan)
+# ---------------------------------------------------------------------------
+# Training jobs consume media as fixed-count shards; the manifest —
+# shard id, item count, byte total, and a deterministic fingerprint of
+# the member list — is what makes a 100 TB export resumable and
+# verifiable. Shard assignment is a pure hash of the item key (no
+# shuffle beyond the manifest groupBy); the fingerprint hashes the
+# SORTED member ids so it is independent of task arrival order. The
+# payload itself is never decoded — only octet_length touches it, and
+# parquet column pruning keeps even that to metadata at scan time.
+N_EXPORT_SHARDS = 16
+
+
+@query(
+    "multimodal_shard_manifest",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             ((({H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)})
+               % {N_EXPORT_SHARDS}) + {N_EXPORT_SHARDS}) % {N_EXPORT_SHARDS}
+               AS shard,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_item_bytes,
+           md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS members_fp
+    FROM m GROUP BY shard
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_media(load_table(spark, sf_dir, "documents"))
+    shard = F.expr(
+        f"((({H.md5_int64('CAST(doc_id AS STRING)', duck=False)})"
+        f" % {N_EXPORT_SHARDS}) + {N_EXPORT_SHARDS}) % {N_EXPORT_SHARDS}"
+    )
+    n_bytes = F.octet_length(F.col("media.payload"))
+    return (
+        docs.select("doc_id", shard.alias("shard"), n_bytes.alias("n_bytes"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_item_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("members_fp"),
+        )
     )

@@ -1445,3 +1445,115 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (top-k scoring, no index structure needed)
+# ---------------------------------------------------------------------------
+# Okapi BM25 for a fixed keyword query over the corpus — the retrieval
+# scorer a curation pipeline uses for targeted corpus carving (e.g.
+# "pull the top docs about X for a domain mix"). Every input to the
+# score is an exact int64 (tf, df, dl, N, Σdl) aggregated map-side;
+# the float chain on top is generated from ONE helper so the expression
+# text is identical in both engines. Crucially there is NO float
+# aggregation anywhere: the query terms are a fixed set, so per-term
+# stats pivot into COLUMNS and the doc score is a fixed-order sum
+# c_term1 + c_term2 + c_term3 — a float SUM() over shuffled rows would
+# re-associate in engine-dependent order and flip the last ulp (seen
+# in testing as a ROUND(…, 6) mismatch). Ranking runs on the ROUNDED
+# score + doc_id so the top-k cut is tie-stable cross-engine. One
+# token explode with the term filter pushed into it, two broadcast
+# 1-row side frames, TakeOrdered top-k — no global sort, no window.
+# Literals carry an e0 exponent: `1.2` alone parses as DECIMAL in BOTH
+# engines, and decimal arithmetic chains round differently (measured:
+# ~1e-7 relative drift — far beyond a double ulp); `1.2e0` parses as
+# DOUBLE everywhere, keeping the whole chain in IEEE f64.
+BM25_TERMS = ("vector", "stream", "merge")
+BM25_K1 = "1.2e0"
+BM25_B = "0.75e0"
+BM25_TOP = 10
+
+
+def _bm25_contrib(t: str) -> str:
+    """Per-term score contribution over columns tf_{t}, df_{t}, dl,
+    n_docs, sdl — one text, both engines."""
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN "
+        f"ln((n_docs - df_{t} + 0.5e0) / (df_{t} + 0.5e0) + 1.0e0)"
+        f" * (tf_{t} * ({BM25_K1} + 1.0e0))"
+        f" / (tf_{t} + {BM25_K1} * (1.0e0 - {BM25_B}"
+        f" + {BM25_B} * dl * n_docs / sdl)) ELSE 0.0e0 END"
+    )
+
+
+_BM25_SCORE = "ROUND(" + " + ".join(_bm25_contrib(t) for t in BM25_TERMS) + ", 6)"
+_BM25_NTERMS = " + ".join(
+    f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS
+)
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sdl FROM t),
+    tf AS (
+      SELECT doc_id,
+             {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)},
+             len(toks) AS dl
+      FROM t
+      WHERE {" OR ".join(f"list_contains(toks, '{t}')" for t in BM25_TERMS)}
+    ),
+    dfs AS (
+      SELECT {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS)}
+      FROM tf
+    )
+    SELECT doc_id,
+           CAST({_BM25_NTERMS} AS INT) AS n_terms,
+           {_BM25_SCORE} AS score
+    FROM tf CROSS JOIN stats CROSS JOIN dfs
+    ORDER BY {_BM25_SCORE} DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("sdl"),
+    )
+    tf = t.where(
+        F.expr(
+            " OR ".join(
+                f"array_contains(toks, '{w}')" for w in BM25_TERMS
+            )
+        )
+    ).select(
+        "doc_id",
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{w}'))").alias(f"tf_{w}")
+            for w in BM25_TERMS
+        ],
+        F.size("toks").alias("dl"),
+    )
+    dfs = tf.agg(
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)
+            ).alias(f"df_{w}")
+            for w in BM25_TERMS
+        ]
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    return (
+        scored.select(
+            "doc_id",
+            F.expr(_BM25_NTERMS).cast("int").alias("n_terms"),
+            F.expr(_BM25_SCORE).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP)
+    )
