@@ -135,6 +135,10 @@ EXTRA = [
     "text_bm25_topk",
     "dedup_lsh_quality_eval",
     "multimodal_shard_manifest",
+    "events_seasonal_decompose",
+    "orders_rfm_segments",
+    "lineitem_yoy_growth",
+    "orders_backlog_aging",
 ]
 
 

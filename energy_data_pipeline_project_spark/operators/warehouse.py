@@ -539,3 +539,182 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         (dau_c.cast("double") / F.col("mau")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (fixed rubric, pure expressions)
+# ---------------------------------------------------------------------------
+# Recency / Frequency / Monetary scoring — the standard CRM
+# segmentation. This variant uses a FIXED business rubric (day/count/
+# cents thresholds), which is how RFM is deployed in practice and
+# keeps the whole query one aggregation + one broadcast snapshot date
+# with zero windows; a quantile-calibrated rubric would reuse the
+# value-grain CDF machinery of events_quantile_histogram to derive
+# the cut points first. All inputs exact ints.
+_RFM_R = (180, 540, 1080)  # days: <=180 → 4, <=540 → 3, <=1080 → 2
+_RFM_F = (12, 9, 6)  # orders: >=12 → 4, >=9 → 3, >=6 → 2
+_RFM_M = (200_000_000, 120_000_000, 60_000_000)  # cents
+
+
+@query(
+    "orders_rfm_segments",
+    f"""
+    WITH snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS today FROM orders),
+    c AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT today FROM snap)) AS r_days,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, r_days, n_orders, m_cents,
+           CASE WHEN r_days <= {_RFM_R[0]} THEN 4
+                WHEN r_days <= {_RFM_R[1]} THEN 3
+                WHEN r_days <= {_RFM_R[2]} THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN n_orders >= {_RFM_F[0]} THEN 4
+                WHEN n_orders >= {_RFM_F[1]} THEN 3
+                WHEN n_orders >= {_RFM_F[2]} THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN m_cents >= {_RFM_M[0]} THEN 4
+                WHEN m_cents >= {_RFM_M[1]} THEN 3
+                WHEN m_cents >= {_RFM_M[2]} THEN 2 ELSE 1 END AS m_score
+    FROM c
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(snap))
+        .withColumn("r_days", F.datediff("today", "last_order"))
+    )
+
+    def score(col: str, cuts: tuple, *, asc: bool) -> F.Column:
+        op = (lambda a, b: a <= b) if asc else (lambda a, b: a >= b)
+        return (
+            F.when(op(F.col(col), cuts[0]), 4)
+            .when(op(F.col(col), cuts[1]), 3)
+            .when(op(F.col(col), cuts[2]), 2)
+            .otherwise(1)
+        )
+
+    return c.select(
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        "m_cents",
+        score("r_days", _RFM_R, asc=True).alias("r_score"),
+        score("n_orders", _RFM_F, asc=False).alias("f_score"),
+        score("m_cents", _RFM_M, asc=False).alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (month grain self-join on shifted key)
+# ---------------------------------------------------------------------------
+# The reporting staple: each month's revenue against the same month a
+# year earlier. Month keys are exact integers (year*12 + month), the
+# YoY pairing is an equi-join on key-12 over the TINY month-grain
+# aggregate (83 months here; thousands at most in any corpus), and the
+# growth ratio is a plain division of exact cents. Raw data is
+# touched exactly once.
+@query(
+    "lineitem_yoy_growth",
+    """
+    WITH m AS (
+      SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS mkey,
+             MIN(CAST(date_trunc('month', l_shipdate) AS DATE)) AS month_start,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT cur.month_start, cur.rev_cents, prev.rev_cents AS prev_rev_cents,
+           CAST(cur.rev_cents AS DOUBLE) / prev.rev_cents AS yoy_ratio
+    FROM m cur JOIN m prev ON cur.mkey = prev.mkey + 12
+    """,
+)
+def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+        ).alias("mkey")
+    ).agg(
+        F.min(F.date_trunc("month", "l_shipdate").cast("date")).alias(
+            "month_start"
+        ),
+        F.sum(_cents("l_extendedprice * (1 - l_discount)"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    return cur.join(
+        prev, F.col("cur.mkey") == F.col("prev.mkey") + 12
+    ).select(
+        F.col("cur.month_start").alias("month_start"),
+        F.col("cur.rev_cents").alias("rev_cents"),
+        F.col("prev.rev_cents").alias("prev_rev_cents"),
+        (
+            F.col("cur.rev_cents").cast("double") / F.col("prev.rev_cents")
+        ).alias("yoy_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging report (open orders bucketed by age at snapshot)
+# ---------------------------------------------------------------------------
+# Operational aging: open orders ('O') bucketed by quarters outstanding
+# at the corpus snapshot date (broadcast 1-row max — never a driver
+# collect), counts and exposure per bucket, buckets capped so the
+# report width is fixed regardless of history depth. Pure integer
+# bucketing; one pushed-filter scan + one tiny aggregation.
+_AGING_BUCKET_DAYS = 90
+_AGING_MAX_BUCKET = 8
+
+
+@query(
+    "orders_backlog_aging",
+    f"""
+    WITH snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS today FROM orders),
+    o AS (
+      SELECT LEAST(date_diff('day', CAST(o_orderdate AS DATE),
+                             (SELECT today FROM snap))
+                   // {_AGING_BUCKET_DAYS}, {_AGING_MAX_BUCKET}) AS age_bucket,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT age_bucket, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM o GROUP BY age_bucket
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    o = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.least(
+                F.floor(
+                    F.datediff("today", F.to_date("o_orderdate"))
+                    / _AGING_BUCKET_DAYS
+                ),
+                F.lit(_AGING_MAX_BUCKET),
+            )
+            .cast("bigint")
+            .alias("age_bucket"),
+            _cents("o_totalprice").alias("cents"),
+        )
+    )
+    return o.groupBy("age_bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
