@@ -82,7 +82,14 @@ def main(argv: list[str] | None = None) -> int:
                     spark, path, fmt=config.table_format
                 )
                 print(f"compacted gold/{name} -> {n_files} file(s)")
-        # verification block, like the reference's main.py:83-110
+        # verification block, like the reference's main.py:83-110 —
+        # but silver/gold counts come from the WRITE pass (Observation
+        # API), printed first; the re-read counts() remain the
+        # independent cross-check of what actually landed on disk.
+        for table, metrics in sorted(result.observed.items()):
+            extras = {k: v for k, v in metrics.items() if k != "n_rows"}
+            suffix = f" {extras}" if extras else ""
+            print(f"{table}: {metrics['n_rows']} rows (observed){suffix}")
         for table, n in sorted(result.counts().items()):
             print(f"{table}: {n} rows")
         if "power_price_daily" in result.gold:

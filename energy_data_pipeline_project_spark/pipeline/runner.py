@@ -19,7 +19,7 @@ from ..sources.payloads import LocalJsonSource, PayloadSource
 from . import gold as G
 from .config import PipelineConfig
 from .ingestion import ingest_dataset, ingest_dataset_distributed
-from .lake import read_table, table_path, write_table
+from .lake import read_table, table_path, write_table_observed
 from .silver import extract_timeseries
 
 
@@ -28,6 +28,10 @@ class PipelineResult:
     bronze: dict[str, DataFrame] = field(default_factory=dict)
     silver: dict[str, DataFrame] = field(default_factory=dict)
     gold: dict[str, DataFrame] = field(default_factory=dict)
+    # Write-pass metrics per silver/gold table (Observation API): row
+    # count + timestamp-null count observed DURING each write — the
+    # reference's re-scan verification (main.py:88-101) for free.
+    observed: dict[str, dict] = field(default_factory=dict)
 
     def counts(self) -> dict[str, int]:
         out = {}
@@ -71,7 +75,10 @@ def run_pipeline(
         result.bronze[ds.name] = bronze
         silver = extract_timeseries(bronze, ds)
         spath = table_path(config.lake_root, "silver", f"{ds.name}_silver")
-        write_table(silver, spath, fmt)
+        # keyed like PipelineResult.counts() ("silver/<dataset name>")
+        result.observed[f"silver/{ds.name}"] = write_table_observed(
+            silver, spath, fmt, null_check_cols=("timestamp",)
+        )
         result.silver[ds.name] = read_table(spark, spath, fmt)
 
     # gold: daily aggregates + join (assumes the reference's two dataset
@@ -90,7 +97,7 @@ def run_pipeline(
         return result  # nothing ingested for one of the roles → no gold
 
     pdaily = G.power_daily_by_type(result.silver[power_ds.name])
-    write_table(
+    result.observed["gold/power_daily_by_type"] = write_table_observed(
         pdaily, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
     )
     result.gold["power_daily_by_type"] = read_table(
@@ -98,7 +105,9 @@ def run_pipeline(
     )
 
     prdaily = G.price_daily(result.silver[price_ds.name])
-    write_table(prdaily, table_path(config.lake_root, "gold", "price_daily"), fmt)
+    result.observed["gold/price_daily"] = write_table_observed(
+        prdaily, table_path(config.lake_root, "gold", "price_daily"), fmt
+    )
     result.gold["price_daily"] = read_table(
         spark, table_path(config.lake_root, "gold", "price_daily"), fmt
     )
@@ -106,7 +115,7 @@ def run_pipeline(
     joined = G.power_price_daily(
         result.gold["power_daily_by_type"], result.gold["price_daily"]
     )
-    write_table(
+    result.observed["gold/power_price_daily"] = write_table_observed(
         joined, table_path(config.lake_root, "gold", "power_price_daily"), fmt
     )
     result.gold["power_price_daily"] = read_table(

@@ -317,3 +317,38 @@ def test_fixture_has_offshore_variant_day():
         if power_payload(d)["production_types"][0]["name"] == OFFSHORE_VARIANT
     ]
     assert variants, "fixture should produce at least one variant day"
+
+
+def test_observed_write_metrics_match_reread(spark, tmp_path):
+    """Observation metrics captured during the write must equal the
+    re-read ground truth — write-pass verification replaces the
+    reference's second full scan (main.py:88-101)."""
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        PipelineConfig,
+        default_datasets,
+    )
+    from energy_data_pipeline_project_spark.pipeline.runner import run_pipeline
+    from energy_data_pipeline_project_spark.sources.fixtures import (
+        fixture_payloads,
+    )
+    from energy_data_pipeline_project_spark.sources.payloads import (
+        LocalJsonSource,
+    )
+
+    cfg = PipelineConfig(
+        lake_root=str(tmp_path / "lake"),
+        start_date="2025-01-01",
+        end_date="2025-01-03",
+        datasets=default_datasets(),
+    )
+    days = [d.isoformat() for d in cfg.dates()]
+    res = run_pipeline(spark, cfg, LocalJsonSource(fixture_payloads(days)))
+    assert res.observed, "observed metrics missing"
+    truth = res.counts()
+    for key, metrics in res.observed.items():
+        assert metrics["n_rows"] == truth[key], (key, metrics)
+    # silver null-check rides the same pass; the null-drop filter (P4)
+    # runs BEFORE the write, so observed timestamp nulls must be zero
+    for key, metrics in res.observed.items():
+        if key.startswith("silver/"):
+            assert metrics["nulls_timestamp"] == 0
