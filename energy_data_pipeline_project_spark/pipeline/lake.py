@@ -199,3 +199,128 @@ def upsert_table(
         staged = path.rstrip("/") + "._upserting"
         merged.write.format(fmt).mode("overwrite").save(staged)
         _atomic_swap(path, staged)
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables: pointer-file time travel for a plain-parquet lake
+# ---------------------------------------------------------------------------
+# The reference leans on Delta for versioned overwrites; without the
+# jar, the same user-visible capability — every write is a retained
+# snapshot, readers can time-travel, writers never disturb readers —
+# comes from the Iceberg-style pointer design: each write lands in an
+# immutable _versions/v{N} directory and a tiny _LATEST pointer file is
+# swapped atomically (os.replace) to publish it. Readers resolve the
+# pointer (or an explicit version) to a directory and scan it; a
+# half-written version is unreachable until its pointer lands, and a
+# crashed writer leaves only an unreferenced orphan directory that the
+# next retention sweep removes. On an object store the pointer is a
+# single small object PUT — the publish is one metadata operation
+# regardless of table size.
+
+_VERSIONS_DIR = "_versions"
+_LATEST_FILE = "_LATEST"
+
+
+def _version_dir(path: str, version: int) -> str:
+    return os.path.join(path, _VERSIONS_DIR, f"v{version:08d}")
+
+
+def list_table_versions(path: str) -> list[int]:
+    """Existing version numbers (ascending), including unpublished
+    orphans from crashed writes."""
+    vroot = os.path.join(path, _VERSIONS_DIR)
+    if not os.path.isdir(vroot):
+        return []
+    out = []
+    for name in os.listdir(vroot):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def latest_table_version(path: str) -> int | None:
+    """The PUBLISHED version (pointer contents), or None."""
+    try:
+        with open(os.path.join(path, _LATEST_FILE)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def write_table_versioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    keep_versions: int | None = None,
+) -> int:
+    """Write ``df`` as a new immutable version and publish it; returns
+    the version number.
+
+    ``keep_versions`` prunes to the newest N *published-or-older*
+    snapshots after the pointer swap (the just-published version is
+    always kept). Concurrent readers of pruned versions are the one
+    hazard, as with Delta VACUUM — retention is the knob.
+    """
+    prev = latest_table_version(path)
+    existing = list_table_versions(path)
+    version = (max(existing) if existing else (prev or 0)) + 1
+    target = _version_dir(path, version)
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(target)
+    # publish: write-then-rename is atomic on POSIX (os.replace), a
+    # single small-object PUT on an object store
+    ptr_tmp = os.path.join(path, _LATEST_FILE + ".tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(ptr_tmp, os.path.join(path, _LATEST_FILE))
+    if keep_versions is not None:
+        import shutil
+
+        for v in list_table_versions(path)[:-keep_versions]:
+            if v != version:
+                shutil.rmtree(_version_dir(path, v), ignore_errors=True)
+    return version
+
+
+def read_table_versioned(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    version: int | None = None,
+) -> DataFrame:
+    """Scan the published snapshot, or time-travel to ``version``."""
+    if version is None:
+        version = latest_table_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no published version at {path}")
+    target = _version_dir(path, version)
+    if not os.path.isdir(target):
+        raise FileNotFoundError(f"version {version} not found at {path}")
+    return spark.read.format(fmt).load(target)
+
+
+def vacuum_table_versions(path: str, keep_versions: int = 2) -> list[int]:
+    """Remove unpublished orphan version dirs (crashed writers) and
+    published snapshots beyond the newest ``keep_versions``. Returns
+    the removed version numbers. Delta VACUUM semantics: never removes
+    the published version; readers pinned to a pruned snapshot are the
+    documented retention hazard."""
+    import shutil
+
+    published = latest_table_version(path)
+    versions = list_table_versions(path)
+    # orphans newer than the pointer are crashed writes, not retained
+    # history — only published-or-older versions count toward retention
+    history = [v for v in versions if published is None or v <= published]
+    keep = set(history[-keep_versions:]) if keep_versions > 0 else set()
+    if published is not None:
+        keep.add(published)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(_version_dir(path, v), ignore_errors=True)
+            removed.append(v)
+    return removed

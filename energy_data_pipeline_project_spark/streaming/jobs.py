@@ -110,6 +110,38 @@ def dedup_events(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """Daily distinct users on a stream, exactly — via two chained
+    stateful stages, both watermark-bounded.
+
+    COUNT(DISTINCT) is not directly available in streaming aggregation,
+    and the batch trick (dedup then count) needs TWO stateful operators
+    back to back: ``dropDuplicatesWithinWatermark`` on the
+    (window-day, user) grain evicts each key once the watermark passes
+    its day, then a windowed count over the deduped stream counts one
+    row per (day, user). Spark 3.4+ supports chaining these (multiple
+    stateful operators in append mode); state is bounded by active
+    days x users-per-day, not history. The approximate alternative at
+    extreme cardinality is approx_count_distinct over the same window
+    (one stage, HLL-sized state) — exactness is the point here, so the
+    batch twin (events_daily-style distinct) can hash-verify parity.
+    """
+    deduped = (
+        events.select(
+            F.col("ts"),
+            F.to_date("ts").alias("event_date"),
+            "user_id",
+        )
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_date", "user_id"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("n_users"))
+        .select(F.to_date("win.start").alias("event_date"), "n_users")
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
