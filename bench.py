@@ -139,6 +139,8 @@ EXTRA = [
     "orders_rfm_segments",
     "lineitem_yoy_growth",
     "orders_backlog_aging",
+    "text_ngram_novelty",
+    "embedding_centroid_drift",
 ]
 
 

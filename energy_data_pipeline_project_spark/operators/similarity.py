@@ -576,3 +576,97 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rem").alias("sum_rem"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitoring: centroid shift between corpus halves
+# ---------------------------------------------------------------------------
+# The ops query behind "did the embedding distribution move?": per
+# label, the cosine between the centroid of the even-keyed half (the
+# "reference" snapshot) and the odd-keyed half (the "new" batch).
+# Everything before the final cosine is EXACT integer arithmetic:
+# components quantize to ints (Q=10^4), per-(label, pos) sums are
+# int64, and the centroid cosine algebraically cancels the 1/n
+# factors — cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb) — so the dot/norm sums
+# are exact int64 too (bounded: |q|≤10^4·Q ⇒ per-pos sums ≤ 10^4·n/2;
+# safe through ~sf10, shrink Q beyond). The only floats are one
+# sqrt/division chain per label, identical text in both engines,
+# ROUND(…, 6).
+DRIFT_Q = 10_000
+
+
+def _drift_q(expr: str, *, duck: bool) -> str:
+    cast = "CAST({} AS DOUBLE)".format(expr)
+    return f"CAST(ROUND({cast} * {DRIFT_Q}, 0) AS BIGINT)"
+
+
+@query(
+    "embedding_centroid_drift",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, i AS pos,
+             {_drift_q("embedding[i]", duck=True)} AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    halves AS (
+      SELECT label, pos,
+             SUM(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END) AS sa,
+             SUM(CASE WHEN vec_id % 2 = 1 THEN q ELSE 0 END) AS sb
+      FROM e GROUP BY label, pos
+    ),
+    sums AS (
+      SELECT label,
+             SUM(sa * sb) AS dot, SUM(sa * sa) AS na2, SUM(sb * sb) AS nb2
+      FROM halves GROUP BY label
+    ),
+    counts AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM embeddings GROUP BY label
+    )
+    SELECT s.label, c.n_ref, c.n_new,
+           ROUND(CAST(s.dot AS DOUBLE)
+                 / (sqrt(CAST(s.na2 AS DOUBLE))
+                    * sqrt(CAST(s.nb2 AS DOUBLE))), 6) AS centroid_cosine
+    FROM sums s JOIN counts c ON s.label = c.label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(_drift_q("v", duck=False)).alias("q"),
+    )
+    halves = e.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, F.col("q")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, F.col("q")).otherwise(0)).alias("sb"),
+    )
+    sums = halves.groupBy("label").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        6,
+    )
+    return sums.join(counts, "label").select(
+        "label", "n_ref", "n_new", cos.alias("centroid_cosine")
+    )

@@ -1557,3 +1557,54 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each doc is first-seen in the corpus?
+# ---------------------------------------------------------------------------
+# Redundancy-aware curation signal: the fraction of a doc's distinct
+# shingles whose corpus-global FIRST owner (min doc_id) is the doc
+# itself. Near-1 → fresh content; near-0 → reassembled boilerplate.
+# Used to prioritize docs when sampling under a token budget. Plan:
+# postings shuffle as 8-byte shingle hashes, one groupBy for the first
+# owner, one join back, one groupBy per doc — all exact ints, novelty
+# an exact-int ratio.
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest({H.shingles_sql("toks", 3, duck=True)}) AS s
+           FROM t),
+    hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    first_owner AS (SELECT h, MIN(doc_id) AS owner FROM hx GROUP BY h)
+    SELECT hx.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.owner = hx.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.owner = hx.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM hx JOIN first_owner f ON hx.h = f.h
+    GROUP BY hx.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    hx = t.select(
+        "doc_id",
+        F.explode(F.expr(H.shingles_sql("toks", 3, duck=False))).alias("s"),
+    ).select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+    first_owner = hx.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(
+        F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        hx.join(first_owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

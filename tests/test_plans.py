@@ -303,3 +303,63 @@ def test_incremental_lsh_caps_index_side(spark):
         assert "Window" not in plan
     finally:
         dedup.release_cached_frames()
+
+
+def test_round3_tier_plans_stay_jvm_side(spark):
+    """Every round-3 warehouse/retrieval query must be pure JVM
+    codegen: no row-Python, no pandas eval, no cartesian product.
+    (BroadcastNestedLoopJoin appears only as the benign 1-row-scalar
+    crossJoin pattern and is bounded by that build side.)"""
+    from energy_data_pipeline_project_spark.operators import all_queries
+
+    Q = all_queries()
+    r3 = [
+        "cdc_snapshot_diff",
+        "agg_incremental_maintenance",
+        "nest_order_lines",
+        "skyline_parts",
+        "agg_higher_moments",
+        "events_outlier_iqr",
+        "events_dau_mau",
+        "text_bm25_topk",
+        "multimodal_shard_manifest",
+        "events_seasonal_decompose",
+        "orders_rfm_segments",
+        "lineitem_yoy_growth",
+        "orders_backlog_aging",
+        "text_ngram_novelty",
+        "embedding_centroid_drift",
+    ]
+    for name in r3:
+        rep = plan_report(Q[name](spark, SF_SMOKE))
+        assert not rep.python_eval, f"{name} fell back to BatchEvalPython"
+        assert not rep.arrow_eval, f"{name} unexpectedly uses pandas eval"
+        assert "CartesianProduct" not in rep.plan, name
+
+
+def test_backlog_aging_pushes_status_filter(spark):
+    """The open-order filter must reach the parquet scan."""
+    from energy_data_pipeline_project_spark.operators import warehouse
+
+    rep = plan_report(
+        warehouse.QUERIES["orders_backlog_aging"](spark, SF_SMOKE)
+    )
+    assert any(
+        "o_orderstatus" in p and "O" in p for p in rep.pushed_filters
+    ), rep.pushed_filters
+
+
+def test_yoy_growth_joins_on_month_grain(spark):
+    """The YoY self-join must happen AFTER aggregation (two month-grain
+    inputs), so the join never shuffles raw lineitem rows."""
+    from energy_data_pipeline_project_spark.operators import warehouse
+
+    rep = plan_report(
+        warehouse.QUERIES["lineitem_yoy_growth"](spark, SF_SMOKE)
+    )
+    # each join input is an aggregated month frame: the plan holds
+    # two HashAggregate pairs BELOW the join — and the join itself is
+    # key-equi (no cartesian / BNLJ)
+    assert rep.joins >= 1
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
