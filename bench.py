@@ -141,6 +141,7 @@ EXTRA = [
     "orders_backlog_aging",
     "text_ngram_novelty",
     "embedding_centroid_drift",
+    "graph_bfs_distances",
 ]
 
 

@@ -387,3 +387,116 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; splits CC components into densely-linked sub-families."""
     docs = load_table(spark, sf_dir, "documents")
     return label_propagation(minhash_lsh_pairs(docs))
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: hop distance to the nearest local-minimum node
+# ---------------------------------------------------------------------------
+# The distance metric that completes the graph family (CC says
+# "connected", PageRank "central", k-core "dense"; BFS says "how FAR
+# from a representative"). Sources are the graph's LOCAL MINIMA (nodes
+# smaller than every neighbor) — derivable from the edge list alone
+# with one aggregation, no CC pre-pass, and every component contains
+# at least one (its global minimum). Distances relax synchronously for
+# a FIXED number of rounds in pure integer arithmetic with an
+# unreachable sentinel (no NULL algebra); the oracle replays the same
+# rounds as generated CTEs, so the hash gate holds even if a
+# pathological graph hasn't converged — and near-dup components are
+# near-cliques (observed diameter 1-2), which BFS_ROUNDS = 3 covers
+# with a round to spare. Each round is one edge-list join on 8-byte
+# ids + a min-aggregate, localCheckpoint-truncated like the CC loop.
+BFS_ROUNDS = 3
+_BFS_SENT = 1 << 30
+
+
+def bfs_to_local_minima(pairs: DataFrame) -> DataFrame:
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("v"),
+            F.when(F.col("src") < F.col("nmin"), 0)
+            .otherwise(_BFS_SENT)
+            .alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = (
+            edges.join(
+                dist.select(F.col("v").alias("dst"), F.col("d").alias("nd")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min(F.col("nd") + 1).alias("best_nbr"))
+        )
+        dist = (
+            dist.join(
+                relaxed, dist["v"] == relaxed["src"], "left"
+            )
+            .select(
+                "v",
+                F.least(
+                    F.col("d"),
+                    F.coalesce(F.col("best_nbr"), F.lit(_BFS_SENT)),
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.where(F.col("d") < _BFS_SENT).select(
+        F.col("v").alias("doc_id"),
+        F.col("d").cast("int").alias("hops"),
+    )
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      {_minhash_oracle()}
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    d0 AS MATERIALIZED (
+      SELECT src AS v,
+             CASE WHEN src < MIN(dst) THEN 0 ELSE {_BFS_SENT} END AS d
+      FROM edges GROUP BY src
+    )"""
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+      SELECT cur.v,
+             LEAST(cur.d,
+                   COALESCE(MIN(nd.d + 1), {_BFS_SENT})) AS d
+      FROM {prev} cur
+      LEFT JOIN edges e ON e.src = cur.v
+      LEFT JOIN {prev} nd ON nd.v = e.dst
+      GROUP BY cur.v, cur.d
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS doc_id, CAST(d AS INT) AS hops
+    FROM d{BFS_ROUNDS} WHERE d < {_BFS_SENT}
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_bfs_distances", _bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance to the nearest local-minimum over the LSH dup graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bfs_to_local_minima(minhash_lsh_pairs(docs))

@@ -201,3 +201,17 @@ def test_incremental_lsh_finds_cross_split_dups(spark):
             expected[(b, a)] = 1.0
     assert expected, "fixture must produce at least one crossing pair"
     assert got == expected
+
+
+def test_bfs_distances_path_graph_semantics(spark):
+    """On a path graph 0-1-2-3-4-5 the only local minimum is 0; after
+    BFS_ROUNDS=3 synchronous relaxations exactly hops 0..3 are final
+    and nodes farther than 3 hops stay unreachable (fixed-round
+    contract — the oracle replays the same rounds)."""
+    from energy_data_pipeline_project_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r["doc_id"]: r["hops"] for r in G.bfs_to_local_minima(pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
