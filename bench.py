@@ -142,6 +142,9 @@ EXTRA = [
     "text_ngram_novelty",
     "embedding_centroid_drift",
     "graph_bfs_distances",
+    "orders_shipping_sla",
+    "events_conversion_latency",
+    "embedding_label_outliers",
 ]
 
 

@@ -670,3 +670,89 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.join(counts, "label").select(
         "label", "n_ref", "n_new", cos.alias("centroid_cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mislabeled-sample detection: per-label centroid-distance outliers
+# ---------------------------------------------------------------------------
+# The data-cleaning companion to embedding_centroid_drift: rank each
+# vector by its distance to its OWN label's centroid and surface the
+# top outliers — the candidates for relabeling or dropping before
+# training. Exactness trick: with quantized components q and per-
+# (label, pos) sums s over n vectors, n²·‖v − c‖² = Σ_p (q_p·n − s_p)²
+# is pure int64 (the 1/n of the centroid is factored out), so the
+# ranking key is exact and tie-broken on vec_id; only the reported
+# distance divides/sqrts (fixed expression, ROUND 6). Two passes over
+# the melted frame: one aggregate to (label, pos) sums, one join back
+# — both shuffle 8-byte keyed ints; the top-k window is partitioned
+# by label.
+OUTLIER_TOP_K = 5
+
+
+@query(
+    "embedding_label_outliers",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, i AS pos,
+             {_drift_q("embedding[i]", duck=True)} AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    stats AS (
+      SELECT label, pos, SUM(q) AS s, COUNT(DISTINCT vec_id) AS n
+      FROM e GROUP BY label, pos
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.label,
+             SUM((e.q * stats.n - stats.s) * (e.q * stats.n - stats.s))
+               AS d2n2,
+             MAX(stats.n) AS n
+      FROM e JOIN stats ON e.label = stats.label AND e.pos = stats.pos
+      GROUP BY e.vec_id, e.label
+    ),
+    ranked AS (
+      SELECT label, vec_id, d2n2, n,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY d2n2 DESC, vec_id) AS rn
+      FROM d2
+    )
+    SELECT label, vec_id, CAST(rn AS INT) AS rank,
+           ROUND(sqrt(CAST(d2n2 AS DOUBLE)) / (n * {DRIFT_Q}.0e0), 6)
+             AS centroid_dist
+    FROM ranked WHERE rn <= {OUTLIER_TOP_K}
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(_drift_q("v", duck=False)).alias("q"),
+    )
+    stats = e.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.countDistinct("vec_id").alias("n")
+    )
+    diff = F.col("q") * F.col("n") - F.col("s")
+    d2 = (
+        e.join(stats, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("d2n2"), F.max("n").alias("n"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2n2"), "vec_id")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= OUTLIER_TOP_K)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.round(
+                F.sqrt(F.col("d2n2").cast("double"))
+                / (F.col("n") * float(DRIFT_Q)),
+                6,
+            ).alias("centroid_dist"),
+        )
+    )

@@ -718,3 +718,59 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA breaches (order-to-first-ship lag by priority)
+# ---------------------------------------------------------------------------
+# Fulfilment ops: per priority class, how many orders shipped their
+# first line late? First-ship is a MIN aggregate on the child table
+# (one shuffle on the order key), the lag an exact integer day diff,
+# and the breach share an exact-int ratio. The child aggregate joins
+# the parent on its key — co-partitionable at scale like every
+# PK/FK join here.
+_SLA_DAYS = 60
+
+
+@query(
+    "orders_shipping_sla",
+    f"""
+    WITH fs AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lag AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE), fs.first_ship)
+               AS lag_days
+      FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN lag_days > {_SLA_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_breaches,
+           CAST(SUM(CASE WHEN lag_days > {_SLA_DAYS} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS breach_share,
+           MAX(lag_days) AS max_lag_days
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def orders_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    lag = orders.join(
+        fs, orders["o_orderkey"] == fs["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff("first_ship", F.to_date("o_orderdate")).alias("lag_days"),
+    )
+    breach = F.sum(F.when(F.col("lag_days") > _SLA_DAYS, 1).otherwise(0))
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        breach.cast("bigint").alias("n_breaches"),
+        (breach.cast("double") / F.count("*")).alias("breach_share"),
+        F.max("lag_days").alias("max_lag_days"),
+    )
