@@ -145,6 +145,9 @@ EXTRA = [
     "orders_shipping_sla",
     "events_conversion_latency",
     "embedding_label_outliers",
+    "events_kanonymity_risk",
+    "basket_part_cosine",
+    "events_behavior_signatures",
 ]
 
 

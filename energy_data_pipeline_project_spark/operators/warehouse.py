@@ -774,3 +774,202 @@ def orders_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (breach.cast("double") / F.count("*")).alias("breach_share"),
         F.max("lag_days").alias("max_lag_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk report (privacy screen before data release)
+# ---------------------------------------------------------------------------
+# Before a table (or training corpus) ships, the privacy question is:
+# how many rows sit in quasi-identifier groups smaller than k — i.e.
+# re-identifiable by combining public-ish attributes? The QI tuple
+# here is (event_type, value decile band, day); the report gives, per
+# event_type, the row count, the share of rows in sub-k groups, and
+# the smallest group size. One groupBy to the QI grain, one roll-up —
+# the grain is bounded by the QI domain product, never by row count —
+# and every share is an exact-int ratio.
+_KANON_K = 10
+_KANON_BAND = 50_00  # value cents per band (~deciles of the 0-500 range)
+
+
+@query(
+    "events_kanonymity_risk",
+    f"""
+    WITH qi AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) // {_KANON_BAND} AS band,
+             CAST(ts AS DATE) AS d,
+             COUNT(*) AS grp
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(SUM(grp) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END)
+                AS BIGINT) AS n_risky_rows,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END)
+                AS DOUBLE) / SUM(grp) AS risky_share,
+           MIN(grp) AS min_group
+    FROM qi GROUP BY event_type
+    """,
+)
+def events_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        "event_type",
+        F.expr(f"CAST(ROUND(value * 100, 0) AS BIGINT) DIV {_KANON_BAND}").alias(
+            "band"
+        ),
+        F.to_date("ts").alias("d"),
+    ).agg(F.count("*").alias("grp"))
+    risky = F.sum(
+        F.when(F.col("grp") < _KANON_K, F.col("grp")).otherwise(0)
+    )
+    return qi.groupBy("event_type").agg(
+        F.sum("grp").cast("bigint").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        risky.cast("bigint").alias("n_risky_rows"),
+        (risky.cast("double") / F.sum("grp")).alias("risky_share"),
+        F.min("grp").alias("min_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence cosine (collaborative-filtering primitive)
+# ---------------------------------------------------------------------------
+# "Customers who bought A also bought B": cosine similarity between
+# parts over order baskets, sim = c_ab / sqrt(n_a · n_b) from exact
+# integer co-occurrence counts. Pair space is bounded per basket (the
+# basket_part_pairs guard); part frequencies join back as two
+# broadcastable id→count frames. Ranking runs on the exact integer
+# key c_ab² vs n_a·n_b? No — the ROUNDED cosine + part ids order the
+# output deterministically, and the top-k window partitions by part_a.
+_CF_MIN_CO = 3
+_CF_TOP_K = 5
+
+
+@query(
+    "basket_part_cosine",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+             COUNT(*) AS c
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey != b2.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_CF_MIN_CO}
+    ),
+    scored AS (
+      SELECT co.part_a, co.part_b, co.c,
+             ROUND(co.c / sqrt(CAST(fa.n AS DOUBLE) * fb.n), 6) AS cosine
+      FROM co JOIN freq fa ON co.part_a = fa.l_partkey
+              JOIN freq fb ON co.part_b = fb.l_partkey
+    ),
+    ranked AS (
+      SELECT part_a, part_b, c, cosine,
+             ROW_NUMBER() OVER (PARTITION BY part_a
+                                ORDER BY cosine DESC, part_b) AS rn
+      FROM scored
+    )
+    SELECT part_a, part_b, c AS cooccur, cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_CF_TOP_K}
+    """,
+)
+def basket_part_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    freq = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    c2 = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(c2, "ok")
+        .where(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= _CF_MIN_CO)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    scored = (
+        co.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c",
+            F.round(
+                F.col("c") / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("cosine"), "part_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CF_TOP_K)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c").alias("cooccur"),
+            "cosine",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral signatures (event-type bitmask segmentation)
+# ---------------------------------------------------------------------------
+# Segment users by WHICH event types they ever emit, as a fixed-order
+# bitmask — the compact behavioral fingerprint that feeds cohort
+# dashboards ("how many users view+click but never purchase?"). One
+# aggregation to (user, mask) via bitwise OR of fixed per-type bits,
+# one roll-up per mask. Pure integer arithmetic; the mask bit order is
+# a frozen constant list shared with the oracle.
+_SIG_TYPES = ("click", "error", "purchase", "signup", "view")
+# A 2-day observation slice: over the full 30-day corpus every user
+# hits every type (one degenerate mask); a short window is also the
+# realistic deployment (signatures are computed per recent period).
+_SIG_CUTOFF = "2024-01-03"
+
+
+def _sig_mask_sql() -> str:
+    cases = " + ".join(
+        f"MAX(CASE WHEN event_type = '{t}' THEN {1 << i} ELSE 0 END)"
+        for i, t in enumerate(_SIG_TYPES)
+    )
+    return cases
+
+
+@query(
+    "events_behavior_signatures",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_sig_mask_sql()} AS mask
+      FROM events
+      WHERE ts < TIMESTAMP '{_SIG_CUTOFF} 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT mask, COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN mask & {1 << _SIG_TYPES.index("purchase")} != 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchasers
+    FROM u GROUP BY mask
+    """,
+)
+def events_behavior_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("ts") < F.lit(f"{_SIG_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.expr(_sig_mask_sql()).alias("mask"))
+    )
+    pbit = 1 << _SIG_TYPES.index("purchase")
+    return u.groupBy("mask").agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(F.expr(f"mask & {pbit}") != 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_purchasers"),
+    )
