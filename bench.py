@@ -148,6 +148,10 @@ EXTRA = [
     "events_kanonymity_risk",
     "basket_part_cosine",
     "events_behavior_signatures",
+    "explode_outer_probe",
+    "events_error_budget",
+    "events_fifo_match",
+    "parts_supplier_hhi",
 ]
 
 

@@ -2962,3 +2962,154 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_b.alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-preserving explode (explode_outer / LATERAL VIEW OUTER)
+# ---------------------------------------------------------------------------
+# F4's sibling semantic: plain explode DROPS rows whose array is NULL
+# or empty (the reference relies on that for its zip null-drop);
+# explode_outer KEEPS them with a NULL element — the right default
+# when unnesting optional child lists (an order with no line items
+# must still appear in a per-order report). The probe derives a
+# three-way array shape (NULL / empty / populated) from p_size so all
+# branches are exercised; DuckDB has no outer unnest, so the oracle
+# spells the semantic out: substitute [NULL] for null/empty before
+# unnesting — making this query double as executable documentation of
+# exactly what explode_outer does.
+@query(
+    "explode_outer_probe",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CASE WHEN p_size % 4 = 0 THEN NULL
+                  WHEN p_size % 4 = 1 THEN []::BIGINT[]
+                  ELSE range(1, p_size % 4 + 1) END AS arr
+      FROM part
+    )
+    SELECT p_partkey,
+           CAST(len(arr) AS INT) AS arr_len,
+           unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+                       THEN [NULL]::BIGINT[] ELSE arr END) AS val
+    FROM p
+    """,
+)
+def explode_outer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.expr(
+            "CASE WHEN p_size % 4 = 0 THEN NULL "
+            "WHEN p_size % 4 = 1 THEN CAST(array() AS ARRAY<BIGINT>) "
+            "ELSE sequence(CAST(1 AS BIGINT), CAST(p_size % 4 AS BIGINT)) "
+            "END"
+        ).alias("arr"),
+    )
+    return p.select(
+        "p_partkey",
+        F.size("arr").cast("int").alias("arr_len"),
+        F.explode_outer("arr").alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIFO queue matching (k-th event to k-th event, per entity)
+# ---------------------------------------------------------------------------
+# Sequential pairing that joins can't express directly: match each
+# purchase to its user's k-th click — the positional (FIFO) matching
+# used for demand attribution and inventory consumption. The trick:
+# ROW_NUMBER both sides within the entity (windows partitioned by
+# user — bounded, parallel), then an equi-join on (user, k). Matched
+# pairs may be "late" (purchase before its positional click) — those
+# are flagged rather than dropped, keeping the accounting total. Gap
+# is integer seconds.
+@query(
+    "events_fifo_match",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.k, c.click_id, p.purchase_id,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+             AS gap_s,
+           CAST(p.ts < c.ts AS INT) AS out_of_order
+    FROM c JOIN p ON c.user_id = p.user_id AND c.k = p.k
+    """,
+)
+def events_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def ranked(etype: str, idcol: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(idcol),
+            F.col("ts").alias(f"{idcol}_ts"),
+            F.row_number().over(w).alias("k"),
+        )
+
+    c = ranked("click", "click_id")
+    p = ranked("purchase", "purchase_id")
+    gap = F.expr(
+        "(unix_micros(purchase_id_ts) - unix_micros(click_id_ts)) DIV 1000000"
+    )
+    return c.join(p, ["user_id", "k"]).select(
+        "user_id",
+        "k",
+        "click_id",
+        "purchase_id",
+        gap.cast("bigint").alias("gap_s"),
+        (F.col("purchase_id_ts") < F.col("click_id_ts"))
+        .cast("int")
+        .alias("out_of_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (Herfindahl–Hirschman index per part)
+# ---------------------------------------------------------------------------
+# Supply-chain risk: how concentrated is each part's supplier base?
+# HHI = Σ share_i² collapses algebraically to Σ v_i² / (Σ v_i)² — so
+# both sums are EXACT int64 over quantity units and the index is one
+# plain division (bitwise cross-engine), no per-share floats. Parts
+# near 1.0 are single-sourced (the risk list); the exact-int
+# formulation also makes the metric re-aggregatable from per-supplier
+# partials.
+@query(
+    "parts_supplier_hhi",
+    """
+    WITH v AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(q) AS BIGINT) AS total_qty,
+           CAST(SUM(q * q) AS DOUBLE) / (SUM(q) * SUM(q)) AS hhi
+    FROM v GROUP BY l_partkey
+    """,
+)
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qexpr = F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)")
+    v = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qexpr).cast("bigint").alias("q")
+    )
+    return v.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        (
+            F.sum(F.col("q") * F.col("q")).cast("double")
+            / (F.sum("q") * F.sum("q"))
+        ).alias("hhi"),
+    )
