@@ -152,6 +152,8 @@ EXTRA = [
     "events_error_budget",
     "events_fifo_match",
     "parts_supplier_hhi",
+    "events_user_lifecycle",
+    "lineitem_discount_effect",
 ]
 
 

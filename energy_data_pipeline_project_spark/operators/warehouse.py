@@ -973,3 +973,143 @@ def events_behavior_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_purchasers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User lifecycle stages (new / active / lapsing / churned)
+# ---------------------------------------------------------------------------
+# Product-analytics staple: classify every user by first/last activity
+# against the corpus snapshot — new (first seen recently), churned
+# (silent too long), lapsing (quiet but not gone), active otherwise.
+# One aggregation to (user, first, last), one broadcast snapshot, one
+# expression; thresholds are exact integer day diffs. The stage
+# report rolls up per stage with exact-int shares. Thresholds are
+# config knobs; these values are calibrated to the synthetic corpus'
+# dense 30-day span (every user spans nearly the whole window, so the
+# discriminating signal is the 0-2-day tail gap) purely so all four
+# CASE branches execute — a production deployment would use
+# 7/7/14-day-style cuts.
+_LC_NEW_DAYS = 28
+_LC_LAPSE_DAYS = 0
+_LC_CHURN_DAYS = 1
+
+
+@query(
+    "events_user_lifecycle",
+    f"""
+    WITH snap AS (SELECT MAX(CAST(ts AS DATE)) AS today FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)),
+                       (SELECT today FROM snap)) AS first_age,
+             date_diff('day', MAX(CAST(ts AS DATE)),
+                       (SELECT today FROM snap)) AS last_gap
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT CASE WHEN last_gap > {_LC_CHURN_DAYS} THEN 'churned'
+                  WHEN first_age <= {_LC_NEW_DAYS} THEN 'new'
+                  WHEN last_gap > {_LC_LAPSE_DAYS} THEN 'lapsing'
+                  ELSE 'active' END AS stage
+      FROM u
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM staged)
+    SELECT stage, COUNT(*) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / tot.n AS share
+    FROM staged CROSS JOIN tot
+    GROUP BY stage, tot.n
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    snap = ev.agg(F.max(F.to_date("ts")).alias("today"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.datediff("today", "first_day").alias("first_age"),
+            F.datediff("today", "last_day").alias("last_gap"),
+        )
+    )
+    stage = (
+        F.when(F.col("last_gap") > _LC_CHURN_DAYS, "churned")
+        .when(F.col("first_age") <= _LC_NEW_DAYS, "new")
+        .when(F.col("last_gap") > _LC_LAPSE_DAYS, "lapsing")
+        .otherwise("active")
+    )
+    staged = u.select(stage.alias("stage"))
+    tot = staged.agg(F.count("*").alias("n"))
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .groupBy("stage", "n")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount-band effectiveness (pricing analytics)
+# ---------------------------------------------------------------------------
+# Does a deeper discount actually move more units? Quantity and
+# revenue profiled per discount band (exact integer percent bands),
+# with the volume lift vs the zero-discount band as an exact-int
+# ratio pair — the read a pricing team checks before widening a
+# promo. One aggregation + one broadcast baseline row.
+@query(
+    "lineitem_discount_effect",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+             CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem
+    ),
+    g AS (
+      SELECT disc_pct, COUNT(*) AS n_lines,
+             CAST(SUM(q) AS BIGINT) AS total_qty,
+             CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+      FROM b GROUP BY disc_pct
+    ),
+    base AS (SELECT total_qty AS q0, n_lines AS n0 FROM g WHERE disc_pct = 0)
+    SELECT g.disc_pct, g.n_lines, g.total_qty, g.revenue_cents,
+           CAST(g.total_qty AS DOUBLE) / g.n_lines AS avg_qty,
+           CAST(g.total_qty * base.n0 AS DOUBLE)
+             / (base.q0 * g.n_lines) AS qty_lift_vs_base
+    FROM g CROSS JOIN base
+    """,
+)
+def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc_pct"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("q"),
+        _cents("l_extendedprice * (1 - l_discount)").alias("rev_cents"),
+    )
+    g = b.groupBy("disc_pct").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+    )
+    base = g.where(F.col("disc_pct") == 0).select(
+        F.col("total_qty").alias("q0"), F.col("n_lines").alias("n0")
+    )
+    return g.crossJoin(F.broadcast(base)).select(
+        "disc_pct",
+        "n_lines",
+        "total_qty",
+        "revenue_cents",
+        (F.col("total_qty").cast("double") / F.col("n_lines")).alias("avg_qty"),
+        (
+            (F.col("total_qty") * F.col("n0")).cast("double")
+            / (F.col("q0") * F.col("n_lines"))
+        ).alias("qty_lift_vs_base"),
+    )
