@@ -154,6 +154,7 @@ EXTRA = [
     "parts_supplier_hhi",
     "events_user_lifecycle",
     "lineitem_discount_effect",
+    "lineitem_partition_skew",
 ]
 
 

@@ -1113,3 +1113,62 @@ def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("q0") * F.col("n_lines"))
         ).alias("qty_lift_vs_base"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew diagnosis (the pre-salting health check)
+# ---------------------------------------------------------------------------
+# Before picking a shuffle key, measure it: hash the candidate key into
+# N buckets (the cross-engine md5 hash, so the oracle sees identical
+# buckets) and report per-bucket row counts plus the max/ideal skew
+# multiple in exact per-mille. A skew multiple near 1000‰ means the
+# key distributes evenly; multiples of several thousand flag the keys
+# that need salting or AQE skew-join handling. This is the diagnostic
+# behind functions/salting.py — run it on a sampled slab per candidate
+# key at 100 TB.
+_SKEW_BUCKETS = 32
+
+
+def _skew_sql(*, duck: bool) -> str:
+    from ..functions import hashing as H
+
+    h = H.md5_int64("CAST(l_suppkey AS " + ("VARCHAR" if duck else "STRING") + ")", duck=duck)
+    return f"(({h}) % {_SKEW_BUCKETS})"
+
+
+@query(
+    "lineitem_partition_skew",
+    f"""
+    WITH b AS (
+      SELECT {_skew_sql(duck=True)} AS bucket, COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS nb, MAX(n) AS mx FROM b)
+    SELECT b.bucket, b.n,
+           CAST(b.n * 1000 * t.nb // t.total AS BIGINT) AS load_permille,
+           CAST(t.mx * 1000 * t.nb // t.total AS BIGINT) AS max_skew_permille
+    FROM b CROSS JOIN t
+    """,
+)
+def lineitem_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashing as H  # noqa: F401 (fragment builder)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.expr(_skew_sql(duck=False)).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    t = b.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("nb"),
+        F.max("n").alias("mx"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n",
+        F.expr("CAST(n * 1000 * nb DIV total AS BIGINT)").alias(
+            "load_permille"
+        ),
+        F.expr("CAST(mx * 1000 * nb DIV total AS BIGINT)").alias(
+            "max_skew_permille"
+        ),
+    )
