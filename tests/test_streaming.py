@@ -528,3 +528,74 @@ def test_windowed_distinct_users_parity(spark, event_dir):
     # emitted day must match batch exactly, and most days must emit
     assert g and all(g[d] == b[d] for d in g)
     assert len(g) >= len(b) - 1  # the final day may still be open
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
+    """The late-data policy, executed rather than documented — and
+    pinned to Spark's REAL guarantee: a watermark-late row is only
+    assuredly dropped once its window has been emitted and its state
+    evicted. Batch 1 advances the watermark past day-1's window end;
+    batch 2 (any row) lets the engine emit + evict day-1's state;
+    batch 3 delivers a day-1 row the watermark passed long ago — it
+    must NOT resurrect the closed window. maxFilesPerTrigger=1 with
+    explicit mtimes forces the three files into ordered micro-batches.
+    The batch control (same rows, one pass) counts the late row,
+    proving the exclusion is the watermark, not a filter."""
+    import datetime as dt
+    import os
+    import time
+
+    path = str(tmp_path_factory.mktemp("late-stream"))
+
+    def mk(rows, fname, mtime):
+        df = spark.createDataFrame(
+            [
+                (100 * i + d, dt.datetime(2024, 1, d, h, 0, 0), 1, "click", 1.0, "{}")
+                for i, (d, h) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        f = os.path.join(path, fname)
+        df.coalesce(1).write.mode("overwrite").parquet(f)
+        for root, _dirs, files in os.walk(f):
+            for x in files:
+                os.utime(os.path.join(root, x), (mtime, mtime))
+        os.utime(f, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: three day-1 rows + a day-2 02:00 row → watermark advances
+    # to day-2 01:00, past day-1's window end
+    mk([(1, 9), (1, 10), (1, 11), (2, 2)], "a.parquet", now - 600)
+    # batch 2: filler day-2 row; day-1's window is emitted and evicted
+    mk([(2, 3)], "b.parquet", now - 300)
+    # batch 3: a day-1 row the watermark passed — must stay dropped
+    mk([(1, 12)], "c.parquet", now - 60)
+
+    stream = (
+        spark.readStream.schema(jobs.EVENT_SCHEMA)
+        # ONE data file per micro-batch so watermark/eviction commit
+        # between the three files
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+    got = jobs.run_to_memory(
+        jobs.windowed_counts(stream), "late_probe", output_mode="append"
+    )
+    rows = got.collect()
+    by_day = {r["event_date"]: r["n"] for r in rows}
+    assert by_day[dt.date(2024, 1, 1)] == 3  # late row NOT counted
+    # the closed window is emitted exactly once, never re-opened
+    assert len([r for r in rows if r["event_date"] == dt.date(2024, 1, 1)]) == 1
+
+    # control: same five+ rows in ONE batch pass count the "late" row —
+    # proving the exclusion above was the watermark, not a filter
+    batch_equiv = (
+        spark.read.schema(jobs.EVENT_SCHEMA)
+        .parquet(path + "/*")
+        .groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .collect()
+    )
+    counts = {r["d"]: r["count"] for r in batch_equiv}
+    assert counts[dt.date(2024, 1, 1)] == 4
