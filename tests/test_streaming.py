@@ -599,3 +599,44 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
     )
     counts = {r["d"]: r["count"] for r in batch_equiv}
     assert counts[dt.date(2024, 1, 1)] == 4
+
+
+def test_stateful_jobs_run_on_rocksdb_state_store(spark, event_dir):
+    """State-store portability: the windowed aggregation must produce
+    identical results on the RocksDB state store provider (how large
+    deployments keep streaming state off the JVM heap and restart
+    fast). Provider is a per-query conf via the checkpoint'd session
+    conf; results must match the default-HDFS-provider run exactly."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = jobs.read_event_stream(spark, event_dir)
+        got = jobs.run_to_memory(jobs.windowed_counts(stream), "rocksdb_counts")
+        rows = {
+            (r["event_date"], r["event_type"]): (r["n"], r["avg_value"])
+            for r in got.collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    want = {
+        (r["event_date"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in batch.collect()
+    }
+    assert rows.keys() == want.keys()
+    for k in want:
+        assert rows[k][0] == want[k][0], k
+        assert abs(rows[k][1] - want[k][1]) < 1e-3, k
