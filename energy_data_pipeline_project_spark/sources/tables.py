@@ -86,3 +86,12 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views so ad-hoc users can
+    drive the engine through plain ``spark.sql`` — the same names the
+    DuckDB oracle uses, so any oracle SQL in this repo is also
+    (modulo dialect) a usable example query."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

@@ -87,3 +87,25 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS statdb.nation_t")
         spark.sql("DROP DATABASE IF EXISTS statdb")
+
+
+def test_register_views_enables_plain_sql(spark):
+    from energy_data_pipeline_project_spark.sources.tables import (
+        TABLES,
+        register_views,
+    )
+
+    from .conftest import SF_SMOKE
+
+    register_views(spark, SF_SMOKE)
+    for t in TABLES:
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {t}").collect()[0]["n"] > 0
+    # a join through the SQL door matches the DataFrame door exactly
+    # (every order's custkey resolves, so the FK join preserves counts)
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey"
+    ).collect()[0]["n"]
+    assert got == load_table(spark, SF_SMOKE, "orders").count()
