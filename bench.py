@@ -155,6 +155,7 @@ EXTRA = [
     "events_user_lifecycle",
     "lineitem_discount_effect",
     "lineitem_partition_skew",
+    "training_negative_samples",
 ]
 
 

@@ -972,3 +972,91 @@ def agg_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(trimmed, "event_type").select(
         "event_type", "n", "n_kept", "trimmed_sum_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (training-pair construction)
+# ---------------------------------------------------------------------------
+# Contrastive / recsys training needs (entity, negative) pairs drawn
+# from items the entity did NOT interact with — reproducibly, so a
+# re-run of the pipeline emits identical training data. Candidates are
+# hash-generated per (customer, draw): part = md5(cust:i) mod |parts|,
+# a fixed oversample of draws per customer; one anti-join against the
+# positives removes accidental hits, in-customer dedup keeps the first
+# occurrence of a repeated part, and the first K surviving draws are
+# the sample. Everything is the cross-engine md5, so the oracle
+# reproduces the exact sample — determinism IS the tested property.
+# Scale: candidates are K'·|customers| rows (no cartesian), the
+# anti-join shuffles on (cust, part) ids, windows partition by
+# customer.
+NEG_DRAWS = 12  # oversample per customer
+NEG_KEEP = 4  # negatives kept per customer
+
+
+def _neg_part(duck: bool) -> str:
+    cast = "VARCHAR" if duck else "STRING"
+    h = H.md5_int64(f"(CAST(c_custkey AS {cast}) || ':' || CAST(i AS {cast}))", duck=duck)
+    return f"(({h}) % 2000)"
+
+
+@query(
+    "training_negative_samples",
+    f"""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    draws AS (
+      SELECT c.c_custkey, t.i, {_neg_part(True)} AS p
+      FROM customer c,
+           LATERAL (SELECT unnest(generate_series(1, {NEG_DRAWS})) AS i) t
+    ),
+    neg AS (
+      SELECT d.c_custkey, d.i, d.p
+      FROM draws d LEFT JOIN pos ON d.c_custkey = pos.c_custkey AND d.p = pos.p
+      WHERE pos.p IS NULL
+    ),
+    dedup AS (
+      SELECT c_custkey, i, p,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey, p ORDER BY i) AS dup_rn
+      FROM neg
+    ),
+    ranked AS (
+      SELECT c_custkey, p, i,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY i) AS rn
+      FROM dedup WHERE dup_rn = 1
+    )
+    SELECT c_custkey, p AS p_partkey, CAST(rn AS INT) AS sample_rank
+    FROM ranked WHERE rn <= {NEG_KEEP}
+    """,
+)
+def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+    )
+    draws = cust.select("c_custkey").select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(1), F.lit(NEG_DRAWS))).alias("i"),
+    ).select("c_custkey", "i", F.expr(_neg_part(False)).alias("p"))
+    neg = draws.join(pos, ["c_custkey", "p"], "left_anti")
+    wd = Window.partitionBy("c_custkey", "p").orderBy("i")
+    wr = Window.partitionBy("c_custkey").orderBy("i")
+    return (
+        neg.withColumn("dup_rn", F.row_number().over(wd))
+        .where(F.col("dup_rn") == 1)
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= NEG_KEEP)
+        .select(
+            "c_custkey",
+            F.col("p").alias("p_partkey"),
+            F.col("rn").cast("int").alias("sample_rank"),
+        )
+    )
