@@ -56,13 +56,35 @@ class LocalJsonSource:
 
 
 class RestSource:
-    """Per-day REST GET against the upstream API."""
+    """Per-day REST GET against the upstream API.
 
-    def __init__(self, config: PipelineConfig):
+    ``retries``/``backoff_s`` extend the reference's client (which
+    fails a whole backfill on one transient 5xx —
+    ``api_client.py:19-33`` has timeout + raise_for_status only):
+    transient failures (connection errors, 5xx, 429) are retried with
+    linear backoff; 4xx client errors other than 429 stay fatal
+    immediately — retrying a 404 day just hammers the API. Defaults
+    keep reference behavior (``retries=0``).
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        retries: int = 0,
+        backoff_s: float = 1.0,
+        _sleep=None,
+    ):
         self._base = config.api_base_url.rstrip("/")
         self._timeout = config.request_timeout_s
+        self._retries = int(retries)
+        self._backoff = float(backoff_s)
+        # injectable for tests; deferred import keeps hermetic envs
+        # requests-free
+        self._sleep = _sleep
 
     def fetch(self, dataset: DatasetSpec, day: str) -> dict[str, Any] | None:
+        import time
+
         import requests
 
         params = dict(dataset.params)
@@ -75,10 +97,26 @@ class RestSource:
             params[dataset.key_column] = key
         params["start"] = day
         params["end"] = day
-        resp = requests.get(
-            f"{self._base}/{dataset.endpoint}",
-            params=params,
-            timeout=self._timeout,
-        )
-        resp.raise_for_status()
-        return resp.json()
+
+        sleep = self._sleep or time.sleep
+        last_err: Exception | None = None
+        for attempt in range(self._retries + 1):
+            if attempt:
+                sleep(self._backoff * attempt)
+            try:
+                resp = requests.get(
+                    f"{self._base}/{dataset.endpoint}",
+                    params=params,
+                    timeout=self._timeout,
+                )
+                resp.raise_for_status()
+                return resp.json()
+            except requests.exceptions.HTTPError as e:
+                status = getattr(e.response, "status_code", None)
+                if status is not None and 400 <= status < 500 and status != 429:
+                    raise  # real client error — retrying can't help
+                last_err = e
+            except requests.exceptions.RequestException as e:
+                last_err = e  # connection/timeout: transient
+        assert last_err is not None
+        raise last_err

@@ -218,3 +218,90 @@ def test_cli_compact_after(tmp_path, capsys, spark, monkeypatch):
         if f.endswith(".parquet")
     ]
     assert len(files) == 1
+
+
+def test_rest_source_retries_transient_errors(monkeypatch):
+    """Transient 5xx responses retry with linear backoff; the payload
+    lands on the attempt that succeeds, and sleeps happen between
+    attempts only."""
+    import requests
+
+    from energy_data_pipeline_project_spark.sources.payloads import RestSource
+
+    attempts = []
+    sleeps = []
+
+    class Resp:
+        def __init__(self, status):
+            self.status_code = status
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                err = requests.exceptions.HTTPError(response=self)
+                raise err
+
+        def json(self):
+            return {"ok": True}
+
+    def fake_get(url, params=None, timeout=None):
+        attempts.append(1)
+        return Resp(503 if len(attempts) < 3 else 200)
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    cfg = load_config(EXAMPLE)
+    src = RestSource(cfg, retries=3, backoff_s=2.0, _sleep=sleeps.append)
+    out = src.fetch(cfg.datasets[0], "2025-01-01")
+    assert out == {"ok": True}
+    assert len(attempts) == 3
+    assert sleeps == [2.0, 4.0]  # linear backoff between attempts
+
+
+def test_rest_source_client_errors_fail_fast(monkeypatch):
+    """A 404 must NOT be retried (retrying a missing day hammers the
+    API); default retries=0 keeps exact reference behavior."""
+    import pytest
+    import requests
+
+    from energy_data_pipeline_project_spark.sources.payloads import RestSource
+
+    attempts = []
+
+    class Resp:
+        status_code = 404
+
+        def raise_for_status(self):
+            raise requests.exceptions.HTTPError(response=self)
+
+        def json(self):  # pragma: no cover
+            return {}
+
+    def fake_get(url, params=None, timeout=None):
+        attempts.append(1)
+        return Resp()
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    cfg = load_config(EXAMPLE)
+    src = RestSource(cfg, retries=5, _sleep=lambda s: None)
+    with pytest.raises(requests.exceptions.HTTPError):
+        src.fetch(cfg.datasets[0], "2025-01-01")
+    assert len(attempts) == 1  # failed fast despite retries=5
+
+
+def test_rest_source_exhausted_retries_raise_last_error(monkeypatch):
+    import pytest
+    import requests
+
+    from energy_data_pipeline_project_spark.sources.payloads import RestSource
+
+    attempts = []
+
+    def fake_get(url, params=None, timeout=None):
+        attempts.append(1)
+        raise requests.exceptions.ConnectionError("down")
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    cfg = load_config(EXAMPLE)
+    src = RestSource(cfg, retries=2, _sleep=lambda s: None)
+    with pytest.raises(requests.exceptions.ConnectionError):
+        src.fetch(cfg.datasets[0], "2025-01-01")
+    assert len(attempts) == 3  # 1 try + 2 retries
