@@ -83,3 +83,33 @@ def test_minhash_lsh_on_10k_docs(spark, big_dir):
     assert n >= planted
     # and the candidate space stayed bucket-bounded, not O(n²)/2 ≈ 50M
     assert n < planted * 2
+
+def test_novelty_attributes_all_shingles_to_base_copies(spark, big_dir):
+    """On the replicated corpus every shingle's first owner is a base
+    (copy-0) document — replica ids are offset by +10M — so replicas
+    must score zero novelty while the output still covers all docs."""
+    from energy_data_pipeline_project_spark.operators import text
+
+    out = text.QUERIES["text_ngram_novelty"](spark, big_dir)
+    rows = out.collect()
+    assert len(rows) == 500 * N_COPIES
+    novel_owners = {r["doc_id"] for r in rows if r["n_novel"] > 0}
+    assert novel_owners and all(d < 10_000_000 for d in novel_owners)
+    replicas = [r for r in rows if r["doc_id"] >= 10_000_000]
+    assert replicas and all(r["n_novel"] == 0 for r in replicas)
+
+
+def test_components_collapse_planted_clique_families(spark, big_dir):
+    """Connected components over the replicated corpus: each planted
+    20-copy family lands in ONE component whose representative (min
+    label) is its base document."""
+    from energy_data_pipeline_project_spark.operators import dedup as dd
+
+    docs = load_table(spark, big_dir, "documents")
+    try:
+        comps = dd.duplicate_components(docs, dd.minhash_lsh_pairs(docs))
+        rows = comps.where(F.col("component_size") >= N_COPIES).collect()
+    finally:
+        dd.release_cached_frames()
+    assert len(rows) >= 500 * N_COPIES  # every planted family captured
+    assert all(r["component_id"] < 10_000_000 for r in rows)
