@@ -156,6 +156,10 @@ EXTRA = [
     "lineitem_discount_effect",
     "lineitem_partition_skew",
     "training_negative_samples",
+    "split_leakage_audit",
+    "corpus_token_budget_plan",
+    "train_linear_probe",
+    "text_heavy_hitters",
 ]
 
 

@@ -27,6 +27,7 @@ def all_queries() -> dict[str, QueryFn]:
         text,
         timeseries,
         tpch_shapes,
+        training,
         warehouse,
     )
 
@@ -43,6 +44,7 @@ def all_queries() -> dict[str, QueryFn]:
         text,
         multimodal,
         curation,
+        training,
     ):
         out.update(mod.QUERIES)
     return out
@@ -60,6 +62,7 @@ def all_oracles() -> dict[str, str]:
         text,
         timeseries,
         tpch_shapes,
+        training,
         warehouse,
     )
 
@@ -76,6 +79,7 @@ def all_oracles() -> dict[str, str]:
         text,
         multimodal,
         curation,
+        training,
     ):
         out.update(mod.ORACLES)
     return out
