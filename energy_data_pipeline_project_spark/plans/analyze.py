@@ -39,6 +39,7 @@ class PlanReport:
     codegen_stages: int = 0
     python_eval: bool = False  # row-at-a-time Python UDF — the slow path
     arrow_eval: bool = False  # pandas/Arrow eval — acceptable when needed
+    python_udtf: bool = False  # Python table function — deliberate, not a fallback
 
     @property
     def joins(self) -> int:
@@ -61,7 +62,13 @@ def plan_report(df: DataFrame) -> PlanReport:
     )
     rep.exchanges = len(re.findall(r"^\(\d+\) Exchange", text, re.M))
     rep.codegen_stages = len(set(re.findall(r"codegen id : (\d+)", text)))
-    rep.python_eval = "BatchEvalPython" in text
+    # BatchEvalPythonUDTF is the (deliberate) Python table-function
+    # node, not a scalar-UDF fallback — classify it separately so the
+    # no-row-python gate stays meaningful for the UDTF query.
+    rep.python_udtf = bool(re.search(r"(?:Batch|Arrow)EvalPythonUDTF", text))
+    rep.python_eval = bool(
+        re.search(r"BatchEvalPython(?!UDTF)", text)
+    )
     rep.arrow_eval = (
         "ArrowEvalPython" in text
         or "MapInPandas" in text

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Pre-flight replica of the driver's correctness gate at sf0.01.
+
+The driver stamps queries at sf0.01; the unit suite replicates parity
+at sf0.001. This script runs every oracle-checked query at the
+driver's actual scale so scale-sensitive failures (tie-breaks, caps,
+sampling thresholds) surface before the driver does. Prints one line
+per failure and a summary; exit code 1 on any failure.
+
+Usage: python scripts/parity_sf001.py [sf_dir] [only_prefix...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from energy_data_pipeline_project_spark.operators import all_oracles, all_queries
+from energy_data_pipeline_project_spark.session import get_spark_session
+from energy_data_pipeline_project_spark.testing import compare_query
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
+
+    queries = all_queries()
+    oracles = all_oracles()
+    names = sorted(oracles)
+    if prefixes:
+        names = [n for n in names if n.startswith(prefixes)]
+
+    spark = get_spark_session(app_name="parity-sf001", master="local[16]",
+                              shuffle_partitions=16)
+    failures: dict[str, str] = {}
+    timings: dict[str, float] = {}
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        try:
+            res = compare_query(spark, sf_dir, name, queries[name], oracles[name])
+            ok, detail = res.ok, res.detail
+        except Exception as e:  # noqa: BLE001 - report, keep going
+            ok, detail = False, f"exception: {e!r:.500}"
+        timings[name] = round(time.perf_counter() - t0, 2)
+        if not ok:
+            failures[name] = detail
+            print(f"FAIL {name}: {detail[:400]}", flush=True)
+        if (i + 1) % 20 == 0:
+            print(f"... {i + 1}/{len(names)} done, {len(failures)} failed",
+                  flush=True)
+
+    print(json.dumps({
+        "checked": len(names),
+        "failed": sorted(failures),
+        "slowest": sorted(timings.items(), key=lambda x: -x[1])[:10],
+    }))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
