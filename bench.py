@@ -160,6 +160,8 @@ EXTRA = [
     "corpus_token_budget_plan",
     "train_linear_probe",
     "text_heavy_hitters",
+    "embedding_pq_codes",
+    "ann_topk_pq",
 ]
 
 

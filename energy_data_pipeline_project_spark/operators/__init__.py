@@ -22,6 +22,7 @@ def all_queries() -> dict[str, QueryFn]:
         dedup,
         graph,
         multimodal,
+        pq,
         relational,
         similarity,
         text,
@@ -45,6 +46,7 @@ def all_queries() -> dict[str, QueryFn]:
         multimodal,
         curation,
         training,
+        pq,
     ):
         out.update(mod.QUERIES)
     return out
@@ -57,6 +59,7 @@ def all_oracles() -> dict[str, str]:
         dedup,
         graph,
         multimodal,
+        pq,
         relational,
         similarity,
         text,
@@ -80,6 +83,7 @@ def all_oracles() -> dict[str, str]:
         multimodal,
         curation,
         training,
+        pq,
     ):
         out.update(mod.ORACLES)
     return out

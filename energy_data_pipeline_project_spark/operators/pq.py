@@ -1,0 +1,317 @@
+"""Product quantization (PQ): learned sub-codebooks + ADC search.
+
+The storage/search compression tier for 100 TB embedding stores
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — public): split each D-dim vector into M subspaces, learn
+a K-centroid codebook per subspace (k-means), and store each vector as
+M small codes (here 8×4 bits = 4 bytes instead of 64×4 bytes — 64×).
+Search never reconstructs vectors: a per-query lookup table of
+(subspace, code) → partial distance is built against the codebooks,
+and a vector's approximate distance is the sum of M table lookups
+(asymmetric distance computation, ADC).
+
+Exactness strategy (same as ``clustering.kmeans_embeddings``, whose
+Lloyd-on-integer-grid idiom this reuses per subspace): embeddings are
+quantized to an integer grid, all distances are exact int64 sums,
+argmins tie-break to the lowest code via a composite ``dist*K + code``
+key, and centroid updates floor the exact integer mean — so codebook
+training, encoding, AND the ADC ranking are bitwise identical in the
+DuckDB oracle, which replays the full chain as a generated CTE
+sequence. No floats anywhere, including the reported distances.
+
+Scale shape: codebooks are M×K×(D/M) rows — always broadcast; training
+shuffles the melted frame once per Lloyd round (keyed by dim / vec);
+encoding is one broadcast join + groupBy per vector; the query-time
+LUT is N_QUERY×M×K rows — broadcast; ADC joins the 2-byte code frame,
+never the raw vectors. Each training round ends in an eager
+localCheckpoint (iterative-plan doubling — same lesson as kmeans/CC).
+
+Reference repo: none of this exists (two-table energy ETL); SURVEY.md
+§2.10 extension surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from ._registry import make_registry
+from .similarity import N_QUERY_VECS, TOP_K
+
+QUERIES, ORACLES, query = make_registry()
+
+PQ_DIM = 64  # embedding dims (testdata schema)
+PQ_M = 8  # subspaces
+PQ_SUBDIM = PQ_DIM // PQ_M
+PQ_K = 16  # codes per subspace (4 bits)
+PQ_ITERS = 3  # Lloyd rounds per sub-codebook
+PQ_QUANT = 10000  # integer grid, matches clustering.KMEANS_QUANT
+
+
+def _code_key_case(duck: bool) -> str:
+    """code → code * K^sub as a CASE over the M subspaces (portable
+    integer exponentiation; K^sub stays tiny: 16^3 = 4096)."""
+    arms = " ".join(
+        f"WHEN {m} THEN {PQ_K ** m}" for m in range(PQ_M)
+    )
+    return f"(CASE sub {arms} END)"
+
+
+def _pq_oracle_prefix() -> str:
+    """Shared CTE chain: melted grid → per-subspace codebook training
+    (PQ_ITERS Lloyd rounds) → final code per (vec, sub)."""
+    k, q, sd = PQ_K, PQ_QUANT, PQ_SUBDIM
+    parts = [
+        f"""
+    WITH m AS (
+      SELECT vec_id, u['d'] AS dim, (u['d'] - 1) // {sd} AS sub,
+             CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val
+      FROM (SELECT vec_id,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {{'d': i, 'v': embedding[i]}})) AS u
+            FROM embeddings)
+    ), c0 AS (
+      SELECT vec_id AS code, sub, dim, val AS cval FROM m WHERE vec_id < {k}
+    )"""
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""", a{it} AS (
+      SELECT vec_id, sub, MIN(dist * {k} + code) AS key
+      FROM (SELECT m.vec_id, m.sub, c.code,
+                   SUM((m.val - c.cval) * (m.val - c.cval)) AS dist
+            FROM m JOIN {prev} c ON m.dim = c.dim
+            GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    )"""
+        )
+        if it < PQ_ITERS:
+            parts.append(
+                f""", c{it} AS (
+      SELECT a.key % {k} AS code, m.sub, m.dim,
+             CAST(FLOOR(CAST(SUM(m.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cval
+      FROM m JOIN a{it} a ON m.vec_id = a.vec_id AND m.sub = a.sub
+      GROUP BY 1, 2, 3
+    )"""
+            )
+    parts.append(
+        f""", codes AS (
+      SELECT vec_id, sub, key % {k} AS code, key // {k} AS sq_err
+      FROM a{PQ_ITERS}
+    )"""
+    )
+    return "".join(parts)
+
+
+def _codes_oracle() -> str:
+    return f"""{_pq_oracle_prefix()}
+    SELECT vec_id,
+           CAST(SUM(code * {_code_key_case(True)}) AS BIGINT) AS code_key,
+           CAST(SUM(sq_err) AS BIGINT) AS total_sq_err
+    FROM codes GROUP BY vec_id
+    """
+
+
+PQ_SHORTLIST = 50  # ADC candidates refined with exact distances
+
+
+def _adc_oracle() -> str:
+    # LUT against the codebook the final assignment used (c{ITERS-1});
+    # ADC distance = sum of the M per-subspace table entries. The ADC
+    # top-PQ_SHORTLIST per query is then re-ranked by the EXACT grid
+    # distance (the standard PQ refine stage — ADC generates
+    # candidates; the final order never depends on quantization error).
+    return f"""{_pq_oracle_prefix()}, lut AS (
+      SELECT m.vec_id AS query_id, c.sub, c.code,
+             SUM((m.val - c.cval) * (m.val - c.cval)) AS d2
+      FROM m JOIN c{PQ_ITERS - 1} c ON m.dim = c.dim
+      WHERE m.vec_id < {N_QUERY_VECS}
+      GROUP BY 1, 2, 3
+    ), adist AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adist_sq
+      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+      GROUP BY 1, 2
+    ), shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist_sq, neighbor_id) AS rn
+        FROM adist WHERE query_id != neighbor_id
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ), refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM((mq.val - mn.val) * (mq.val - mn.val)) AS BIGINT)
+               AS dist_sq
+      FROM shortlist s
+      JOIN m mq ON mq.vec_id = s.query_id
+      JOIN m mn ON mn.vec_id = s.neighbor_id AND mn.dim = mq.dim
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, neighbor_id, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dist_sq, neighbor_id) AS rn
+      FROM refined
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, dist_sq
+    FROM r WHERE rn <= {TOP_K}
+    """
+
+
+def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("bigint").alias("dim"),
+            (F.col("pos0") / PQ_SUBDIM).cast("bigint").alias("sub"),
+            F.floor(F.col("v").cast("double") * PQ_QUANT)
+            .cast("bigint")
+            .alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _train_codes(melted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PQ_ITERS Lloyd rounds per subspace. Returns (codes, centroids):
+    codes = (vec_id, sub, code, sq_err) from the final assignment;
+    centroids = the codebook that assignment used."""
+    k = PQ_K
+    cent = melted.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("code"), "sub", "dim", F.col("val").alias("cval")
+    )
+    assign = None
+    for it in range(PQ_ITERS):
+        dist = (
+            melted.join(F.broadcast(cent.drop("sub")), "dim")
+            .groupBy("vec_id", "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+        )
+        assign = dist.groupBy("vec_id", "sub").agg(
+            F.min(F.col("dist") * k + F.col("code")).alias("key")
+        )
+        if it < PQ_ITERS - 1:
+            cent = (
+                melted.join(
+                    assign.select(
+                        "vec_id", "sub", (F.col("key") % k).alias("code")
+                    ),
+                    ["vec_id", "sub"],
+                )
+                .groupBy("code", "sub", "dim")
+                .agg(
+                    F.floor(F.sum("val").cast("double") / F.count("*"))
+                    .cast("bigint")
+                    .alias("cval")
+                )
+                .localCheckpoint(eager=True)
+            )
+    codes = assign.select(
+        "vec_id",
+        "sub",
+        (F.col("key") % k).alias("code"),
+        F.expr(f"key DIV {k}").alias("sq_err"),
+    )
+    return codes, cent
+
+
+@query("embedding_pq_codes", _codes_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's packed PQ code (M 4-bit codes → one BIGINT) and
+    its exact total quantization error on the integer grid — the
+    compression-quality report for the 128× storage path."""
+    codes, _ = _train_codes(_melted(spark, sf_dir))
+    return codes.groupBy("vec_id").agg(
+        F.sum(F.col("code") * F.expr(_code_key_case(False)))
+        .cast("bigint")
+        .alias("code_key"),
+        F.sum("sq_err").cast("bigint").alias("total_sq_err"),
+    )
+
+
+@query("ann_topk_pq", _adc_oracle())
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k via PQ in the standard two-stage shape: (1) asymmetric
+    distance computation — per-query LUT against the trained codebooks
+    (N_QUERY×M×K rows, broadcast), candidate distance = sum of M
+    lookups over the 4-byte code frame, top-PQ_SHORTLIST kept;
+    (2) refine — the shortlist alone is re-ranked by EXACT grid
+    distance against the raw vectors (touches PQ_SHORTLIST×N_QUERY
+    vectors, not the corpus). Everything int64-exact; recall vs brute
+    force is pinned in tests/test_pq.py."""
+    melted = _melted(spark, sf_dir)
+    codes, cent = _train_codes(melted)
+    qm = melted.where(F.col("vec_id") < N_QUERY_VECS)
+    lut = (
+        qm.withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent.drop("sub")), "dim")
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
+    shortlist = (
+        adist.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    refined = (
+        shortlist.join(
+            F.broadcast(
+                qm.select(
+                    F.col("vec_id").alias("query_id"),
+                    "dim",
+                    F.col("val").alias("qval"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            melted.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "dim",
+                F.col("val").alias("nval"),
+            ),
+            ["neighbor_id", "dim"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("nval"))
+                * (F.col("qval") - F.col("nval"))
+            )
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        refined.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rn").cast("int").alias("rank"),
+            "dist_sq",
+        )
+    )

@@ -365,11 +365,11 @@ HH_K = 32  # counters per partition summary
 HH_TOP = 20  # reported rows
 
 
-def mg_partial(tokens, k: int = HH_K) -> dict[str, int]:
-    """Classic Misra-Gries over an iterable of tokens with k counters:
-    est ∈ [true - n/(k+1), true] per stream. Pure Python, unit-tested
-    directly; the distributed path runs one instance per partition."""
-    counts: dict[str, int] = {}
+def mg_update(counts: dict[str, int], tokens, k: int = HH_K) -> dict[str, int]:
+    """Misra-Gries continuation: fold more tokens into an existing
+    k-counter summary IN PLACE (MG is one-pass, so resuming from a
+    stored summary is exactly the same algorithm — the property the
+    streaming twin in streaming/sketches.py relies on)."""
     for t in tokens:
         if t in counts:
             counts[t] += 1
@@ -384,6 +384,13 @@ def mg_partial(tokens, k: int = HH_K) -> dict[str, int]:
             for key in dead:
                 del counts[key]
     return counts
+
+
+def mg_partial(tokens, k: int = HH_K) -> dict[str, int]:
+    """Classic Misra-Gries over an iterable of tokens with k counters:
+    est ∈ [true - n/(k+1), true] per stream. Pure Python, unit-tested
+    directly; the distributed path runs one instance per partition."""
+    return mg_update({}, tokens, k)
 
 
 def heavy_hitters_frame(docs: DataFrame) -> DataFrame:

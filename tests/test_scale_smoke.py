@@ -55,6 +55,18 @@ def big_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(f"{root}/documents.parquet")
     )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{root}/embeddings.parquet")
+    )
     return root
 
 
@@ -113,3 +125,55 @@ def test_components_collapse_planted_clique_families(spark, big_dir):
         dd.release_cached_frames()
     assert len(rows) >= 500 * N_COPIES  # every planted family captured
     assert all(r["component_id"] < 10_000_000 for r in rows)
+
+
+def test_heavy_hitters_on_10k_docs(spark, big_dir):
+    """MG sketch cost is O(tokens) map-side + O(partitions×k) merged
+    rows — the 20× corpus must stay seconds, and the 20× replication
+    must scale the surviving estimates ~20× vs the base corpus."""
+    from energy_data_pipeline_project_spark.operators import training
+
+    big = {
+        r["token"]: r["est_count"]
+        for r in training.QUERIES["text_heavy_hitters"](spark, big_dir).collect()
+    }
+    assert len(big) == training.HH_TOP
+    base = {
+        r["token"]: r["est_count"]
+        for r in training.QUERIES["text_heavy_hitters"](spark, SF_CORRECT).collect()
+    }
+    shared = set(big) & set(base)
+    assert shared, "top tokens should overlap across scales"
+    # underestimates can lag, but ≥ the base-scale estimate always
+    assert all(big[t] >= base[t] for t in shared)
+
+
+def test_split_leakage_audit_on_10k_docs(spark, big_dir):
+    """The leakage audit rides the capped LSH pair frame — finishing
+    on the 20×-replicated corpus (where every text has C(20,2) planted
+    pairs) is the no-quadratic-blowup check; replicas share the base
+    doc's split only when their hash agrees, so cross-split buckets
+    must appear."""
+    from energy_data_pipeline_project_spark.operators import training
+
+    rows = training.QUERIES["split_leakage_audit"](spark, big_dir).collect()
+    assert rows
+    leaking = [r for r in rows if r["split_a"] != r["split_b"]]
+    assert leaking, "replicated families must straddle hash splits"
+    planted = 500 * N_COPIES * (N_COPIES - 1) // 2
+    assert sum(r["n_pairs"] for r in rows) >= planted
+
+
+def test_pq_codes_on_10k_vectors(spark, big_dir):
+    """PQ training + encoding on the 20× embedding store: one code row
+    per vector, and replicated vectors must encode identically to
+    their base copy (same codebooks, same subvectors)."""
+    from energy_data_pipeline_project_spark.operators import pq
+
+    rows = pq.QUERIES["embedding_pq_codes"](spark, big_dir).collect()
+    assert len(rows) == 500 * N_COPIES
+    keys = {r["vec_id"]: r["code_key"] for r in rows}
+    base_ids = [v for v in keys if v < 10_000_000]
+    assert base_ids and all(
+        keys[b + 10_000_000] == keys[b] for b in base_ids
+    )
