@@ -69,6 +69,32 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_value_histogram(events: DataFrame) -> DataFrame:
+    """Streaming twin of the daily stage of
+    ``timeseries.events_quantile_histogram``: per (day, series) integer
+    histogram bins maintained incrementally under the watermark. The
+    emitted sketch is mergeable by pure addition — exactly what the
+    batch weekly rollup does — so day sketches stream out while weekly
+    quantiles stay a cheap downstream batch query. State per window is
+    O(series x bins), bounded by the bin domain, never by row count."""
+    from ..operators.timeseries import HIST_BIN_WIDTH
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.to_date("win.start").alias("d"), "event_type", "bin", "cnt"
+        )
+    )
+
+
 def sliding_avg(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", WATERMARK)

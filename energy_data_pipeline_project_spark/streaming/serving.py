@@ -1,0 +1,172 @@
+"""Online similarity serving: stream of query vectors vs a static PQ
+index, on the same engine that built the index.
+
+The serving pattern for a 100 TB embedding store: the PQ index (code
+frame + codebooks, built once by ``operators/pq._train_codes``) is a
+static DataFrame; queries arrive as a stream; each micro-batch runs
+the identical ADC-shortlist → exact-refine pipeline the batch query
+(``ann_topk_pq``) runs, so online results match offline results
+row-for-row (pinned by tests/test_streaming_serving.py).
+
+Implementation note: top-k needs a ranking window, and ranking windows
+are not allowed on unbounded streams (there is no watermark that
+bounds "rank within query"). ``foreachBatch`` is the standard answer —
+each micro-batch is a bounded DataFrame, so the full batch pipeline
+(joins + window) applies verbatim, and the sink callback appends the
+batch's results. State lives entirely in the static index; the stream
+side is stateless, so replay/recovery follows the sink's idempotence
+(here: parquet append keyed by query_id — rewrites are dedupable
+downstream by (query_id, rank)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.pq import (
+    PQ_QUANT,
+    PQ_SHORTLIST,
+    PQ_SUBDIM,
+    _melted,
+    _train_codes,
+)
+from ..operators.similarity import TOP_K
+
+
+@dataclass
+class PQIndex:
+    """Static serving index: per-vector codes, the codebook those codes
+    were assigned against, and the melted corpus grid for the refine
+    stage (at scale the refine side reads the vector store by id; here
+    it is the same melted frame)."""
+
+    codes: DataFrame
+    centroids: DataFrame
+    corpus_melted: DataFrame
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str) -> PQIndex:
+    melted = _melted(spark, sf_dir)
+    codes, cent = _train_codes(melted)
+    return PQIndex(
+        codes=codes.localCheckpoint(eager=True),
+        centroids=cent.localCheckpoint(eager=True),
+        corpus_melted=melted,
+    )
+
+
+def _serve_batch(batch: DataFrame, index: PQIndex) -> DataFrame:
+    """The batch ADC+refine pipeline applied to one micro-batch of
+    (query_id, embedding) rows. Identical math to ann_topk_pq."""
+    qm = batch.select(
+        "query_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "query_id",
+        (F.col("pos0") + 1).cast("bigint").alias("dim"),
+        (F.col("pos0") / PQ_SUBDIM).cast("bigint").alias("sub"),
+        F.floor(F.col("v").cast("double") * PQ_QUANT)
+        .cast("bigint")
+        .alias("val"),
+    )
+    lut = (
+        qm.join(F.broadcast(index.centroids.drop("sub")), "dim")
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    adist = (
+        index.codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
+    shortlist = (
+        adist.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    refined = (
+        shortlist.join(
+            F.broadcast(
+                qm.select(
+                    "query_id", "dim", F.col("val").alias("qval")
+                )
+            ),
+            ["query_id"],
+        )
+        .join(
+            index.corpus_melted.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "dim",
+                F.col("val").alias("nval"),
+            ),
+            ["neighbor_id", "dim"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("nval"))
+                * (F.col("qval") - F.col("nval"))
+            )
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        refined.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rn").cast("int").alias("rank"),
+            "dist_sq",
+        )
+    )
+
+
+def serve_ann_stream(
+    queries_stream: DataFrame, index: PQIndex, out_dir: str, checkpoint: str
+):
+    """Start the serving query: each micro-batch of (query_id,
+    embedding) rows is answered against the static index and appended
+    to ``out_dir`` as parquet. Returns the StreamingQuery."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        _serve_batch(batch, index).write.mode("append").parquet(out_dir)
+
+    return (
+        queries_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def save_pq_index(index: PQIndex, path: str) -> None:
+    """Persist the serving index: the code frame and its codebook.
+    The refine-side vector store is the corpus itself and is NOT
+    duplicated into the index (at 100 TB the index is the 4-byte/row
+    artifact; vectors stay in their own table)."""
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_pq_index(spark: SparkSession, path: str, sf_dir: str) -> PQIndex:
+    """Load a saved index and re-attach the corpus vector store for
+    the refine stage."""
+    return PQIndex(
+        codes=spark.read.parquet(f"{path}/codes"),
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        corpus_melted=_melted(spark, sf_dir),
+    )

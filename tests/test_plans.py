@@ -363,3 +363,28 @@ def test_yoy_growth_joins_on_month_grain(spark):
     assert rep.joins >= 1
     assert "CartesianProduct" not in rep.plan
     assert "BroadcastNestedLoopJoin" not in rep.plan
+
+
+def test_training_tier_plans_stay_jvm_side(spark):
+    """The round-3 training-assembly + PQ tiers: no row-at-a-time
+    Python anywhere; Arrow eval only in the MG sketch (its mapInPandas
+    summaries are the design); no cartesian blowups."""
+    from energy_data_pipeline_project_spark.operators import pq, training
+
+    for name, fn in {**training.QUERIES, **pq.QUERIES}.items():
+        rep = plan_report(fn(spark, SF_SMOKE))
+        assert not rep.python_eval, f"{name} fell back to BatchEvalPython"
+        assert "CartesianProduct" not in rep.plan, name
+        if name != "text_heavy_hitters":
+            assert not rep.arrow_eval, f"{name} unexpectedly uses pandas eval"
+
+
+def test_linear_probe_gradient_aggregates_are_partial(spark):
+    """Each GD step must be a map-side-combinable aggregate: the plan
+    holds partial/final HashAggregate pairs, not a single-partition
+    sort-based aggregation over raw rows."""
+    from energy_data_pipeline_project_spark.operators import training
+
+    rep = plan_report(training.QUERIES["train_linear_probe"](spark, SF_SMOKE))
+    assert rep.plan.count("HashAggregate") >= 4  # 2 steps × partial+final
+    assert not rep.python_eval

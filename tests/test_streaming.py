@@ -640,3 +640,32 @@ def test_stateful_jobs_run_on_rocksdb_state_store(spark, event_dir):
     for k in want:
         assert rows[k][0] == want[k][0], k
         assert abs(rows[k][1] - want[k][1]) < 1e-3, k
+
+
+def test_windowed_histogram_parity(spark, event_dir):
+    """The streamed daily histogram sketch must equal the batch daily
+    stage bin-for-bin (pure integer counts — exact), proving the
+    streamed sketches merge into the same weekly quantiles."""
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        HIST_BIN_WIDTH,
+    )
+
+    stream = jobs.read_event_stream(spark, event_dir)
+    got = jobs.run_to_memory(
+        jobs.windowed_value_histogram(stream), "daily_hist"
+    )
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = {(r[0], r[1], r[2]): r[3] for r in got.collect()}
+    b = {(r[0], r[1], r[2]): r[3] for r in batch.collect()}
+    assert g == b
