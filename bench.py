@@ -162,6 +162,8 @@ EXTRA = [
     "text_heavy_hitters",
     "embedding_pq_codes",
     "ann_topk_pq",
+    "corpus_probe_filter",
+    "text_bpe_encode",
 ]
 
 

@@ -617,6 +617,56 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_encode_oracle() -> str:
+    head = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s0 AS (
+      SELECT doc_id, u['p'] AS pos, u['t'] AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks)),
+                          i -> {{'p': i, 't': toks[i]}})) AS u
+            FROM t)
+    )"""
+    iters = "".join(_bpe_iter_sql(i) for i in range(1, BPE_ITERS + 1))
+    return head + iters + f"""
+    SELECT r.doc_id,
+           CAST(r.n AS BIGINT) AS n_tokens_raw,
+           CAST(e.n AS BIGINT) AS n_tokens_bpe,
+           CAST(r.n - e.n AS BIGINT) AS n_merges_applied
+    FROM (SELECT doc_id, COUNT(*) AS n FROM s0 GROUP BY doc_id) r
+    JOIN (SELECT doc_id, COUNT(*) AS n FROM s{BPE_ITERS} GROUP BY doc_id) e
+      USING (doc_id)
+    """
+
+
+@query("text_bpe_encode", _bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the {BPE_ITERS} trained merge rules corpus-wide and report
+    per-document compression: raw vs encoded token counts and how many
+    merges landed in each document. The trainer's merged sequence IS
+    the encoded corpus (train-then-encode shares one pass — the same
+    amortization a production tokenizer build uses), so this rides the
+    identical window chain as ``text_bpe_merges`` and stays under the
+    exact hash gate; docs where no rule fires keep their raw length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    s = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    raw = s.groupBy("doc_id").agg(F.count("*").alias("n_tokens_raw"))
+    for _ in range(BPE_ITERS):
+        _, s = _bpe_merge_round(s)
+    enc = s.groupBy("doc_id").agg(F.count("*").alias("n_tokens_bpe"))
+    return raw.join(enc, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens_raw").cast("bigint"),
+        F.col("n_tokens_bpe").cast("bigint"),
+        (F.col("n_tokens_raw") - F.col("n_tokens_bpe"))
+        .cast("bigint")
+        .alias("n_merges_applied"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF (Spark 4) — table-valued document segmentation
 # ---------------------------------------------------------------------------

@@ -240,14 +240,18 @@ LR_DIV = 524288  # 2^19: lr = 1/LR_DIV, below the GD stability bound
 FEATURE_CAP = 512
 
 
-def _probe_oracle() -> str:
+def _probe_chain_sql() -> str:
+    """The shared WITH-chain: features f → step-1 gradient a1 →
+    weights w1 → step-2 errors/gradient z2/a2 → weights w2. Both the
+    trainer oracle and the probe-filter oracle append to this."""
     s, lr, cap = SCALE, LR_DIV, FEATURE_CAP
     return f"""
     WITH f AS (
-      SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+      SELECT source,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
              CAST(LEAST(len(toks), {cap}) AS BIGINT) AS x1,
              CAST(LEAST(len(list_distinct(toks)), {cap}) AS BIGINT) AS x2
-      FROM (SELECT lang, {_TOKS_DUCK} AS toks FROM documents)
+      FROM (SELECT source, lang, {_TOKS_DUCK} AS toks FROM documents)
     ),
     a1 AS (
       SELECT CAST(SUM(0 - y * {s}) AS BIGINT) AS s0,
@@ -283,7 +287,11 @@ def _probe_oracle() -> str:
              CAST(w1.w2 - ((a2.s2 // a2.n) // {lr}) AS BIGINT) AS w2,
              a2.loss
       FROM a2 CROSS JOIN w1
-    )
+    )"""
+
+
+def _probe_oracle() -> str:
+    return f"""{_probe_chain_sql()}
     SELECT 1 AS iter, w0 AS w_bias, w1 AS w_ntoks, w2 AS w_ndist,
            loss AS sum_sq_err FROM w1
     UNION ALL
@@ -355,6 +363,64 @@ def train_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(1, w1).unionAll(row(2, w2))
+
+
+# Calibrated on the testdata corpus (scores span ~50-460 after two GD
+# steps; median ~275): keeps roughly half the docs, so both the kept
+# and dropped branches of the filter are exercised at every scale.
+PROBE_SCORE_MIN = 280
+
+
+def _probe_filter_oracle() -> str:
+    return f"""{_probe_chain_sql()}
+    , scored AS (
+      SELECT f.source,
+             w2.w0 + w2.w1 * f.x1 + w2.w2 * f.x2 AS score
+      FROM f CROSS JOIN w2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score >= {PROBE_SCORE_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST((1000 * SUM(CASE WHEN score >= {PROBE_SCORE_MIN}
+                                 THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS kept_permille
+    FROM scored GROUP BY source
+    """
+
+
+@query("corpus_probe_filter", _probe_filter_oracle())
+def corpus_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear probe (2 GD steps) and apply it as a corpus
+    filter IN THE SAME Catalyst plan: per source, how many documents
+    clear the fixed-point score threshold. The model-training →
+    corpus-scoring → filter-report composition a curation pipeline
+    runs as one job — weights never leave the cluster, and the whole
+    chain (training included) stays under the exact hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS_SPARK)
+    feats = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("y"),
+        F.least(F.size(toks), F.lit(FEATURE_CAP)).cast("bigint").alias("x1"),
+        F.least(F.size(F.array_distinct(toks)), F.lit(FEATURE_CAP))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    w1 = _probe_step(feats.drop("source"), _zero_weights(spark))
+    w2 = _probe_step(feats.drop("source"), w1)
+    scored = feats.crossJoin(F.broadcast(w2.drop("loss"))).withColumn(
+        "score",
+        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"),
+    )
+    kept = F.when(F.col("score") >= PROBE_SCORE_MIN, 1).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.expr(
+            f"cast((1000 * sum(case when score >= {PROBE_SCORE_MIN} "
+            "then 1 else 0 end)) div count(*) as bigint)"
+        ).alias("kept_permille"),
+    )
 
 
 # ---------------------------------------------------------------------------

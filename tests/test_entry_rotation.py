@@ -55,4 +55,6 @@ def test_every_query_has_oracle_or_documented_exemption():
         "agg_approx_percentile",
         "events_sketch_rollup",
         "embedding_label_spectrum",
+        "text_heavy_hitters",  # MG sketch: approximate by design,
+        # error bound asserted vs exact counts in test_training_ops
     }, rows_only

@@ -113,3 +113,23 @@ def test_split_leakage_audit_shape(spark):
         assert r["n_pairs"] >= 1
         # each pair touches 2 docs; distinct docs can't exceed that
         assert 2 <= r["n_docs"] <= 2 * r["n_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# Composed probe filter (train → score → filter, one plan)
+# ---------------------------------------------------------------------------
+
+
+def test_probe_filter_exercises_both_branches(spark):
+    from energy_data_pipeline_project_spark.operators.training import (
+        corpus_probe_filter,
+    )
+
+    rows = corpus_probe_filter(spark, SF_SMOKE).collect()
+    assert rows
+    kept = sum(r["n_kept"] for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert 0 < kept < total, "calibrated threshold must split the corpus"
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["kept_permille"] == (1000 * r["n_kept"]) // r["n_docs"]
