@@ -13,7 +13,7 @@ The driver's correctness gate stamps at most ~50 queries per round
 earned a passing stamp in recorded ``CORRECTNESS_r*.json`` files:
 never-stamped queries come first, then least-recently-covered ones.
 Over successive rounds this rotates driver coverage across the whole
-195-query surface with no manual curation. Ordering changes nothing
+196-query surface with no manual curation. Ordering changes nothing
 semantically — every query remains independently runnable.
 """
 

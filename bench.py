@@ -164,6 +164,7 @@ EXTRA = [
     "ann_topk_pq",
     "corpus_probe_filter",
     "text_bpe_encode",
+    "multimodal_payload_simhash",
 ]
 
 

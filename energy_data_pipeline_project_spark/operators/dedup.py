@@ -478,12 +478,12 @@ SIMHASH64_HAMMING_MAX = 3
 SIMHASH64_BUCKET_CAP = 100  # same skew rationale as LSH_BUCKET_CAP
 
 
-def _simhash64_frame(docs: DataFrame) -> DataFrame:
-    """doc_id → (sim_hi, sim_lo): 64-bit SimHash over distinct tokens."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w")
-    )
-    hx = toks.select(
+def simhash64_signature(words: DataFrame) -> DataFrame:
+    """(doc_id, w) word frame → (doc_id, sim_hi, sim_lo): 64-bit
+    SimHash bit-vote. Word extraction is the caller's choice — distinct
+    text tokens for documents, byte n-grams for binary payloads
+    (operators/multimodal.py) — the vote/pack machinery is shared."""
+    hx = words.select(
         "doc_id",
         F.expr(H.md5_int64("w", duck=False)).alias("hlo"),
         F.expr(H.md5_int64_hi("w", duck=False)).alias("hhi"),
@@ -511,7 +511,23 @@ def _simhash64_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _simhash64_oracle() -> str:
+def _simhash64_frame(docs: DataFrame) -> DataFrame:
+    """doc_id → 64-bit SimHash over distinct text tokens."""
+    return simhash64_signature(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_TOKS_SPARK))).alias("w"),
+        )
+    )
+
+
+_SIMHASH64_TOKEN_CTE = (
+    "t AS (SELECT doc_id, " + _TOKS_DUCK + " AS toks FROM documents),\n"
+    "    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t)"
+)
+
+
+def _simhash64_oracle(words_cte: str = _SIMHASH64_TOKEN_CTE) -> str:
     sums = ",\n           ".join(
         f"SUM(CASE WHEN ((h{half} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS {half}{j}"
         for half in ("lo", "hi")
@@ -536,8 +552,7 @@ def _simhash64_oracle() -> str:
         )
     )
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t),
+    WITH {words_cte},
     hx AS (SELECT doc_id, {H.md5_int64("w", duck=True)} AS hlo,
                   {H.md5_int64_hi("w", duck=True)} AS hhi FROM tok),
     bits AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
@@ -579,7 +594,16 @@ def simhash_hamming_pairs(
     is two xor+bit_count integer ops per candidate. Everything shuffles
     fixed-width ints; signatures are one pass over distinct tokens.
     """
-    sig = _cached(_simhash64_frame(docs))
+    return hamming_pairs_from_signature(
+        _cached(_simhash64_frame(docs)), bucket_cap=bucket_cap
+    )
+
+
+def hamming_pairs_from_signature(
+    sig: DataFrame, *, bucket_cap: int = SIMHASH64_BUCKET_CAP
+) -> DataFrame:
+    """Banded candidate generation + xor verify over any 64-bit
+    signature frame (doc_id, sim_hi, sim_lo)."""
     quarters = F.array(
         F.expr("shiftright(sim_hi, 16)"),
         F.expr("sim_hi & 65535"),

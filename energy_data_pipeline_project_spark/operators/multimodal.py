@@ -167,6 +167,58 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Payload fuzzy-hash near-dup: codec-free content dedup for media
+# ---------------------------------------------------------------------------
+# Perceptual hashing needs a codec; ssdeep-style byte-level fuzzy
+# hashing does not. A 64-bit SimHash over distinct byte 4-grams of the
+# OPAQUE payload (read as hex pairs, 8 hex chars per gram) catches
+# re-uploads, re-muxed containers, and trailing-metadata variants of
+# the same media bytes without ever decoding — the first dedup pass a
+# media lake runs before any codec-level near-dup. The signature/band/
+# verify machinery is shared with operators/dedup.py (simhash64);
+# only word extraction differs. Payloads here are the synthesized
+# UTF-8 frames from attach_media, so the DuckDB oracle replays the
+# byte stream via encode(text); with real media the payload column is
+# already binary and the same hex-gram expression applies.
+
+# hex() casing differs across engines (Spark upper, DuckDB lower):
+# normalize with upper() on both sides.
+_PAYLOAD_GRAMS_SPARK = (
+    "filter(transform(sequence(1, int(ceil(length(hx) / 8.0))), "
+    "i -> substring(hx, (i - 1) * 8 + 1, 8)), g -> g != '')"
+)
+
+
+def _payload_simhash_oracle() -> str:
+    from .dedup import _simhash64_oracle
+
+    words_cte = (
+        "t AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),\n"
+        "    tok AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, (len(hx) + 7) // 8), "
+        "i -> substr(hx, (i - 1) * 8 + 1, 8)))) AS w FROM t)"
+    )
+    return _simhash64_oracle(words_cte)
+
+
+@query("multimodal_payload_simhash", _payload_simhash_oracle())
+def multimodal_payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hamming_pairs_from_signature, simhash64_signature
+
+    docs = attach_media(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.upper(F.hex(F.col("media.payload"))).alias("hx"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(_PAYLOAD_GRAMS_SPARK))
+        ).alias("w"),
+    )
+    return hamming_pairs_from_signature(simhash64_signature(grams))
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -95,3 +95,38 @@ def test_decode_frames_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_frames(b"xx", "video/mp4")
+
+
+def test_payload_simhash_pairs_identical_payloads(spark):
+    """Two media rows with byte-identical payloads must surface as a
+    Hamming-0 pair; an unrelated payload must not pair with them."""
+    import pyspark.sql.functions as F
+
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        hamming_pairs_from_signature,
+        simhash64_signature,
+    )
+    from energy_data_pipeline_project_spark.operators.multimodal import (
+        _PAYLOAD_GRAMS_SPARK,
+    )
+
+    rows = [
+        (1, "the same exact payload bytes repeated here for realism"),
+        (2, "the same exact payload bytes repeated here for realism"),
+        (3, "completely different content with no shared byte grams at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = df.select(
+        "doc_id", F.upper(F.hex(F.encode("text", "UTF-8"))).alias("hx")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_PAYLOAD_GRAMS_SPARK))).alias("w"),
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_pairs_from_signature(
+            simhash64_signature(grams)
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
