@@ -1,0 +1,45 @@
+"""Ingest-time decontamination: streamed verdicts must equal the batch
+bloom-decontamination query row-for-row when the stream replays the
+corpus (each doc's shingles stay within its arrival batch, so per-doc
+verdicts are batch-local and the union over batches is exact)."""
+
+from __future__ import annotations
+
+from energy_data_pipeline_project_spark.operators.dedup import (
+    dedup_contamination_bloom,
+)
+from energy_data_pipeline_project_spark.sources.tables import load_table
+from energy_data_pipeline_project_spark.streaming.screening import (
+    build_benchmark,
+    screen_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_streamed_screening_matches_batch(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("docs-screen"))
+    out = str(tmp_path_factory.mktemp("verdicts"))
+    ckpt = str(tmp_path_factory.mktemp("screen-ckpt"))
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+
+    bench, bloom = build_benchmark(spark, SF_SMOKE)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = screen_stream(stream, bench, bloom, out, ckpt)
+    q.awaitTermination()
+
+    streamed = {
+        r.doc_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in dedup_contamination_bloom(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch and batch, "verdict sets must match exactly"
