@@ -65,14 +65,27 @@ def _passing_stamp_counts() -> dict[str, int]:
     return counts
 
 
-# Queries the round-1 judge explicitly called out as lacking a driver
-# stamp (VERDICT.md "What's missing" #2) jump the queue within their
-# stamp-count tier.
+# Queries that jump the queue within their stamp-count tier: the four
+# the round-1 judge called out as lacking a driver stamp (VERDICT.md
+# "What's missing" #2), plus each round's newly added operators — the
+# round-1 lesson is that a query added after the driver's run counts
+# as untested until stamped, so the newest surface earns its hard
+# signal first while older unstamped queries rotate in behind it.
 _PRIORITY = {
     "text_tfidf",
     "text_fingerprint",
     "data_split_hash",
     "multimodal_binary_meta",
+    # round-3 session additions
+    "split_leakage_audit",
+    "corpus_token_budget_plan",
+    "train_linear_probe",
+    "text_heavy_hitters",
+    "embedding_pq_codes",
+    "ann_topk_pq",
+    "corpus_probe_filter",
+    "text_bpe_encode",
+    "multimodal_payload_simhash",
 }
 
 
