@@ -65,28 +65,71 @@ def _passing_stamp_counts() -> dict[str, int]:
     return counts
 
 
-# Queries that jump the queue within their stamp-count tier: the four
-# the round-1 judge called out as lacking a driver stamp (VERDICT.md
-# "What's missing" #2), plus each round's newly added operators — the
-# round-1 lesson is that a query added after the driver's run counts
-# as untested until stamped, so the newest surface earns its hard
-# signal first while older unstamped queries rotate in behind it.
-_PRIORITY = {
-    "text_tfidf",
-    "text_fingerprint",
-    "data_split_hash",
-    "multimodal_binary_meta",
-    # round-3 session additions
-    "split_leakage_audit",
-    "corpus_token_budget_plan",
-    "train_linear_probe",
-    "text_heavy_hitters",
-    "embedding_pq_codes",
-    "ann_topk_pq",
-    "corpus_probe_filter",
-    "text_bpe_encode",
-    "multimodal_payload_simhash",
-}
+# Ordered queue-jump list within the stamp-count tier. Round-4
+# strategy (VERDICT r03 "Next round" #2): ~84 queries have never
+# received a driver stamp and the driver takes ~50/round, so the
+# slots go to the algorithmically riskiest oracles first — the ones
+# with the most machinery that could diverge at the driver's sf0.01
+# (LSH/PPJoin/CC/graph iteration, BPE, pandas aggregation, UDTF,
+# recursive-CTE dechunk, sampling caps) — then this round's fixes
+# (events_ab_lift fixed-point rewrite) and new additions. Simpler
+# never-stamped SQL shapes follow in registration order behind them.
+_PRIORITY = (
+    # round-3 red row, rewritten to integer fixed-point this round
+    "events_ab_lift",
+    # hardest unstamped dedup/graph/text oracles (judge's list)
+    "dedup_prefix_jaccard",
+    "dedup_cluster_cc",
+    "dedup_simhash_hamming",
+    "dedup_incremental_lsh",
+    "corpus_dedup_keep_best",
+    "text_bpe_merges",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_bfs_distances",
+    "pagerank_dup_graph",
+    "text_containment",
+    "text_bm25_topk",
+    "text_segments_udtf",
+    "agg_trimmed_mean_pandas",
+    # remaining heavy-machinery unstamped queries
+    "kmeans_embeddings",
+    "dedup_semantic",
+    "dedup_contamination",
+    "dedup_contamination_bloom",
+    "dedup_lsh_quality_eval",
+    "text_dechunk_sql",
+    "corpus_curation_e2e",
+    "corpus_quality_funnel",
+    "corpus_mix_upsample",
+    "chunk_pack_sequences",
+    "embedding_quantize_int8",
+    "embedding_norm_stats",
+    "embedding_centroid_drift",
+    "embedding_label_outliers",
+    "embedding_label_spectrum",
+    "docs_stratified_sample",
+    "docs_weighted_sample",
+    "docs_hash_sample",
+    "docs_shuffle_shards",
+    "docs_source_cap",
+    "multimodal_shard_manifest",
+    "multimodal_frame_sample",
+    "multimodal_embedding_join",
+    "text_segment_dedup",
+    "text_boilerplate_removal",
+    "text_quality_classifier",
+    "text_ngram_novelty",
+    "text_unigram_surprisal",
+    "text_bigram_pmi",
+    "text_redact",
+    "training_negative_samples",
+    "agg_incremental_maintenance",
+    "cdc_snapshot_diff",
+    "events_seasonal_decompose",
+)
+_PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -94,7 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     counts = _passing_stamp_counts()
     order = list(qs)
     # Stable sort: ties keep registration order.
-    order.sort(key=lambda n: (counts.get(n, 0), 0 if n in _PRIORITY else 1))
+    order.sort(
+        key=lambda n: (
+            counts.get(n, 0),
+            _PRIORITY_RANK.get(n, len(_PRIORITY)),
+        )
+    )
     return {name: qs[name] for name in order}
 
 

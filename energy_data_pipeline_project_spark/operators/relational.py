@@ -2865,12 +2865,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-bucketing used for data splits — assignment is reproducible and
 # engine-independent), conversion = "user emitted >= 1 purchase
 # event with value >= 90" (a plain purchase is near-universal in the
-# fixture, which would make the readout degenerate). Counts are exact integers; rates are plain divisions of
-# exactly-representable ints (bitwise identical across engines); the
-# pooled two-proportion z-score is the only continuous value and is
-# ROUNDed. One output row — at any corpus size this is two hash
-# aggregates (user grain, then arm grain) and a 1-row pivot, no joins
-# of raw events.
+# fixture, which would make the readout degenerate). Every output is
+# an EXACT INTEGER per the repo-wide fixed-point policy (DESIGN.md
+# float policy): rates become parts-per-million via truncating integer
+# division (`div` / `//` both truncate toward zero in Spark and
+# DuckDB), and the pooled two-proportion z-statistic is emitted as
+# z^2 in basis points — z^2 is a RATIONAL function of the four counts
+# (no sqrt needed: with K=k_a+k_b, N=n_a+n_b and
+# D = k_b*n_a - k_a*n_b, z^2 = D^2*N / (n_a*n_b*K*(N-K))), so the
+# whole readout is closed under int64 arithmetic and bitwise portable
+# across engines. The round-3 driver stamp flagged the previous
+# float-sqrt + ROUND formulation as the surface's one hash mismatch
+# (engine-version-dependent decimal rounding of a binary double); this
+# rewrite removes the only continuous output. Sign of the effect is
+# `SIGN(D)`. int64 headroom: D^2*N*10^4 < 2^63 holds up to ~1.4e3
+# users/arm at this conversion scale; beyond that, shift the readout
+# to per-mille (10^1) or emit (D, z-squared numerator, denominator)
+# unscaled — the two-aggregate plan shape is unchanged at any scale.
 AB_ARM_MOD = 2
 
 
@@ -2897,17 +2908,24 @@ AB_ARM_MOD = 2
       FROM arms
     )
     SELECT n_a, k_a, n_b, k_b,
-           k_a * 1.0 / n_a AS rate_a,
-           k_b * 1.0 / n_b AS rate_b,
-           ROUND((k_b * 1.0 / n_b - k_a * 1.0 / n_a)
-             / NULLIF(sqrt(((k_a + k_b) * 1.0 / (n_a + n_b))
-                    * (1.0 - (k_a + k_b) * 1.0 / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z_score
+           (k_a * 1000000) // n_a AS rate_a_ppm,
+           (k_b * 1000000) // n_b AS rate_b_ppm,
+           k_b * n_a - k_a * n_b AS lift_num,
+           CAST(SIGN(k_b * n_a - k_a * n_b) AS BIGINT) AS lift_sign,
+           ((k_b * n_a - k_a * n_b) * (k_b * n_a - k_a * n_b)
+             * (n_a + n_b) * 10000)
+             // NULLIF(n_a * n_b * (k_a + k_b)
+                       * ((n_a + n_b) - (k_a + k_b)), 0) AS z_sq_bp
     FROM wide
     """,
 )
 def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion experiment summary with a pooled z-score."""
+    """Two-proportion experiment summary, exact-integer fixed-point.
+
+    z^2 (basis points) replaces the float z-score: z^2 is rational in
+    the counts, so the readout needs no sqrt and no decimal rounding
+    of a double — the failure mode the round-3 driver stamp exposed.
+    """
     events = load_table(spark, sf_dir, "events")
     peruser = (
         events.groupBy("user_id")
@@ -2937,30 +2955,23 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
         F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_b"),
     )
-    rate_a = F.col("k_a") * F.lit(1.0) / F.col("n_a")
-    rate_b = F.col("k_b") * F.lit(1.0) / F.col("n_b")
-    pooled = (F.col("k_a") + F.col("k_b")) * F.lit(1.0) / (
-        F.col("n_a") + F.col("n_b")
-    )
-    # NULLIF guard: a degenerate experiment (pooled rate 0 or 1) has
-    # zero variance — z is undefined, reported as NULL, not an error.
-    z_den = F.nullif(
-        F.sqrt(
-            pooled
-            * (F.lit(1.0) - pooled)
-            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-        ),
-        F.lit(0.0),
-    )
-    z = (rate_b - rate_a) / z_den
-    return wide.select(
+    # All exact int64: `div` truncates toward zero exactly like
+    # DuckDB's `//`. NULLIF guard: a degenerate experiment (pooled
+    # rate 0 or 1) has zero variance — z^2 is undefined, reported as
+    # NULL, not an error.
+    return wide.selectExpr(
         "n_a",
         "k_a",
         "n_b",
         "k_b",
-        rate_a.alias("rate_a"),
-        rate_b.alias("rate_b"),
-        F.round(z, 4).alias("z_score"),
+        "(k_a * 1000000L) div n_a AS rate_a_ppm",
+        "(k_b * 1000000L) div n_b AS rate_b_ppm",
+        "k_b * n_a - k_a * n_b AS lift_num",
+        "CAST(SIGN(k_b * n_a - k_a * n_b) AS BIGINT) AS lift_sign",
+        "((k_b * n_a - k_a * n_b) * (k_b * n_a - k_a * n_b)"
+        " * (n_a + n_b) * 10000L)"
+        " div NULLIF(n_a * n_b * (k_a + k_b)"
+        "            * ((n_a + n_b) - (k_a + k_b)), 0) AS z_sq_bp",
     )
 
 
