@@ -783,10 +783,10 @@ def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-join classifier expression; the argmax is a single groupBy on
     component_id over an int64 composite key — no window, no second
     pass. At 100 TB every stage shuffles ids and 8-byte keys only."""
-    from .dedup import duplicate_components, minhash_lsh_pairs
+    from .dedup import duplicate_components, shared_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    comps = duplicate_components(docs, minhash_lsh_pairs(docs))
+    comps = duplicate_components(docs, shared_lsh_pairs(spark, sf_dir))
     scores = quality_scores(docs)
     k = (
         (F.lit(KEEP_SCORE_BOUND) - F.col("score_milli"))
@@ -919,10 +919,10 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source is a low-cardinality column on the docs frame — the join
     is docs ⋈ labels on doc_id, then a tiny groupBy). dup_rate is an
     exact-int ratio, bitwise identical cross-engine."""
-    from .dedup import duplicate_components, minhash_lsh_pairs
+    from .dedup import duplicate_components, shared_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    comps = duplicate_components(docs, minhash_lsh_pairs(docs))
+    comps = duplicate_components(docs, shared_lsh_pairs(spark, sf_dir))
     dup = F.count(F.when(F.col("component_size") >= 2, F.lit(1)))
     return (
         docs.select("doc_id", "source")

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
 from ._registry import make_registry
-from .dedup import _minhash_oracle, minhash_lsh_pairs, release_cached_frames
+from .dedup import _minhash_oracle, release_cached_frames, shared_lsh_pairs
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -126,8 +126,7 @@ def _pagerank_oracle() -> str:
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three exact fixed-point PageRank iterations over the MinHash-LSH
     near-dup graph (same pair generation as ``dedup_cluster_cc``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return pagerank_exact(minhash_lsh_pairs(docs))
+    return pagerank_exact(shared_lsh_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +165,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     id pairs. At 100 TB the guard is the max-degree bound the LSH
     bucket caps enforce — wedge count is Σ deg(v)², capped at
     cap²·buckets."""
-    docs = load_table(spark, sf_dir, "documents")
-    e = minhash_lsh_pairs(docs).select(
+    e = shared_lsh_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
@@ -283,8 +281,7 @@ def _kcore_oracle() -> str:
 @query("graph_kcore", _kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-core of the MinHash-LSH near-dup graph (k = KCORE_K)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return kcore_nodes(minhash_lsh_pairs(docs))
+    return kcore_nodes(shared_lsh_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -385,8 +382,7 @@ def _lpa_oracle() -> str:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three synchronous deterministic LPA rounds over the near-dup
     graph; splits CC components into densely-linked sub-families."""
-    docs = load_table(spark, sf_dir, "documents")
-    return label_propagation(minhash_lsh_pairs(docs))
+    return label_propagation(shared_lsh_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -498,5 +494,4 @@ def _bfs_oracle() -> str:
 @query("graph_bfs_distances", _bfs_oracle())
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance to the nearest local-minimum over the LSH dup graph."""
-    docs = load_table(spark, sf_dir, "documents")
-    return bfs_to_local_minima(minhash_lsh_pairs(docs))
+    return bfs_to_local_minima(shared_lsh_pairs(spark, sf_dir))

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import hashing as H
 from ..sources.tables import load_table
 from ._registry import make_registry
-from .dedup import _minhash_oracle, minhash_lsh_pairs
+from .dedup import _minhash_oracle, shared_lsh_pairs
 from .text import _SPLIT_BUCKET_DUCK, _SPLIT_BUCKET_SPARK
 
 QUERIES, ORACLES, query = make_registry()
@@ -98,7 +98,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with a near-duplicate in train. n_docs counts distinct
     documents involved per bucket."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = shared_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
     bucket = F.expr(_SPLIT_BUCKET_SPARK)
     rank = (
