@@ -1193,8 +1193,17 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _contamination_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """DISTINCT (doc_id, gram-hash) postings split corpus/benchmark."""
+def _contamination_postings(
+    docs: DataFrame, *, carve: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """DISTINCT (doc_id, gram-hash) postings split corpus/benchmark.
+
+    ``carve=True`` replays the hermetic fixture's benchmark key-carve
+    on the CORPUS side too: docs whose key falls in the carve are the
+    benchmark members themselves and are excluded from screening.
+    Production ingest, where arriving docs are never benchmark
+    members, passes ``carve=False`` so every document gets screened
+    (streaming/screening.py exposes the knob)."""
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     grams = toks.select(
         "doc_id",
@@ -1209,7 +1218,15 @@ def _contamination_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     bench = hx.where(is_bench).select(
         F.col("doc_id").alias("bench_doc_id"), "h"
     )
-    return hx.where(~is_bench), bench
+    return (hx.where(~is_bench) if carve else hx), bench
+
+
+def benchmark_keyed_docs(docs: DataFrame) -> DataFrame:
+    """Doc ids a carving screen skips (they ARE benchmark members) —
+    the per-batch accounting the ingest screen emits so no arriving
+    document disappears from the verdict trail silently."""
+    is_bench = (F.expr(_KEY_SPARK) % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    return docs.where(is_bench).select("doc_id")
 
 
 def _contamination_report(joined: DataFrame) -> DataFrame:

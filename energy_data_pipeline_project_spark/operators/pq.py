@@ -49,9 +49,10 @@ PQ_ITERS = 3  # Lloyd rounds per sub-codebook
 PQ_QUANT = 10000  # integer grid, matches clustering.KMEANS_QUANT
 
 
-def _code_key_case(duck: bool) -> str:
+def _code_key_case() -> str:
     """code → code * K^sub as a CASE over the M subspaces (portable
-    integer exponentiation; K^sub stays tiny: 16^3 = 4096)."""
+    integer exponentiation identical in Spark and DuckDB; K^sub stays
+    tiny: 16^3 = 4096)."""
     arms = " ".join(
         f"WHEN {m} THEN {PQ_K ** m}" for m in range(PQ_M)
     )
@@ -109,7 +110,7 @@ def _pq_oracle_prefix() -> str:
 def _codes_oracle() -> str:
     return f"""{_pq_oracle_prefix()}
     SELECT vec_id,
-           CAST(SUM(code * {_code_key_case(True)}) AS BIGINT) AS code_key,
+           CAST(SUM(code * {_code_key_case()}) AS BIGINT) AS code_key,
            CAST(SUM(sq_err) AS BIGINT) AS total_sq_err
     FROM codes GROUP BY vec_id
     """
@@ -161,6 +162,14 @@ def _adc_oracle() -> str:
     """
 
 
+def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
+    """Vector count for the training-sample knob. COUNT(*) over
+    parquet is answered from row-group metadata (no column IO), and
+    the result is one long — bounded driver data, same contract as
+    the min/max bounds collects in functions/layout.py."""
+    return load_table(spark, sf_dir, "embeddings").count()
+
+
 def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -177,46 +186,77 @@ def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _train_codes(melted: DataFrame) -> tuple[DataFrame, DataFrame]:
+# Codebook-training sample cap (vectors). Lloyd rounds melt the whole
+# frame once per iteration; at 100 TB that is PQ_ITERS full-corpus
+# shuffles for a codebook whose quality saturates at ~10^5 training
+# vectors (Jégou et al. train on held-out samples). Above the cap,
+# training runs on a deterministic xxhash64 sample of vectors while
+# ENCODING still covers every vector. At every test/driver scale
+# (<= 50k vecs) the cap is inactive, so the DuckDB oracle — which
+# always trains on all vectors — stays hash-identical; the sampled
+# path is pinned separately by tests/test_pq.py.
+PQ_TRAIN_SAMPLE = 100_000
+
+
+def _assign(frame: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-(vec, sub) argmin code vs a broadcast codebook, as the
+    exact composite key ``min(dist*K + code)``."""
+    return (
+        frame.join(F.broadcast(cent.drop("sub")), "dim")
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("dist")
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.col("dist") * PQ_K + F.col("code")).alias("key"))
+    )
+
+
+def _train_codes(
+    melted: DataFrame, *, n_vecs: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """PQ_ITERS Lloyd rounds per subspace. Returns (codes, centroids):
-    codes = (vec_id, sub, code, sq_err) from the final assignment;
-    centroids = the codebook that assignment used."""
+    codes = (vec_id, sub, code, sq_err) for EVERY vector, assigned
+    against the trained codebook; centroids = that codebook.
+
+    When ``n_vecs`` is given and exceeds ``PQ_TRAIN_SAMPLE``, the
+    Lloyd rounds run on a deterministic hash-sample of ~PQ_TRAIN_SAMPLE
+    vectors (`pmod(xxhash64(vec_id), ceil(n/cap)) = 0`); the final
+    full-frame assignment is unchanged in shape. With the cap inactive
+    (or ``n_vecs`` omitted) the chain is bitwise identical to training
+    on everything — the formulation the DuckDB oracle replays.
+    """
     k = PQ_K
+    train = melted
+    if n_vecs is not None and n_vecs > PQ_TRAIN_SAMPLE:
+        mod = -(-n_vecs // PQ_TRAIN_SAMPLE)
+        train = melted.where(
+            F.expr(f"pmod(xxhash64(CAST(vec_id AS STRING)), {mod}) = 0")
+        )
     cent = melted.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("code"), "sub", "dim", F.col("val").alias("cval")
     )
-    assign = None
-    for it in range(PQ_ITERS):
-        dist = (
-            melted.join(F.broadcast(cent.drop("sub")), "dim")
-            .groupBy("vec_id", "sub", "code")
+    for _ in range(PQ_ITERS - 1):
+        assign = _assign(train, cent)
+        cent = (
+            train.join(
+                assign.select(
+                    "vec_id", "sub", (F.col("key") % k).alias("code")
+                ),
+                ["vec_id", "sub"],
+            )
+            .groupBy("code", "sub", "dim")
             .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).alias("dist")
+                F.floor(F.sum("val").cast("double") / F.count("*"))
+                .cast("bigint")
+                .alias("cval")
             )
+            .localCheckpoint(eager=True)
         )
-        assign = dist.groupBy("vec_id", "sub").agg(
-            F.min(F.col("dist") * k + F.col("code")).alias("key")
-        )
-        if it < PQ_ITERS - 1:
-            cent = (
-                melted.join(
-                    assign.select(
-                        "vec_id", "sub", (F.col("key") % k).alias("code")
-                    ),
-                    ["vec_id", "sub"],
-                )
-                .groupBy("code", "sub", "dim")
-                .agg(
-                    F.floor(F.sum("val").cast("double") / F.count("*"))
-                    .cast("bigint")
-                    .alias("cval")
-                )
-                .localCheckpoint(eager=True)
-            )
-    codes = assign.select(
+    codes = _assign(melted, cent).select(
         "vec_id",
         "sub",
         (F.col("key") % k).alias("code"),
@@ -229,10 +269,12 @@ def _train_codes(melted: DataFrame) -> tuple[DataFrame, DataFrame]:
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector's packed PQ code (M 4-bit codes → one BIGINT) and
     its exact total quantization error on the integer grid — the
-    compression-quality report for the 128× storage path."""
-    codes, _ = _train_codes(_melted(spark, sf_dir))
+    compression-quality report for the 64× storage path (256 B float32 vector → 4 B code)."""
+    codes, _ = _train_codes(
+        _melted(spark, sf_dir), n_vecs=_n_vecs(spark, sf_dir)
+    )
     return codes.groupBy("vec_id").agg(
-        F.sum(F.col("code") * F.expr(_code_key_case(False)))
+        F.sum(F.col("code") * F.expr(_code_key_case()))
         .cast("bigint")
         .alias("code_key"),
         F.sum("sq_err").cast("bigint").alias("total_sq_err"),
@@ -250,7 +292,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, not the corpus). Everything int64-exact; recall vs brute
     force is pinned in tests/test_pq.py."""
     melted = _melted(spark, sf_dir)
-    codes, cent = _train_codes(melted)
+    codes, cent = _train_codes(melted, n_vecs=_n_vecs(spark, sf_dir))
     qm = melted.where(F.col("vec_id") < N_QUERY_VECS)
     lut = (
         qm.withColumnRenamed("vec_id", "query_id")

@@ -321,7 +321,7 @@ def _probe_step(feats: DataFrame, w: DataFrame) -> DataFrame:
     rows, take the gradient sums in one aggregate (grouped by the
     weight columns, a single group), and emit a 1-row frame
     (w0, w1, w2, loss) holding the POST-update weights and the
-    PRE-update Σ|err|."""
+    PRE-update Σ err² (matching the oracle's sum_sq_err)."""
     src = feats.crossJoin(F.broadcast(w))
     err = (
         F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import (
     _contamination_postings,
     _contamination_report,
+    benchmark_keyed_docs,
     bloom_build,
     bloom_prefilter,
 )
@@ -44,16 +45,31 @@ def build_benchmark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
 
 def screen_batch(
-    batch_docs: DataFrame, bench: DataFrame, bloom: DataFrame
+    batch_docs: DataFrame,
+    bench: DataFrame,
+    bloom: DataFrame,
+    *,
+    carve_benchmark: bool = True,
 ) -> DataFrame:
     """One micro-batch of documents → contamination verdicts.
 
-    ``_contamination_postings`` applies the benchmark key-carve, so
+    ``carve_benchmark=True`` replays the hermetic fixture's key-carve:
     benchmark-keyed documents appearing in the stream screen out of
-    the corpus side automatically (they ARE the benchmark)."""
-    corp, _ = _contamination_postings(batch_docs)
+    the corpus side (they ARE the benchmark — correct when the fixture
+    replay contains the benchmark members themselves). Production
+    ingest of a crawl, where no arriving doc is a benchmark member,
+    should pass ``False`` so EVERY arriving document receives a
+    verdict; either way ``skipped_benchmark_docs`` accounts for what a
+    carving screen did not verdict."""
+    corp, _ = _contamination_postings(batch_docs, carve=carve_benchmark)
     survivors = bloom_prefilter(corp, bloom)
     return _contamination_report(survivors.join(bench, "h"))
+
+
+def skipped_benchmark_docs(batch_docs: DataFrame) -> DataFrame:
+    """Doc ids the carving screen skips for a batch (benchmark-keyed
+    arrivals); empty when ``carve_benchmark=False`` is in use."""
+    return benchmark_keyed_docs(batch_docs)
 
 
 def screen_stream(
@@ -62,16 +78,26 @@ def screen_stream(
     bloom: DataFrame,
     out_dir: str,
     checkpoint: str,
+    *,
+    carve_benchmark: bool = True,
+    skipped_dir: str | None = None,
 ):
     """Start the screening query: contamination verdicts for each
-    arriving batch append to ``out_dir`` as parquet."""
+    arriving batch append to ``out_dir`` as parquet. With a carving
+    screen, ``skipped_dir`` (when given) receives the benchmark-keyed
+    doc ids each batch skipped, so the verdict + skipped outputs
+    together cover every arriving document."""
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        screen_batch(batch, bench, bloom).write.mode("append").parquet(
-            out_dir
-        )
+        screen_batch(
+            batch, bench, bloom, carve_benchmark=carve_benchmark
+        ).write.mode("append").parquet(out_dir)
+        if carve_benchmark and skipped_dir is not None:
+            skipped_benchmark_docs(batch).write.mode("append").parquet(
+                skipped_dir
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

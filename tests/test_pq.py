@@ -62,3 +62,33 @@ def test_pq_lloyd_rounds_reduce_error(spark):
 
     e1, e3 = total_err(1), total_err(PQ_ITERS)
     assert e3 <= e1
+
+
+def test_pq_train_sample_knob(spark):
+    """The PQ_TRAIN_SAMPLE knob: with a cap below the corpus size,
+    codebooks train on a deterministic xxhash64 vector sample, but
+    (a) every vector still gets a code, (b) codes are valid, and
+    (c) the sampled codebook's total quantization error stays within
+    2x of full training — the at-scale contract (DESIGN.md promises
+    training saturates on a sample while encoding covers the corpus).
+    With the cap inactive (every test/driver SF), _train_codes is
+    bitwise the oracle formulation — pinned by the driver hash gate.
+    """
+    import energy_data_pipeline_project_spark.operators.pq as pq_mod
+
+    melted = _melted(spark, SF_SMOKE)
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    full_codes, _ = _train_codes(melted, n_vecs=n_vecs)
+    full_err = full_codes.groupBy().sum("sq_err").collect()[0][0]
+
+    orig = pq_mod.PQ_TRAIN_SAMPLE
+    pq_mod.PQ_TRAIN_SAMPLE = max(n_vecs // 4, PQ_K)
+    try:
+        codes, _ = _train_codes(melted, n_vecs=n_vecs)
+        rows = codes.groupBy("vec_id").count().collect()
+        assert len(rows) == n_vecs, "sampling must never drop encodings"
+        assert all(r["count"] == pq_mod.PQ_M for r in rows)
+        err = codes.groupBy().sum("sq_err").collect()[0][0]
+        assert err <= 2 * full_err, (err, full_err)
+    finally:
+        pq_mod.PQ_TRAIN_SAMPLE = orig

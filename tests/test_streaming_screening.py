@@ -43,3 +43,33 @@ def test_streamed_screening_matches_batch(spark, tmp_path_factory):
         for r in dedup_contamination_bloom(spark, SF_SMOKE).collect()
     }
     assert streamed == batch and batch, "verdict sets must match exactly"
+
+
+def test_screening_accounts_for_every_arriving_doc(spark, tmp_path_factory):
+    """A carving screen must not silently drop benchmark-keyed
+    arrivals: verdicted ∪ skipped ∪ (screened-clean) partitions the
+    batch. With carve_benchmark=False every arriving doc is screened
+    (production crawl mode) — benchmark members then self-match."""
+    from energy_data_pipeline_project_spark.streaming.screening import (
+        screen_batch,
+        skipped_benchmark_docs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench, bloom = build_benchmark(spark, SF_SMOKE)
+
+    skipped = {r.doc_id for r in skipped_benchmark_docs(docs).collect()}
+    carved = {r.doc_id for r in screen_batch(docs, bench, bloom).collect()}
+    assert skipped, "fixture carve must be non-empty"
+    assert not (carved & skipped), "carved screen never verdicts benchmark docs"
+
+    full = {
+        r.doc_id
+        for r in screen_batch(
+            docs, bench, bloom, carve_benchmark=False
+        ).collect()
+    }
+    # un-carved screening sees benchmark members self-match, and never
+    # loses a verdict the carved screen produced
+    assert carved <= full
+    assert skipped <= full, "benchmark members self-match when not carved"
