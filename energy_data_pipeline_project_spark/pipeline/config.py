@@ -61,7 +61,9 @@ class PipelineConfig:
     start_date: str
     end_date: str
     timezone: str = "UTC"
-    table_format: str = "parquet"  # "delta" if delta-spark is installed
+    # "parquet" | "delta" | "auto" (auto → delta when delta-spark is
+    # on the classpath, else parquet; resolved by lake.resolve_table_format)
+    table_format: str = "parquet"
     api_base_url: str = "https://api.energy-charts.info"
     request_timeout_s: int = 30
     datasets: tuple[DatasetSpec, ...] = ()

@@ -26,6 +26,19 @@ def table_path(root: str, layer: str, name: str) -> str:
     return os.path.join(root, layer, name)
 
 
+def resolve_table_format(spark: SparkSession, requested: str) -> str:
+    """Resolve a config ``table_format`` to a concrete writer format.
+
+    ``"auto"`` picks real Delta whenever the jars are on the classpath
+    (reference storage parity —
+    /root/reference/src/utils/spark_session.py:77-90) and falls back
+    to parquet + the engine's pointer-file versioning otherwise; any
+    explicit format passes through untouched."""
+    if requested == "auto":
+        return "delta" if delta_available(spark) else "parquet"
+    return requested
+
+
 def delta_available(spark: SparkSession) -> bool:
     # NB: plain attribute access on spark._jvm returns a lazy
     # JavaPackage even for classes that don't exist — only Class.forName

@@ -55,6 +55,15 @@ def run_pipeline(
     than a driver loop should serialize."""
     apply_runtime_confs(spark)
     source = source or LocalJsonSource()
+    if config.table_format == "auto":
+        from dataclasses import replace
+
+        from .lake import resolve_table_format
+
+        config = replace(
+            config,
+            table_format=resolve_table_format(spark, config.table_format),
+        )
     fmt = config.table_format
     result = PipelineResult()
 

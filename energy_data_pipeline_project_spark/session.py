@@ -88,5 +88,25 @@ def get_spark_session(
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # Real Delta Lake wherever delta-spark is installed (the
+    # reference's storage layer —
+    # /root/reference/src/utils/spark_session.py:77-90 registers the
+    # Delta SQL extension + catalog). Import-gated: this container
+    # ships parquet only, so the probe is a no-op here, but a session
+    # built on a delta-equipped cluster gets the genuine code path and
+    # tests/test_catalog.py's delta skips flip to passes.
+    try:
+        from delta import configure_spark_with_delta_pip  # type: ignore
+
+        builder = builder.config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        builder = configure_spark_with_delta_pip(builder)
+    except ImportError:
+        pass
     spark = builder.getOrCreate()
     return apply_runtime_confs(spark)

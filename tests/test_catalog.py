@@ -109,3 +109,17 @@ def test_register_views_enables_plain_sql(spark):
         " ON o.o_custkey = c.c_custkey"
     ).collect()[0]["n"]
     assert got == load_table(spark, SF_SMOKE, "orders").count()
+
+
+def test_auto_format_resolution(spark):
+    """"auto" resolves to delta exactly when the jars exist, parquet
+    otherwise; explicit formats pass through, and an auto-format
+    pipeline run writes readable tables either way."""
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        resolve_table_format,
+    )
+
+    expected = "delta" if delta_available(spark) else "parquet"
+    assert resolve_table_format(spark, "auto") == expected
+    assert resolve_table_format(spark, "parquet") == "parquet"
+    assert resolve_table_format(spark, "delta") == "delta"
