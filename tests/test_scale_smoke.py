@@ -177,3 +177,65 @@ def test_pq_codes_on_10k_vectors(spark, big_dir):
     assert base_ids and all(
         keys[b + 10_000_000] == keys[b] for b in base_ids
     )
+
+
+def test_linear_probe_on_10k_docs(spark, big_dir):
+    """Composed-GD training on the 20× corpus: the mean-gradient
+    update is scale-invariant under exact replication ((20s) div (20n)
+    = s div n — same rational, same truncation), so the learned
+    weights must equal the base corpus's bit-for-bit while the summed
+    loss scales exactly 20×."""
+    from energy_data_pipeline_project_spark.operators import training
+
+    big = {r["iter"]: r for r in
+           training.QUERIES["train_linear_probe"](spark, big_dir).collect()}
+    base = {r["iter"]: r for r in
+            training.QUERIES["train_linear_probe"](spark, SF_CORRECT).collect()}
+    assert set(big) == set(base) == {1, 2}
+    for i in (1, 2):
+        for w in ("w_bias", "w_ntoks", "w_ndist"):
+            assert big[i][w] == base[i][w], (i, w)
+        assert big[i]["sum_sq_err"] == N_COPIES * base[i]["sum_sq_err"]
+
+
+def test_ann_topk_pq_on_10k_vectors(spark, big_dir):
+    """PQ ADC + exact refine on the 20× embedding store: every query
+    vector has 19 identical replicas, so each query's nearest
+    neighbor must be found at exact distance 0 — the recall guarantee
+    that matters for the serving path — and the output stays exactly
+    N_QUERY×TOP_K (no quadratic candidate blowup)."""
+    from energy_data_pipeline_project_spark.operators import pq
+    from energy_data_pipeline_project_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+    )
+
+    rows = pq.QUERIES["ann_topk_pq"](spark, big_dir).collect()
+    assert len(rows) == N_QUERY_VECS * TOP_K
+    best = {}
+    for r in rows:
+        if r["rank"] == 1:
+            best[r["query_id"]] = r["dist_sq"]
+    assert len(best) == N_QUERY_VECS
+    assert all(d == 0 for d in best.values()), "replicas are exact matches"
+
+
+def test_screening_on_10k_docs(spark, big_dir):
+    """The ingest screen against the 20×-replicated corpus: postings
+    stay (doc, 8-byte hash) shaped, and every family containing a
+    benchmark-keyed copy gets its sibling copies flagged (identical
+    text ⇒ all grams shared). Verdicted and skipped sets must be
+    disjoint and cover every benchmark-keyed arrival."""
+    from energy_data_pipeline_project_spark.streaming.screening import (
+        build_benchmark,
+        screen_batch,
+        skipped_benchmark_docs,
+    )
+
+    docs = load_table(spark, big_dir, "documents")
+    bench, bloom = build_benchmark(spark, big_dir)
+    verdicts = screen_batch(docs, bench, bloom).collect()
+    assert verdicts, "replicated benchmark families must contaminate"
+    flagged = {r["doc_id"] for r in verdicts}
+    skipped = {r["doc_id"] for r in skipped_benchmark_docs(docs).collect()}
+    assert skipped and not (flagged & skipped)
