@@ -92,7 +92,10 @@ def test_release_cached_frames_unpersists(spark):
     # Other tests in the shared session may have live localCheckpoint
     # RDDs (pagerank/kmeans/CC) that only vanish on GC, so assert the
     # DELTA this query adds is fully released, not a globally clean
-    # session.
+    # session. A still-persisted shared_lsh_pairs frame would be
+    # plan-substituted by the CacheManager into this fresh run (its
+    # logical plan is identical), so drop the memo first.
+    dedup.release_shared_pairs()
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     docs = load_table(spark, SF_SMOKE, "documents")
@@ -215,3 +218,36 @@ def test_bfs_distances_path_graph_semantics(spark):
     )
     out = {r["doc_id"]: r["hops"] for r in G.bfs_to_local_minima(pairs).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_shared_lsh_pairs_matches_fresh_and_keys_on_mtime(spark, tmp_path):
+    """The session-memoized pair frame must be bit-identical to a
+    fresh minhash_lsh_pairs run, hit the memo on a second call, and
+    MISS it when the underlying parquet is rewritten (mtime keying) —
+    the guard against serving pairs of a stale corpus snapshot."""
+    import os
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", f"{sf}/documents.parquet")
+
+    try:
+        fresh = {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in dedup.minhash_lsh_pairs(
+                load_table(spark, sf, "documents")
+            ).collect()
+        }
+        shared1 = dedup.shared_lsh_pairs(spark, sf)
+        assert {
+            (r.doc_a, r.doc_b, r.est_jaccard) for r in shared1.collect()
+        } == fresh
+        assert dedup.shared_lsh_pairs(spark, sf) is shared1, "memo hit"
+
+        # rewrite the table (new mtime) → memo must miss
+        os.utime(f"{sf}/documents.parquet")
+        assert dedup.shared_lsh_pairs(spark, sf) is not shared1
+    finally:
+        dedup.release_shared_pairs()
+        dedup.release_cached_frames()
