@@ -2907,15 +2907,17 @@ AB_ARM_MOD = 2
              MAX(CASE WHEN arm = 1 THEN k END) AS k_b
       FROM arms
     )
-    SELECT n_a, k_a, n_b, k_b,
-           (k_a * 1000000) // n_a AS rate_a_ppm,
-           (k_b * 1000000) // n_b AS rate_b_ppm,
-           k_b * n_a - k_a * n_b AS lift_num,
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS k_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS k_b,
+           CAST((k_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+           CAST((k_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+           CAST(k_b * n_a - k_a * n_b AS BIGINT) AS lift_num,
            CAST(SIGN(k_b * n_a - k_a * n_b) AS BIGINT) AS lift_sign,
-           ((k_b * n_a - k_a * n_b) * (k_b * n_a - k_a * n_b)
-             * (n_a + n_b) * 10000)
-             // NULLIF(n_a * n_b * (k_a + k_b)
-                       * ((n_a + n_b) - (k_a + k_b)), 0) AS z_sq_bp
+           CAST(((k_b * n_a - k_a * n_b) * (k_b * n_a - k_a * n_b)
+                 * (n_a + n_b) * 10000)
+                // NULLIF(n_a * n_b * (k_a + k_b)
+                          * ((n_a + n_b) - (k_a + k_b)), 0)
+                AS BIGINT) AS z_sq_bp
     FROM wide
     """,
 )
