@@ -59,21 +59,29 @@ def _code_key_case() -> str:
     return f"(CASE sub {arms} END)"
 
 
-def _pq_oracle_prefix() -> str:
-    """Shared CTE chain: melted grid → per-subspace codebook training
-    (PQ_ITERS Lloyd rounds) → final code per (vec, sub)."""
-    k, q, sd = PQ_K, PQ_QUANT, PQ_SUBDIM
-    parts = [
-        f"""
-    WITH m AS (
+def _pq_melt_cte() -> str:
+    """``m``: the embeddings table melted to the integer grid."""
+    q, sd = PQ_QUANT, PQ_SUBDIM
+    return f"""m AS (
       SELECT vec_id, u['d'] AS dim, (u['d'] - 1) // {sd} AS sub,
              CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val
       FROM (SELECT vec_id,
                    unnest(list_transform(generate_series(1, len(embedding)),
                           i -> {{'d': i, 'v': embedding[i]}})) AS u
             FROM embeddings)
-    ), c0 AS (
-      SELECT vec_id AS code, sub, dim, val AS cval FROM m WHERE vec_id < {k}
+    )"""
+
+
+def _pq_lloyd_chain(src: str) -> str:
+    """CTE chain ``c0 … codes``: PQ_ITERS Lloyd rounds of per-subspace
+    codebook training over any melted-grid CTE ``src`` with columns
+    (vec_id, dim, sub, val) — ``m`` for plain PQ, the residual frame
+    for IVF-PQ. Emits ``codes`` = final (vec_id, sub, code, sq_err)."""
+    k = PQ_K
+    parts = [
+        f""", c0 AS (
+      SELECT vec_id AS code, sub, dim, val AS cval
+      FROM {src} WHERE vec_id < {k}
     )"""
     ]
     for it in range(1, PQ_ITERS + 1):
@@ -81,9 +89,9 @@ def _pq_oracle_prefix() -> str:
         parts.append(
             f""", a{it} AS (
       SELECT vec_id, sub, MIN(dist * {k} + code) AS key
-      FROM (SELECT m.vec_id, m.sub, c.code,
-                   SUM((m.val - c.cval) * (m.val - c.cval)) AS dist
-            FROM m JOIN {prev} c ON m.dim = c.dim
+      FROM (SELECT s.vec_id, s.sub, c.code,
+                   SUM((s.val - c.cval) * (s.val - c.cval)) AS dist
+            FROM {src} s JOIN {prev} c ON s.dim = c.dim
             GROUP BY 1, 2, 3)
       GROUP BY 1, 2
     )"""
@@ -91,10 +99,10 @@ def _pq_oracle_prefix() -> str:
         if it < PQ_ITERS:
             parts.append(
                 f""", c{it} AS (
-      SELECT a.key % {k} AS code, m.sub, m.dim,
-             CAST(FLOOR(CAST(SUM(m.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      SELECT a.key % {k} AS code, s.sub, s.dim,
+             CAST(FLOOR(CAST(SUM(s.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
                AS cval
-      FROM m JOIN a{it} a ON m.vec_id = a.vec_id AND m.sub = a.sub
+      FROM {src} s JOIN a{it} a ON s.vec_id = a.vec_id AND s.sub = a.sub
       GROUP BY 1, 2, 3
     )"""
             )
@@ -105,6 +113,13 @@ def _pq_oracle_prefix() -> str:
     )"""
     )
     return "".join(parts)
+
+
+def _pq_oracle_prefix() -> str:
+    """Shared CTE chain: melted grid → per-subspace codebook training
+    (PQ_ITERS Lloyd rounds) → final code per (vec, sub)."""
+    return f"""
+    WITH {_pq_melt_cte()}{_pq_lloyd_chain("m")}"""
 
 
 def _codes_oracle() -> str:
