@@ -77,8 +77,9 @@ def _passing_stamp_counts() -> dict[str, int]:
 _PRIORITY = (
     # round-3 red row, rewritten to integer fixed-point this round
     "events_ab_lift",
-    # round-4 addition: mergeable-HLL scale variant (rows-only check)
+    # round-4 additions
     "events_dau_mau_sketch",
+    "ann_topk_ivfpq",
     # hardest unstamped dedup/graph/text oracles (judge's list)
     "dedup_prefix_jaccard",
     "dedup_cluster_cc",

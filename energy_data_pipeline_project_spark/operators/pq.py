@@ -372,3 +372,233 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_sq",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted file + residual product quantization + ADC
+# ---------------------------------------------------------------------------
+# The composition serving 100 TB vector stores in practice (Jégou et
+# al. 2011 §V, "IVFADC"): a coarse quantizer partitions the corpus
+# into cells (the inverted file), each vector stores only its PQ code
+# of the RESIDUAL x − c(x) (residuals are far more compressible than
+# raw vectors), and a query scans just its nprobe nearest cells,
+# ranking candidates by per-cell ADC lookup tables. Search cost is
+# ~nprobe/k of the corpus in 4-byte codes; nothing re-reads raw
+# vectors until the exact refine of the shortlist.
+#
+# Exactness strategy: identical grid to plain PQ. The coarse
+# quantizer is the per-label floored-integer-mean centroid (the
+# deterministic stand-in ann_topk_ivf established); assignment and
+# probe order use the composite key dist*CELL_MULT + cell so
+# tie-breaks are engine-independent; residuals stay on the integer
+# grid (val − ccval is exact int64), so the whole Lloyd chain, ADC
+# ranking, and refine replay bitwise in DuckDB.
+IVFPQ_NPROBE = 6  # same knob value as similarity.IVF_NPROBE
+IVFPQ_CELL_MULT = 1024  # composite-key multiplier; labels < 1024
+
+
+def _ivfpq_head_ctes() -> str:
+    """CTEs up to the residual melt: coarse centroids, cell
+    assignment, and the residual frame ``rm``."""
+    cm = IVFPQ_CELL_MULT
+    return f""", coarse AS (
+      SELECT l.label AS cell, m.dim,
+             CAST(FLOOR(CAST(SUM(m.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS ccval
+      FROM m JOIN (SELECT vec_id, label FROM embeddings) l
+             ON m.vec_id = l.vec_id
+      GROUP BY 1, 2
+    ), cdist AS (
+      SELECT m.vec_id, c.cell,
+             SUM((m.val - c.ccval) * (m.val - c.ccval)) AS dist
+      FROM m JOIN coarse c ON m.dim = c.dim
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT vec_id, MIN(dist * {cm} + cell) % {cm} AS cell
+      FROM cdist GROUP BY 1
+    ), rm AS (
+      SELECT m.vec_id, m.dim, m.sub, m.val - co.ccval AS val
+      FROM m JOIN cells ce ON m.vec_id = ce.vec_id
+             JOIN coarse co ON co.cell = ce.cell AND co.dim = m.dim
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    np_, nq, cm = IVFPQ_NPROBE, N_QUERY_VECS, IVFPQ_CELL_MULT
+    return f"""
+    WITH {_pq_melt_cte()}{_ivfpq_head_ctes()}{_pq_lloyd_chain("rm")},
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dist * {cm} + cell) AS rn
+        FROM cdist WHERE vec_id < {nq}
+      ) WHERE rn <= {np_}
+    ), lut AS (
+      SELECT q.query_id, q.cell, cb.sub, cb.code,
+             SUM((m.val - co.ccval - cb.cval)
+                 * (m.val - co.ccval - cb.cval)) AS d2
+      FROM qprobe q
+      JOIN m ON m.vec_id = q.query_id
+      JOIN coarse co ON co.cell = q.cell AND co.dim = m.dim
+      JOIN c{PQ_ITERS - 1} cb ON cb.dim = m.dim
+      GROUP BY 1, 2, 3, 4
+    ), adist AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adist_sq
+      FROM codes cd
+      JOIN cells ce ON ce.vec_id = cd.vec_id
+      JOIN lut l ON l.cell = ce.cell AND l.sub = cd.sub
+                AND l.code = cd.code
+      GROUP BY 1, 2
+    ), shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist_sq, neighbor_id) AS rn
+        FROM adist WHERE query_id != neighbor_id
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ), refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM((mq.val - mn.val) * (mq.val - mn.val)) AS BIGINT)
+               AS dist_sq
+      FROM shortlist s
+      JOIN m mq ON mq.vec_id = s.query_id
+      JOIN m mn ON mn.vec_id = s.neighbor_id AND mn.dim = mq.dim
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, neighbor_id, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dist_sq, neighbor_id) AS rn
+      FROM refined
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, dist_sq
+    FROM r WHERE rn <= {TOP_K}
+    """
+
+
+@query("ann_topk_ivfpq", _ivfpq_oracle())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k via IVF-PQ (IVFADC): coarse cells from broadcast
+    label-mean centroids, residual-PQ codes, per-(query, probed-cell)
+    ADC lookup tables, exact refine of the shortlist.
+
+    Scale shape: the coarse codebook (cells×D ints) and the LUT
+    (queries×nprobe×M×K rows) are always broadcast; assignment is one
+    broadcast join over the melted frame; ADC joins only code rows of
+    vectors in probed cells — at 100 TB, with the inverted file
+    partitioned BY cell, a query's scan touches ~nprobe/k of the code
+    frame and none of the raw vectors. Recall vs brute force is
+    pinned in tests/test_pq.py."""
+    melted = _melted(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cm = IVFPQ_CELL_MULT
+
+    lab = emb.select("vec_id", F.col("label").alias("cell"))
+    coarse = (
+        melted.join(lab, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("ccval")
+        )
+    )
+    cdist = (
+        melted.join(F.broadcast(coarse), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("ccval"))
+                * (F.col("val") - F.col("ccval"))
+            ).alias("dist")
+        )
+    )
+    cells = cdist.groupBy("vec_id").agg(
+        (F.min(F.col("dist") * cm + F.col("cell")) % cm).alias("cell")
+    )
+    rm = (
+        melted.join(cells, "vec_id")
+        .join(F.broadcast(coarse), ["cell", "dim"])
+        .select(
+            "vec_id", "dim", "sub", (F.col("val") - F.col("ccval")).alias("val")
+        )
+    )
+    codes, cb = _train_codes(rm, n_vecs=_n_vecs(spark, sf_dir))
+
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("dist") * cm + F.col("cell")
+    )
+    qprobe = (
+        cdist.where(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qm = melted.where(F.col("vec_id") < N_QUERY_VECS)
+    lut = (
+        qm.withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(qprobe), "query_id")
+        .join(F.broadcast(coarse), ["cell", "dim"])
+        .join(F.broadcast(cb.drop("sub")), "dim")
+        .groupBy("query_id", "cell", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("ccval") - F.col("cval"))
+                * (F.col("val") - F.col("ccval") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    adist = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
+    shortlist = (
+        adist.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    refined = (
+        shortlist.join(
+            F.broadcast(
+                qm.select(
+                    F.col("vec_id").alias("query_id"),
+                    "dim",
+                    F.col("val").alias("qval"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            melted.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "dim",
+                F.col("val").alias("nval"),
+            ),
+            ["neighbor_id", "dim"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("nval"))
+                * (F.col("qval") - F.col("nval"))
+            )
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        refined.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rn").cast("int").alias("rank"),
+            "dist_sq",
+        )
+    )

@@ -92,3 +92,22 @@ def test_pq_train_sample_knob(spark):
         assert err <= 2 * full_err, (err, full_err)
     finally:
         pq_mod.PQ_TRAIN_SAMPLE = orig
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ composes two approximations (cell pruning + residual
+    ADC) yet the exact refine must still recover most true neighbors
+    at nprobe=6; same 0.75 gate as plain PQ."""
+    from energy_data_pipeline_project_spark.operators.pq import (
+        ann_topk_ivfpq,
+    )
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_ivfpq(spark, SF_SMOKE).collect()
+    }
+    assert len(bf & iv) / len(bf) >= 0.75
