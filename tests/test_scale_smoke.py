@@ -239,3 +239,21 @@ def test_screening_on_10k_docs(spark, big_dir):
     flagged = {r["doc_id"] for r in verdicts}
     skipped = {r["doc_id"] for r in skipped_benchmark_docs(docs).collect()}
     assert skipped and not (flagged & skipped)
+
+
+def test_ann_topk_ivfpq_on_10k_vectors(spark, big_dir):
+    """IVF-PQ on the 20× store: replicas carry their base copy's
+    label, so coarse cells are label-stable and every query's exact
+    replica set lives in its probed home cell — rank-1 must land at
+    distance 0, output exactly N_QUERY×TOP_K."""
+    from energy_data_pipeline_project_spark.operators import pq
+    from energy_data_pipeline_project_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+    )
+
+    rows = pq.QUERIES["ann_topk_ivfpq"](spark, big_dir).collect()
+    assert len(rows) == N_QUERY_VECS * TOP_K
+    best = {r["query_id"]: r["dist_sq"] for r in rows if r["rank"] == 1}
+    assert len(best) == N_QUERY_VECS
+    assert all(d == 0 for d in best.values())
