@@ -80,6 +80,7 @@ _PRIORITY = (
     # round-4 additions
     "events_dau_mau_sketch",
     "ann_topk_ivfpq",
+    "dq_column_profile",
     # hardest unstamped dedup/graph/text oracles (judge's list)
     "dedup_prefix_jaccard",
     "dedup_cluster_cc",

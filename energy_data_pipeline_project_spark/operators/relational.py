@@ -2239,6 +2239,103 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Column-level statistical profile (the per-column companion of the
+# expectation audit)
+# ---------------------------------------------------------------------------
+# The profiling pass an engine runs before onboarding a table: per
+# column, row/null/distinct counts and min/max — what drives clipping
+# constants, encoding choices, and partition-key selection. ONE
+# aggregate computes every stat (multiple COUNT(DISTINCT)s compile to
+# a single Expand + two-phase aggregate — one scan, map-side
+# combined), then `stack` pivots to the long (column, stats) report.
+# Values are normalized to strings (money via exact cents, dates via
+# ISO-format cast) so the report schema is column-type-independent —
+# and so the cross-engine hash stays exact. At 100 TB swap the exact
+# distincts for approx_count_distinct (documented, not default: the
+# oracle gate wants exact).
+@query(
+    "dq_column_profile",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS nn_key,
+             COUNT(DISTINCT o_orderkey) AS nd_key,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_key,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_key,
+             COUNT(o_totalprice) AS nn_price,
+             COUNT(DISTINCT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS nd_price,
+             CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS VARCHAR) AS min_price,
+             CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS VARCHAR) AS max_price,
+             COUNT(o_orderdate) AS nn_date,
+             COUNT(DISTINCT o_orderdate) AS nd_date,
+             CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
+             COUNT(o_orderpriority) AS nn_prio,
+             COUNT(DISTINCT o_orderpriority) AS nd_prio,
+             MIN(o_orderpriority) AS min_prio,
+             MAX(o_orderpriority) AS max_prio
+      FROM orders
+    )
+    SELECT u.col_name,
+           s.n_rows,
+           CAST(s.n_rows - u.nn AS BIGINT) AS n_null,
+           CAST(u.nd AS BIGINT) AS n_distinct,
+           u.min_s, u.max_s
+    FROM s, LATERAL (
+      SELECT * FROM (VALUES
+        ('o_orderkey', s.nn_key, s.nd_key, s.min_key, s.max_key),
+        ('o_totalprice_cents', s.nn_price, s.nd_price,
+         s.min_price, s.max_price),
+        ('o_orderdate', s.nn_date, s.nd_date, s.min_date, s.max_date),
+        ('o_orderpriority', s.nn_prio, s.nd_prio, s.min_prio, s.max_prio)
+      ) AS t(col_name, nn, nd, min_s, max_s)
+    ) u
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _cents("o_totalprice")
+    s = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("min_key"),
+        F.max("o_orderkey").cast("string").alias("max_key"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct(cents).alias("nd_price"),
+        F.min(cents).cast("string").alias("min_price"),
+        F.max(cents).cast("string").alias("max_price"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+    )
+    return s.selectExpr(
+        "stack(4, "
+        "'o_orderkey', nn_key, nd_key, min_key, max_key, "
+        "'o_totalprice_cents', nn_price, nd_price, min_price, max_price, "
+        "'o_orderdate', nn_date, nd_date, min_date, max_date, "
+        "'o_orderpriority', nn_prio, nd_prio, min_prio, max_prio"
+        ") AS (col_name, nn, nd, min_s, max_s)",
+        "n_rows",
+    ).selectExpr(
+        "col_name",
+        "n_rows",
+        "CAST(n_rows - nn AS BIGINT) AS n_null",
+        "CAST(nd AS BIGINT) AS n_distinct",
+        "min_s",
+        "max_s",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated LATERAL subquery join (SQL-native per-group top-k)
 # ---------------------------------------------------------------------------
 # The SQL-surface twin of the window-function per-group top-k
