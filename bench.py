@@ -107,6 +107,13 @@ EXTRA = [
     "text_segments_udtf",
     "corpus_dedup_keep_best",
     "window_distribution_funcs",
+    # round-4 additions: graph tier on the shared pair frame, IVF-PQ,
+    # the mergeable DAU/MAU variant, and the column profiler
+    "graph_triangle_count",
+    "graph_kcore",
+    "ann_topk_ivfpq",
+    "events_dau_mau_sketch",
+    "dq_column_profile",
     "hof_map_ops",
     "embedding_quantize_int8",
     "join_fuzzy_prefix",
