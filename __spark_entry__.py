@@ -81,6 +81,7 @@ _PRIORITY = (
     "events_dau_mau_sketch",
     "ann_topk_ivfpq",
     "dq_column_profile",
+    "events_funnel_steps",
     # hardest unstamped dedup/graph/text oracles (judge's list)
     "dedup_prefix_jaccard",
     "dedup_cluster_cc",

@@ -1227,3 +1227,81 @@ def lineitem_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_skew_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch conversion funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+# The product-analytics staple missing between the pairwise conversion
+# join (events_conversion_join) and the lifecycle report: how many
+# users progress through an ORDERED stage sequence. Semantics are the
+# standard first-touch funnel — a user advances when their first
+# occurrence of stage k+1 happens strictly after their first
+# occurrence of stage k — which reduces to ONE hash aggregate per user
+# over conditional MIN(unix_micros) columns (no joins, no windows,
+# map-side combined) and a 3-row stacked report. Conversion rates are
+# exact integer permille. At 100 TB this is a single shuffle on
+# user_id; the per-user state is three longs.
+@query(
+    "events_funnel_steps",
+    """
+    WITH peruser AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS mv,
+             MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS mc,
+             MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS mp
+      FROM events GROUP BY 1
+    ),
+    flags AS (
+      SELECT CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN mv IS NOT NULL AND mc > mv THEN 1 ELSE 0 END AS s2,
+             CASE WHEN mv IS NOT NULL AND mc > mv AND mp > mc
+                  THEN 1 ELSE 0 END AS s3
+      FROM peruser
+    ),
+    tot AS (
+      SELECT CAST(SUM(s1) AS BIGINT) AS n1, CAST(SUM(s2) AS BIGINT) AS n2,
+             CAST(SUM(s3) AS BIGINT) AS n3
+      FROM flags
+    )
+    SELECT u.stage, u.n_users, u.conv_permille
+    FROM tot, LATERAL (
+      SELECT * FROM (VALUES
+        ('view', tot.n1, CAST(1000 AS BIGINT)),
+        ('view_click', tot.n2, (tot.n2 * 1000) // NULLIF(tot.n1, 0)),
+        ('view_click_purchase', tot.n3,
+         (tot.n3 * 1000) // NULLIF(tot.n2, 0))
+      ) AS t(stage, n_users, conv_permille)
+    ) u
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mic = F.expr("unix_micros(ts)")
+
+    def first(evt: str):
+        return F.min(F.when(F.col("event_type") == evt, mic)).alias(
+            "m" + evt[0]
+        )
+
+    peruser = ev.groupBy("user_id").agg(
+        first("view"), first("click"), first("purchase")
+    )
+    tot = peruser.agg(
+        F.count_if(F.col("mv").isNotNull()).alias("n1"),
+        F.count_if(
+            F.col("mv").isNotNull() & (F.col("mc") > F.col("mv"))
+        ).alias("n2"),
+        F.count_if(
+            F.col("mv").isNotNull()
+            & (F.col("mc") > F.col("mv"))
+            & (F.col("mp") > F.col("mc"))
+        ).alias("n3"),
+    )
+    return tot.selectExpr(
+        "stack(3, "
+        "'view', n1, CAST(1000 AS BIGINT), "
+        "'view_click', n2, (n2 * 1000L) div NULLIF(n1, 0), "
+        "'view_click_purchase', n3, (n3 * 1000L) div NULLIF(n2, 0)"
+        ") AS (stage, n_users, conv_permille)"
+    )
