@@ -82,6 +82,7 @@ _PRIORITY = (
     "ann_topk_ivfpq",
     "dq_column_profile",
     "events_funnel_steps",
+    "join_fuzzy_editdist",
     # hardest unstamped dedup/graph/text oracles (judge's list)
     "dedup_prefix_jaccard",
     "dedup_cluster_cc",

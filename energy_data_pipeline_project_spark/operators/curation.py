@@ -1110,3 +1110,132 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("sample_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance self-join via PassJoin segment pigeonhole
+# ---------------------------------------------------------------------------
+# The string-similarity sibling of dedup_prefix_jaccard: find ALL
+# distinct-name pairs within Levenshtein distance EDJOIN_TAU without
+# the O(n²) pair space (Li et al., "PassJoin", VLDB 2012 — public).
+# Pigeonhole: partition every string into TAU+1 segments; if
+# ed(r, s) <= TAU, at least one of r's segments survives unedited and
+# therefore occurs VERBATIM in s, at a position shifted by at most
+# TAU and with |len(r) - len(s)| <= TAU. So the candidate join is
+# (segment rows of r) ⋈ (bounded substring probes of s): 3 index rows
+# per string vs <= (2TAU+1)·(TAU+1)·(2TAU+1) = 45 probe rows per
+# string — constants, not corpus-sized — on short substring keys, and
+# only the candidates pay the levenshtein verify. The DuckDB oracle
+# is the NAIVE all-pairs join; the driver hash match is the proof the
+# blocking is lossless. Segment scheme (deterministic, both sides):
+# base = L div 3, rem = L mod 3; seg i in 0..2 has length
+# base + (i < rem), start = i*base + least(i, rem). Strings shorter
+# than 3 chars are excluded by definition (a segment would be empty);
+# the oracle applies the same floor.
+EDJOIN_TAU = 2
+
+
+def _edjoin_seg(col_l: str, i: str) -> tuple[str, str]:
+    """(start, length) SQL for segment ``i`` of a string of length
+    ``col_l`` under the 3-way partition scheme (0-based start)."""
+    base = f"({col_l} div 3)"
+    rem = f"({col_l} % 3)"
+    start = f"({i} * {base} + least({i}, {rem}))"
+    length = f"({base} + CASE WHEN {i} < {rem} THEN 1 ELSE 0 END)"
+    return start, length
+
+
+@query(
+    "join_fuzzy_editdist",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS nm FROM part WHERE length(p_name) >= 3
+    )
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
+    FROM names a JOIN names b ON a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= {EDJOIN_TAU}
+    """,
+)
+def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All distinct part-name pairs within edit distance EDJOIN_TAU,
+    via lossless PassJoin blocking (naive all-pairs oracle)."""
+    tau = EDJOIN_TAU
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("nm"))
+        .where(F.length("nm") >= 3)
+        .distinct()
+        .withColumn("l", F.length("nm"))
+    )
+
+    # Index side: the 3 segments of every string, keyed by
+    # (segment id, string length, segment text).
+    st, ln = _edjoin_seg("l", "i")
+    segs = names.select(
+        F.col("nm").alias("nm_a"),
+        F.explode(F.expr("sequence(0, 2)")).alias("i"),
+        "l",
+    ).select(
+        "nm_a",
+        "i",
+        F.col("l").alias("lr"),
+        F.expr(f"substring(nm_a, {st} + 1, {ln})").alias("seg"),
+    )
+
+    # Probe side: for every string, every substring that could equal
+    # an unedited segment of a partner of length lr in [l-tau, l+tau],
+    # at segment i's position shifted by at most tau. Bounded fan-out:
+    # (2*tau+1)^2 * 3 rows per string.
+    stp, lnp = _edjoin_seg("lr", "i")
+    probes = (
+        names.select(
+            F.col("nm").alias("nm_b"),
+            "l",
+            F.explode(
+                F.expr(f"sequence(greatest(l - {tau}, 3), l + {tau})")
+            ).alias("lr"),
+        )
+        .select(
+            "nm_b",
+            "l",
+            "lr",
+            F.explode(F.expr("sequence(0, 2)")).alias("i"),
+        )
+        .select(
+            "nm_b",
+            "l",
+            "lr",
+            "i",
+            F.explode(F.expr(f"sequence(-{tau}, {tau})")).alias("shift"),
+        )
+        .select(
+            "nm_b",
+            "i",
+            "lr",
+            F.expr(
+                f"CASE WHEN {stp} + shift >= 0"
+                f" AND {stp} + shift + {lnp} <= l"
+                f" THEN substring(nm_b, {stp} + shift + 1, {lnp}) END"
+            ).alias("seg"),
+        )
+        .where(F.col("seg").isNotNull())
+        .distinct()
+    )
+
+    cand = (
+        segs.join(probes, ["i", "lr", "seg"])
+        .where(F.col("nm_a") != F.col("nm_b"))
+        .select(
+            F.least("nm_a", "nm_b").alias("name_a"),
+            F.greatest("nm_a", "nm_b").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.expr("levenshtein(name_a, name_b)").cast("bigint").alias(
+            "edit_distance"
+        ),
+    ).where(F.col("edit_distance") <= tau)

@@ -543,3 +543,54 @@ def test_approx_percentile_within_rank_error(spark):
             lo = vals[max(0, int(q * n) - slack)]
             hi = vals[min(n - 1, int(q * n) + slack)]
             assert lo <= got <= hi
+
+
+def test_fuzzy_editdist_lossless_on_adversarial_indels(spark, tmp_path):
+    """PassJoin blocking must not lose pairs whose edits are indels at
+    segment boundaries (the shift the position window exists for).
+    Brute-force Python Levenshtein is the ground truth."""
+    from energy_data_pipeline_project_spark.operators.curation import (
+        EDJOIN_TAU,
+        join_fuzzy_editdist,
+    )
+
+    names = [
+        "abcdefghij",   # base
+        "bcdefghij",    # delete at position 0 (shifts every segment)
+        "abcdefghijk",  # append
+        "xabcdefghij",  # prepend
+        "abdefghij",    # delete inside segment 0
+        "abcdefgzij",   # substitute in segment 2
+        "abcdeXfghij",  # insert at segment boundary
+        "zzzzzzzzzz",   # far away
+        "abc",          # minimum length
+        "abd",          # distance 1 from abc
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (min(a, b), max(a, b), lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= EDJOIN_TAU
+    }
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+
+    got = {
+        (r.name_a, r.name_b, r.edit_distance)
+        for r in join_fuzzy_editdist(spark, sf).collect()
+    }
+    assert got == truth, (sorted(got - truth), sorted(truth - got))
