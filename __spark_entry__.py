@@ -83,6 +83,7 @@ _PRIORITY = (
     "dq_column_profile",
     "events_funnel_steps",
     "join_fuzzy_editdist",
+    "events_ewma_trend",
     # hardest unstamped dedup/graph/text oracles (judge's list)
     "dedup_prefix_jaccard",
     "dedup_cluster_cc",
