@@ -4,8 +4,10 @@
 daily-join shape, SURVEY.md §3.3, mapped onto the star schema) on
 sf0.001. ``queries()`` exposes the full operator surface from
 SURVEY.md §2 (+ §2.10 extensions); ``oracle_sql()`` gives each one's
-DuckDB twin where ANSI-SQL-expressible (all but ``ann_topk_numpy``,
-the Arrow/numpy fast path, which gets a rows-only check).
+DuckDB twin where ANSI-SQL-expressible (the handful of rows-only
+exemptions — engine-specific sketches/estimates and the Arrow/numpy
+fast path — are enumerated and error-gated; see
+tests/test_entry_rotation.py).
 
 The driver's correctness gate stamps at most ~50 queries per round
 (CORRECTNESS_r01/r02 both cut off at exactly 50 entries), so
@@ -13,7 +15,7 @@ The driver's correctness gate stamps at most ~50 queries per round
 earned a passing stamp in recorded ``CORRECTNESS_r*.json`` files:
 never-stamped queries come first, then least-recently-covered ones.
 Over successive rounds this rotates driver coverage across the whole
-196-query surface with no manual curation. Ordering changes nothing
+query surface with no manual curation. Ordering changes nothing
 semantically — every query remains independently runnable.
 """
 
