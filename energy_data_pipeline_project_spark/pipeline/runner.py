@@ -20,7 +20,7 @@ from . import gold as G
 from .config import PipelineConfig
 from .ingestion import ingest_dataset, ingest_dataset_distributed
 from .lake import read_table, table_path, write_table_observed
-from .silver import extract_timeseries
+from .silver import extract_timeseries, extract_timeseries_with_quarantine
 
 
 @dataclass
@@ -47,12 +47,19 @@ def run_pipeline(
     source: PayloadSource | None = None,
     *,
     distributed_fetch: bool = False,
+    quarantine: bool = False,
 ) -> PipelineResult:
     """``distributed_fetch`` switches bronze ingestion from the
     reference's driver-side per-day loop to the executor-side
     mapInPandas fetch (ingest_dataset_distributed) — same bronze
     contract, parallel fetch. Use it when the backfill spans more days
-    than a driver loop should serialize."""
+    than a driver loop should serialize.
+
+    ``quarantine=True`` splits malformed bronze payloads into a
+    ``silver/<name>_quarantine`` table (full bronze row + reason)
+    instead of letting them silently produce zero silver rows — the
+    policy a production engine needs where the reference would
+    crash or drop data."""
     apply_runtime_confs(spark)
     source = source or LocalJsonSource()
     if config.table_format == "auto":
@@ -82,7 +89,18 @@ def run_pipeline(
         bpath = table_path(config.lake_root, "bronze", ds.name)
         bronze = read_table(spark, bpath, fmt)
         result.bronze[ds.name] = bronze
-        silver = extract_timeseries(bronze, ds)
+        if quarantine:
+            silver, quarantined = extract_timeseries_with_quarantine(
+                bronze, ds
+            )
+            qpath = table_path(
+                config.lake_root, "silver", f"{ds.name}_quarantine"
+            )
+            result.observed[f"quarantine/{ds.name}"] = write_table_observed(
+                quarantined, qpath, fmt
+            )
+        else:
+            silver = extract_timeseries(bronze, ds)
         spath = table_path(config.lake_root, "silver", f"{ds.name}_silver")
         # keyed like PipelineResult.counts() ("silver/<dataset name>")
         result.observed[f"silver/{ds.name}"] = write_table_observed(

@@ -109,3 +109,67 @@ def extract_timeseries(bronze: DataFrame, dataset: DatasetSpec) -> DataFrame:
     return out.where(
         F.col("timestamp").isNotNull() & F.col(dataset.value_column).isNotNull()
     )
+
+
+def quarantine_predicate(dataset: DatasetSpec) -> F.Column:
+    """True for bronze rows whose payload cannot yield silver rows.
+
+    The reference fails the whole job on a malformed day
+    (bronze_to_silver.py lets from_json degrade silently or the
+    pipeline crash upstream); an engine must instead QUARANTINE the
+    bad rows and keep the batch flowing. A row is quarantined when its
+    payload is unparseable JSON (from_json → NULL struct), its time
+    array is missing, or it carries no value source (empty entity
+    array / every value probe null). The predicate is pure Catalyst
+    expressions over payload_json — evaluated in the same scan that
+    feeds extraction, no extra pass."""
+    spec = dataset.extract
+    # from_json PERMISSIVE yields an all-null struct (not a NULL
+    # struct) for malformed input, so JSON validity is probed with
+    # get_json_object(payload, '$') — NULL exactly when the document
+    # does not parse.
+    invalid = F.get_json_object("payload_json", "$").isNull()
+    if spec.entity_array:
+        payload = F.from_json("payload_json", _payload_schema(spec))
+        return (
+            invalid
+            | payload[spec.time_field].isNull()
+            | payload[spec.entity_array].isNull()
+            | (F.size(payload[spec.entity_array]) == 0)
+        )
+    time_json = F.get_json_object("payload_json", f"$.{spec.time_field}")
+    probes = [
+        F.get_json_object("payload_json", f"$.{p}") for p in spec.value_probes
+    ]
+    return invalid | time_json.isNull() | F.coalesce(*probes).isNull()
+
+
+def extract_timeseries_with_quarantine(
+    bronze: DataFrame, dataset: DatasetSpec
+) -> tuple[DataFrame, DataFrame]:
+    """(silver rows from clean payloads, quarantined bronze rows).
+
+    The quarantine frame keeps the FULL bronze row (so a fixed parser
+    can replay it) plus a ``quarantine_reason`` audit column. Clean
+    rows flow through the standard ``extract_timeseries`` plan — the
+    split is one predicate, both branches share the scan."""
+    spec = dataset.extract
+    bad = quarantine_predicate(dataset)
+    invalid = F.get_json_object("payload_json", "$").isNull()
+    if spec.entity_array:
+        payload = F.from_json("payload_json", _payload_schema(spec))
+        reason = (
+            F.when(invalid, "unparseable_json")
+            .when(payload[spec.time_field].isNull(), "missing_time_array")
+            .otherwise("missing_values")
+        )
+    else:
+        time_json = F.get_json_object("payload_json", f"$.{spec.time_field}")
+        reason = (
+            F.when(invalid, "unparseable_json")
+            .when(time_json.isNull(), "missing_time_array")
+            .otherwise("missing_values")
+        )
+    good = extract_timeseries(bronze.where(~bad), dataset)
+    quarantined = bronze.where(bad).withColumn("quarantine_reason", reason)
+    return good, quarantined

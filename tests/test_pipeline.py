@@ -352,3 +352,60 @@ def test_observed_write_metrics_match_reread(spark, tmp_path):
     for key, metrics in res.observed.items():
         if key.startswith("silver/"):
             assert metrics["nulls_timestamp"] == 0
+
+
+def test_quarantine_splits_bad_payloads(spark):
+    """Malformed bronze payloads must quarantine with a reason, not
+    crash or silently vanish: clean rows produce exactly the silver
+    rows the plain extractor produces, and every bronze row lands in
+    exactly one branch."""
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries,
+        extract_timeseries_with_quarantine,
+    )
+
+    power, price = default_datasets()
+    good_payload = (
+        '{"unix_seconds": [1700000000, 1700000900],'
+        ' "production_types": [{"name": "offshore wind",'
+        ' "data": [1.5, 2.5]}]}'
+    )
+    rows = [
+        ("de", "2023-11-14", good_payload),
+        ("de", "2023-11-15", "{not json"),                      # unparseable
+        ("de", "2023-11-16", '{"production_types": []}'),        # no time
+        ("de", "2023-11-17",
+         '{"unix_seconds": [1700000000], "production_types": []}'),  # empty
+    ]
+    bronze = spark.createDataFrame(
+        rows, "country string, date string, payload_json string"
+    )
+    good, quarantined = extract_timeseries_with_quarantine(bronze, power)
+
+    assert [tuple(r) for r in good.collect()] == [
+        tuple(r) for r in extract_timeseries(
+            bronze.where("date = '2023-11-14'"), power
+        ).collect()
+    ]
+    q = {r["date"]: r["quarantine_reason"] for r in quarantined.collect()}
+    assert q == {
+        "2023-11-15": "unparseable_json",
+        "2023-11-16": "missing_time_array",
+        "2023-11-17": "missing_values",
+    }
+
+    # probe-shaped dataset: all probes null → quarantined
+    pb = spark.createDataFrame(
+        [
+            ("DE-LU", "2023-11-14",
+             '{"unix_seconds": [1700000000], "price": [42.0]}'),
+            ("DE-LU", "2023-11-15",
+             '{"unix_seconds": [1700000000], "volume": [1.0]}'),
+        ],
+        "market string, date string, payload_json string",
+    )
+    g2, q2 = extract_timeseries_with_quarantine(pb, price)
+    assert g2.count() == 1
+    assert [r["quarantine_reason"] for r in q2.collect()] == [
+        "missing_values"
+    ]
