@@ -409,3 +409,102 @@ def test_quarantine_splits_bad_payloads(spark):
     assert [r["quarantine_reason"] for r in q2.collect()] == [
         "missing_values"
     ]
+
+
+def test_incremental_backfill_fetches_only_missing_days(spark, tmp_path):
+    """ingest_dataset_incremental touches only gap days: a second run
+    fetches nothing, extending the range fetches just the extension,
+    and the final table equals a from-scratch full ingest (modulo
+    audit timestamps). Also migrates a legacy unpartitioned table."""
+    from energy_data_pipeline_project_spark.pipeline.ingestion import (
+        ingest_dataset,
+        ingest_dataset_incremental,
+    )
+    from energy_data_pipeline_project_spark.sources.fixtures import (
+        fixture_payloads,
+    )
+    from energy_data_pipeline_project_spark.sources.payloads import (
+        LocalJsonSource,
+    )
+
+    power = default_datasets()[0]
+    days7 = [f"2025-01-0{i}" for i in range(1, 8)]
+
+    class CountingSource(LocalJsonSource):
+        def __init__(self, payloads):
+            super().__init__(payloads)
+            self.calls = []
+
+        def fetch(self, dataset, day):
+            self.calls.append(day)
+            return super().fetch(dataset, day)
+
+    src = CountingSource(fixture_payloads(days7))
+
+    def cfg(start, end):
+        return PipelineConfig(
+            lake_root=str(tmp_path), start_date=start, end_date=end,
+            datasets=(power,),
+        )
+
+    # first run: all 3 days fetched, table partitioned by date
+    assert ingest_dataset_incremental(
+        spark, cfg("2025-01-01", "2025-01-03"), power, src
+    ) is not None
+    assert src.calls == days7[:3]
+
+    # rerun: nothing missing → no fetch, no write
+    src.calls.clear()
+    assert ingest_dataset_incremental(
+        spark, cfg("2025-01-01", "2025-01-03"), power, src
+    ) is None
+    assert src.calls == []
+
+    # extend range: only the new days fetched
+    src.calls.clear()
+    ingest_dataset_incremental(
+        spark, cfg("2025-01-01", "2025-01-05"), power, src
+    )
+    assert src.calls == days7[3:5]
+
+    # final table == full from-scratch ingest (payload columns)
+    import os
+    full_dir = str(tmp_path) + "-full"
+    os.makedirs(full_dir)
+    full_cfg = PipelineConfig(
+        lake_root=full_dir, start_date="2025-01-01", end_date="2025-01-05",
+        datasets=(power,),
+    )
+    ingest_dataset(spark, full_cfg, power, LocalJsonSource(fixture_payloads(days7)))
+    got = {
+        (str(r["date"]), r["payload_json"])
+        for r in spark.read.parquet(
+            f"{tmp_path}/bronze/{power.name}"
+        ).collect()
+    }
+    want = {
+        (str(r["date"]), r["payload_json"])
+        for r in spark.read.parquet(
+            f"{full_dir}/bronze/{power.name}"
+        ).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # legacy migration: unpartitioned table gains days without dupes
+    legacy_root = str(tmp_path) + "-legacy"
+    os.makedirs(legacy_root)
+    lcfg = PipelineConfig(
+        lake_root=legacy_root, start_date="2025-01-01",
+        end_date="2025-01-03", datasets=(power,),
+    )
+    ingest_dataset(spark, lcfg, power, LocalJsonSource(fixture_payloads(days7)))
+    ingest_dataset_incremental(
+        spark,
+        PipelineConfig(lake_root=legacy_root, start_date="2025-01-01",
+                       end_date="2025-01-05", datasets=(power,)),
+        power,
+        LocalJsonSource(fixture_payloads(days7)),
+    )
+    rows = spark.read.parquet(f"{legacy_root}/bronze/{power.name}").collect()
+    assert sorted({str(r["date"]) for r in rows}) == days7[:5]
+    assert len(rows) == 5, "migration must not duplicate legacy rows"
