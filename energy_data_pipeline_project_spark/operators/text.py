@@ -1608,3 +1608,37 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reusable curation building blocks (examples/curate_corpus.py)
+# ---------------------------------------------------------------------------
+def quality_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc ids surviving all three quality-funnel gates — the kept-set
+    twin of ``corpus_quality_funnel`` (which reports only counts).
+    Same per-doc metrics, same thresholds; one explode + two hash
+    aggregates, then the cumulative predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    pd = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("topc"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("ntypes"),
+    )
+    return pd.where(
+        (F.col("n") >= FUNNEL_MIN_TOKENS)
+        & (F.col("ntypes") * 1.0 / F.col("n") >= FUNNEL_TTR_MIN)
+        & (F.col("topc") * 1.0 / F.col("n") <= FUNNEL_REP_MAX)
+    ).select("doc_id")
+
+
+def split_label_sql() -> str:
+    """SQL CASE assigning the deterministic 90/5/5 split label — the
+    exact rule ``data_split_hash`` aggregates by, exposed for
+    row-level tagging."""
+    return (
+        f"CASE WHEN {_SPLIT_BUCKET_SPARK} < 90 THEN 'train' "
+        f"WHEN {_SPLIT_BUCKET_SPARK} < 95 THEN 'val' "
+        "ELSE 'test' END"
+    )

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation: the operator library composed as one
+pipeline, the way a training-data team would actually run it.
+
+    python examples/curate_corpus.py [sf_dir] [out_dir]
+
+Stages (each an oracle-checked query from the engine surface):
+
+1. quality funnel   — per-source survival through the heuristic
+                      quality gates (corpus_quality_funnel)
+2. near-dup resolve — MinHash-LSH pair graph → connected components →
+                      keep the best-scoring doc per duplicate family
+                      (corpus_dedup_keep_best)
+3. decontamination  — drop docs sharing >= 2 five-gram shingles with
+                      the benchmark carve (dedup_contamination_bloom,
+                      the broadcast-Bloom formulation)
+4. split assignment — deterministic 90/5/5 hash split
+                      (data_split_hash machinery)
+5. sequence packing — greedy first-fit chunk packing into
+                      fixed-token-budget training sequences
+                      (chunk_pack_sequences)
+
+Outputs a curated lake under ``out_dir``:
+    curated/documents/   kept docs + split label (parquet)
+    curated/sequences/   packed sequence manifest
+    curated/report/      one-row-per-stage funnel counts
+
+Everything is a Catalyst plan over the documents table — the script
+is composition, not new computation; at 100 TB the same code runs
+with a bigger session.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from energy_data_pipeline_project_spark.operators import dedup, text
+from energy_data_pipeline_project_spark.operators.curation import (
+    corpus_dedup_keep_best,
+)
+from energy_data_pipeline_project_spark.session import get_spark_session
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+
+def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gates: keep docs the funnel's final stage keeps
+    kept_q = text.quality_kept_docs(spark, sf_dir)
+    n1 = kept_q.count()
+
+    # 2. duplicate-family resolution: survivors of keep-best
+    keep_best = corpus_dedup_keep_best(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    n2 = kept_q.join(keep_best, "doc_id").count()
+
+    # 3. decontamination: flagged docs are dropped
+    flagged = dedup.QUERIES["dedup_contamination_bloom"](
+        spark, sf_dir
+    ).select("doc_id")
+    survivors = (
+        kept_q.join(keep_best, "doc_id").join(flagged, "doc_id", "left_anti")
+    )
+    n3 = survivors.count()
+
+    # 4. split assignment (deterministic hash buckets)
+    curated = survivors.join(docs, "doc_id").withColumn(
+        "split", F.expr(text.split_label_sql())
+    )
+    curated.write.mode("overwrite").parquet(f"{out_dir}/curated/documents")
+
+    # 5. sequence packing over the curated docs' chunks
+    seqs = text.QUERIES["chunk_pack_sequences"](spark, sf_dir)
+    seqs.write.mode("overwrite").parquet(f"{out_dir}/curated/sequences")
+    n_seq = spark.read.parquet(f"{out_dir}/curated/sequences").count()
+
+    report = spark.createDataFrame(
+        [
+            ("0_raw", n0),
+            ("1_quality", n1),
+            ("2_dedup", n2),
+            ("3_decontaminated", n3),
+            ("4_sequences", n_seq),
+        ],
+        "stage string, n bigint",
+    )
+    report.write.mode("overwrite").parquet(f"{out_dir}/curated/report")
+    return {r["stage"]: r["n"] for r in report.collect()}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated-corpus"
+    spark = get_spark_session(app_name="curate-corpus")
+    counts = curate(spark, sf_dir, out_dir)
+    for stage in sorted(counts):
+        print(f"{stage:20s} {counts[stage]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -594,3 +594,32 @@ def test_fuzzy_editdist_lossless_on_adversarial_indels(spark, tmp_path):
         for r in join_fuzzy_editdist(spark, sf).collect()
     }
     assert got == truth, (sorted(got - truth), sorted(truth - got))
+
+
+def test_curate_corpus_example_runs(spark, tmp_path):
+    """The examples/curate_corpus.py composition must run end-to-end
+    and produce a monotone funnel (each stage keeps a subset) with a
+    consistent curated lake on disk."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "curate_corpus.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "lake")
+    counts = mod.curate(spark, SF_SMOKE, out)
+    assert counts["0_raw"] >= counts["1_quality"] >= counts["2_dedup"]
+    assert counts["2_dedup"] >= counts["3_decontaminated"] > 0
+    curated = spark.read.parquet(f"{out}/curated/documents")
+    assert curated.count() == counts["3_decontaminated"]
+    splits = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    assert counts["4_sequences"] > 0
