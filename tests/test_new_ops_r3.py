@@ -131,3 +131,47 @@ def test_rfm_scores_reproduce_rubric(spark):
         assert r["r_score"] == band(r["r_days"], _RFM_R, asc=True)
         assert r["f_score"] == band(r["n_orders"], _RFM_F, asc=False)
         assert r["m_score"] == band(r["m_cents"], _RFM_M, asc=False)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator invariants
+# ---------------------------------------------------------------------------
+def test_funnel_is_monotone(spark):
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        QUERIES as WQ,
+    )
+
+    rows = {r["stage"]: r for r in
+            WQ["events_funnel_steps"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"view", "view_click", "view_click_purchase"}
+    n1, n2, n3 = (rows[s]["n_users"] for s in
+                  ("view", "view_click", "view_click_purchase"))
+    assert n1 >= n2 >= n3 >= 0 and n1 > 0
+    assert rows["view"]["conv_permille"] == 1000
+
+
+def test_ewma_constant_series_is_exact(spark, tmp_path):
+    """On a constant daily series the truncated EWMA must reproduce the
+    constant exactly (weights cancel: (x*sw*1000) div sw == x*1000) —
+    the fixed-point-exactness property the rational-alpha design
+    guarantees."""
+    import datetime
+
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        QUERIES as TQ,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + d, 12, 0, 0), 7, "steady", 42.0,
+         "{}")
+        for d, i in enumerate(range(20))
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = TQ["events_ewma_trend"](spark, sf).collect()
+    assert len(out) == 20
+    assert all(r["ewma_millicents"] == 4200 * 1000 for r in out)
