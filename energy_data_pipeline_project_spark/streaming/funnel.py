@@ -1,0 +1,109 @@
+"""Streaming conversion funnel: mergeable per-user stage state.
+
+The batch funnel (``warehouse.events_funnel_steps``) reduces to three
+conditional ``MIN(unix_micros)`` columns per user — and MIN is
+associative/commutative, so the streaming form is a keyed state table
+merged per micro-batch: each batch contributes its own per-user
+conditional mins, the state upsert keeps the elementwise least, and
+the funnel report recomputes from state at any time. Replayed batches
+re-apply the same mins → idempotent under at-least-once delivery, the
+same effectively-once argument as ``medallion.write_stream_merge_to_lake``.
+
+At scale the state table is one row per user (three longs) — the
+smallest sufficient statistic for the report — merged by a keyed join
+against batch-grain aggregates, never against raw events.
+
+Batch-vs-stream parity is pinned row-for-row in
+tests/test_streaming_funnel.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def batch_user_mins(events: DataFrame) -> DataFrame:
+    """Per-user conditional first-occurrence micros for one batch."""
+    mic = F.expr("unix_micros(ts)")
+
+    def first(evt: str, name: str):
+        return F.min(F.when(F.col("event_type") == evt, mic)).alias(name)
+
+    return events.groupBy("user_id").agg(
+        first("view", "mv"), first("click", "mc"), first("purchase", "mp")
+    )
+
+
+def merge_state(state_path: str, batch_mins: DataFrame) -> None:
+    """Elementwise-least merge of batch mins into the state table.
+
+    Staged write + directory swap so a concurrent reader never sees a
+    half-merged state (same idiom as pipeline.lake compaction)."""
+    spark = batch_mins.sparkSession
+    if os.path.exists(state_path):
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.select("user_id", "mv", "mc", "mp")
+            .unionByName(batch_mins)
+            .groupBy("user_id")
+            .agg(
+                F.min("mv").alias("mv"),
+                F.min("mc").alias("mc"),
+                F.min("mp").alias("mp"),
+            )
+        )
+        staged = state_path.rstrip("/") + "._merging"
+        merged.write.mode("overwrite").parquet(staged)
+        old = state_path.rstrip("/") + "._pre_swap"
+        os.rename(state_path, old)
+        os.rename(staged, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        batch_mins.write.mode("overwrite").parquet(state_path)
+
+
+def stream_funnel_state(
+    events_stream: DataFrame, state_path: str, checkpoint: str
+):
+    """Start the stateful funnel: each arriving micro-batch folds its
+    per-user mins into ``state_path``."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_state(state_path, batch_user_mins(batch))
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def funnel_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """The 3-row funnel report from the state table — same schema and
+    semantics as the batch ``events_funnel_steps``."""
+    state = spark.read.parquet(state_path)
+    tot = state.agg(
+        F.count_if(F.col("mv").isNotNull()).alias("n1"),
+        F.count_if(
+            F.col("mv").isNotNull() & (F.col("mc") > F.col("mv"))
+        ).alias("n2"),
+        F.count_if(
+            F.col("mv").isNotNull()
+            & (F.col("mc") > F.col("mv"))
+            & (F.col("mp") > F.col("mc"))
+        ).alias("n3"),
+    )
+    return tot.selectExpr(
+        "stack(3, "
+        "'view', n1, CAST(1000 AS BIGINT), "
+        "'view_click', n2, (n2 * 1000L) div NULLIF(n1, 0), "
+        "'view_click_purchase', n3, (n3 * 1000L) div NULLIF(n2, 0)"
+        ") AS (stage, n_users, conv_permille)"
+    )
