@@ -388,3 +388,39 @@ def test_linear_probe_gradient_aggregates_are_partial(spark):
     rep = plan_report(training.QUERIES["train_linear_probe"](spark, SF_SMOKE))
     assert rep.plan.count("HashAggregate") >= 4  # 2 steps × partial+final
     assert not rep.python_eval
+
+
+def test_funnel_is_single_user_shuffle(spark):
+    """events_funnel_steps must be one hash aggregate per user (a
+    single exchange on user_id) feeding a 1-row global agg — no joins,
+    no windows; the state per user is three longs at any scale."""
+    from energy_data_pipeline_project_spark.operators import warehouse
+
+    rep = plan_report(warehouse.QUERIES["events_funnel_steps"](spark, SF_SMOKE))
+    assert "Join" not in rep.plan and "Window" not in rep.plan
+    assert rep.exchanges <= 2  # user agg + global agg
+
+
+def test_fuzzy_editdist_has_no_cartesian(spark):
+    """PassJoin must candidate-generate via the segment equi-join —
+    never a nested-loop/cartesian of the name pairs."""
+    from energy_data_pipeline_project_spark.operators import curation
+
+    rep = plan_report(curation.QUERIES["join_fuzzy_editdist"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+
+
+def test_ewma_explode_is_day_grain(spark):
+    """events_ewma_trend's contribution explode must sit ABOVE the
+    day-grain aggregate (explode of the aggregated frame), never on
+    raw events — the property that keeps the fan-out calendar-sized."""
+    from energy_data_pipeline_project_spark.operators import timeseries
+
+    plan = plan_report(
+        timeseries.QUERIES["events_ewma_trend"](spark, SF_SMOKE)
+    ).plan
+    gen = plan.index("Generate")
+    # the aggregate feeding the generate appears later in the
+    # formatted operator list (children print below parents)
+    assert "HashAggregate" in plan[gen:], "explode must consume the day agg"
