@@ -623,3 +623,52 @@ def test_curate_corpus_example_runs(spark, tmp_path):
     splits = {r["split"] for r in curated.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
     assert counts["4_sequences"] > 0
+
+
+def test_fuzzy_editdist_lossless_on_random_corpus(spark, tmp_path):
+    """Seeded random strings over a tiny alphabet (maximum collision /
+    near-miss density) — PassJoin must agree exactly with brute-force
+    Levenshtein, including distance-0 duplicates-by-content pairs
+    being absent (DISTINCT names) and boundary lengths (3, 4)."""
+    import random
+
+    from energy_data_pipeline_project_spark.operators.curation import (
+        EDJOIN_TAU,
+        join_fuzzy_editdist,
+    )
+
+    rng = random.Random(20260814)
+    names = sorted(
+        {
+            "".join(rng.choice("ab") for _ in range(rng.randint(3, 9)))
+            for _ in range(60)
+        }
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= EDJOIN_TAU
+    }
+    assert truth, "seed must produce near pairs"
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+    got = {
+        (r.name_a, r.name_b, r.edit_distance)
+        for r in join_fuzzy_editdist(spark, sf).collect()
+    }
+    assert got == truth, (sorted(got ^ truth)[:10], len(got), len(truth))
