@@ -249,6 +249,16 @@ def minhash_lsh_pairs(
     release_cached_frames() once the result is consumed.
     """
     sig = _cached(_minhash_signatures(docs))
+    return pairs_from_signatures(sig, bucket_cap=bucket_cap)
+
+
+def pairs_from_signatures(
+    sig: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for a signature frame — the
+    signature-level core of ``minhash_lsh_pairs``, reused by the
+    streaming ingest index (streaming/dedup_index.py) where
+    signatures arrive precomputed."""
     cand = lsh_candidate_pairs(sig, bucket_cap=bucket_cap)
 
     sa = sig.select(
@@ -269,6 +279,57 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
+            (matches / F.lit(float(H.MINHASH_K))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+def cross_matches_from_signatures(
+    sig_batch: DataFrame,
+    sig_index: DataFrame,
+    *,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_id, dup_of, est_jaccard): batch signatures band-colliding
+    with index signatures — the two-frame core of
+    ``incremental_lsh_matches``, with the hot-bucket cap on the INDEX
+    side (same rationale: a boilerplate index bucket would fan every
+    colliding batch doc out to the whole bucket)."""
+    batch_bands = _melt_bands(sig_batch)
+    index_bands = _melt_bands(sig_index)
+    iok = (
+        index_bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("bcnt"))
+        .where(F.col("bcnt") <= bucket_cap)
+        .select("band_id", "band_val")
+    )
+    cand = (
+        batch_bands.join(index_bands.join(iok, ["band_id", "band_val"])
+                         .select("band_id", "band_val",
+                                 F.col("doc_id").alias("dup_of")),
+                         ["band_id", "band_val"])
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    sa = sig_batch.select(
+        "doc_id",
+        *[F.col(f"m{i}").alias(f"ba{i}") for i in range(H.MINHASH_K)],
+    )
+    sb = sig_index.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"m{i}").alias(f"bi{i}") for i in range(H.MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"ba{i}") == F.col(f"bi{i}"), 1).otherwise(0)
+        for i in range(H.MINHASH_K)
+    )
+    return (
+        cand.join(sa, "doc_id")
+        .join(sb, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
             (matches / F.lit(float(H.MINHASH_K))).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= MINHASH_THRESHOLD)
@@ -361,43 +422,8 @@ def incremental_lsh_matches(
     """
     sig = _cached(_minhash_signatures(docs))
     is_batch = _incr_split_pred()
-    batch_bands = _melt_bands(sig.where(is_batch))
-    index_bands = _melt_bands(sig.where(~is_batch))
-    iok = (
-        index_bands.groupBy("band_id", "band_val")
-        .agg(F.count("*").alias("bcnt"))
-        .where(F.col("bcnt") <= bucket_cap)
-        .select("band_id", "band_val")
-    )
-    cand = (
-        batch_bands.join(index_bands.join(iok, ["band_id", "band_val"])
-                         .select("band_id", "band_val",
-                                 F.col("doc_id").alias("dup_of")),
-                         ["band_id", "band_val"])
-        .select("doc_id", "dup_of")
-        .distinct()
-    )
-    sa = sig.select(
-        "doc_id",
-        *[F.col(f"m{i}").alias(f"ba{i}") for i in range(H.MINHASH_K)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("dup_of"),
-        *[F.col(f"m{i}").alias(f"bi{i}") for i in range(H.MINHASH_K)],
-    )
-    matches = sum(
-        F.when(F.col(f"ba{i}") == F.col(f"bi{i}"), 1).otherwise(0)
-        for i in range(H.MINHASH_K)
-    )
-    return (
-        cand.join(sa, "doc_id")
-        .join(sb, "dup_of")
-        .select(
-            "doc_id",
-            "dup_of",
-            (matches / F.lit(float(H.MINHASH_K))).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    return cross_matches_from_signatures(
+        sig.where(is_batch), sig.where(~is_batch), bucket_cap=bucket_cap
     )
 
 
