@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         "for long backfills",
     )
     ap.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="split malformed bronze payloads into a "
+        "silver/<name>_quarantine table (full row + reason) instead "
+        "of silently yielding zero silver rows",
+    )
+    ap.add_argument(
         "--compact-after",
         action="store_true",
         help="compact every gold table after the run (small-file "
@@ -68,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         result = run_pipeline(
             spark, config, source,
             distributed_fetch=args.distributed_fetch,
+            quarantine=args.quarantine,
         )
         if args.compact_after:
             from .pipeline.lake import compact_table, read_table, table_path
