@@ -257,3 +257,43 @@ def test_ann_topk_ivfpq_on_10k_vectors(spark, big_dir):
     best = {r["query_id"]: r["dist_sq"] for r in rows if r["rank"] == 1}
     assert len(best) == N_QUERY_VECS
     assert all(d == 0 for d in best.values())
+
+
+def test_funnel_on_200k_events(spark, big_dir):
+    """Disjoint user cohorts per copy ⇒ every funnel stage count is
+    exactly 20× the base corpus; permille conversions are invariant
+    ((20·n2·1000) div (20·n1) = (n2·1000·20) div (20·n1) — same
+    rational, same truncation)."""
+    from energy_data_pipeline_project_spark.operators import warehouse
+
+    big = {r["stage"]: r for r in
+           warehouse.QUERIES["events_funnel_steps"](spark, big_dir).collect()}
+    base = {r["stage"]: r for r in
+            warehouse.QUERIES["events_funnel_steps"](spark, SF_CORRECT).collect()}
+    for stage in base:
+        assert big[stage]["n_users"] == N_COPIES * base[stage]["n_users"]
+        assert big[stage]["conv_permille"] == base[stage]["conv_permille"]
+
+
+def test_ewma_on_200k_events(spark, big_dir):
+    """Replication multiplies every day total by 20, and the EWMA is
+    linear with weight sums unchanged — so each smoothed value must be
+    exactly 20× the base value (rational weights cancel: the scaled
+    numerator is 20·swx, denominator sw identical, and
+    (20·swx·1000) div sw = 20·((swx·1000) div sw) only when exact —
+    which holds because swx·1000 here is divisible; assert the
+    by-construction relation swx_big = 20·swx_base via the output)."""
+    from energy_data_pipeline_project_spark.operators import timeseries
+
+    q = timeseries.QUERIES["events_ewma_trend"]
+    big = {(r["event_type"], r["d"]): r for r in q(spark, big_dir).collect()}
+    base = {(r["event_type"], r["d"]): r for r in q(spark, SF_CORRECT).collect()}
+    assert set(big) == set(base)
+    mism = 0
+    for k, b in base.items():
+        assert big[k]["day_cents"] == N_COPIES * b["day_cents"]
+        # truncation of (20·swx·1000) div sw can differ from
+        # 20·((swx·1000) div sw) by at most 19 fixed-point units
+        if abs(big[k]["ewma_millicents"] - N_COPIES * b["ewma_millicents"]) > 19:
+            mism += 1
+    assert mism == 0
