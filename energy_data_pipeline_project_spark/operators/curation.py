@@ -1123,7 +1123,7 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # therefore occurs VERBATIM in s, at a position shifted by at most
 # TAU and with |len(r) - len(s)| <= TAU. So the candidate join is
 # (segment rows of r) ⋈ (bounded substring probes of s): 3 index rows
-# per string vs <= (2TAU+1)·(TAU+1)·(2TAU+1) = 45 probe rows per
+# per string vs <= (2TAU+1)·(TAU+1)·(2TAU+1) = 75 probe rows per
 # string — constants, not corpus-sized — on short substring keys, and
 # only the candidates pay the levenshtein verify. The DuckDB oracle
 # is the NAIVE all-pairs join; the driver hash match is the proof the

@@ -179,9 +179,15 @@ def ingest_dataset_incremental(
     """
     path = table_path(config.lake_root, "bronze", dataset.name)
     target = [d.isoformat() for d in config.dates()]
-    try:
+    import os
+
+    if os.path.exists(path):
         # partition-column values are type-inferred as DATE on read;
-        # normalize to ISO strings for the set diff
+        # normalize to ISO strings for the set diff. Read errors on an
+        # EXISTING table must propagate — silently treating a corrupt
+        # or transiently-unreadable table as "no days yet" would
+        # re-write all partitions alongside the old files and
+        # double-count rows forever after.
         existing = {
             r["d"]
             for r in read_table(spark, path, config.table_format)
@@ -189,7 +195,7 @@ def ingest_dataset_incremental(
             .distinct()
             .collect()
         }
-    except Exception:  # first run: no table yet
+    else:  # first run: no table yet
         existing = set()
     missing = [d for d in target if d not in existing]
     if not missing:

@@ -3,11 +3,20 @@
 The production shape of ``dedup.incremental_lsh_matches``: every
 arriving micro-batch of documents is (1) signed (MinHash signatures),
 (2) screened against everything indexed so far PLUS itself, and (3)
-appended to the index — so each near-dup pair is emitted exactly once,
-when its LATER member arrives. Work per batch is O(batch + collisions)
-against the banded index, never a corpus re-pair; the index table
-holds K small ints per document and appends immutably (no
-read-modify-write races — parquet append only).
+written into the index — so each near-dup pair is emitted exactly
+once, when its LATER member arrives. Work per batch is
+O(batch + collisions) against the banded index, never a corpus
+re-pair; the index table holds K small ints per document.
+
+Replay idempotence (at-least-once sources re-deliver batches): both
+the signature index AND the verdict sink are partitioned by
+``batch_id`` and written with dynamic partition overwrite — a
+re-delivered batch REPLACES its own partitions instead of appending,
+and the cross-screen reads the index with ``batch_id != current``
+so a retry never matches a document against its own first-attempt
+signatures. This is the same idempotence carve as
+``streaming/trend.py``; contrast ``streaming/funnel.py``, whose MIN
+state needs none.
 
 Exactness contract (pinned in tests/test_streaming_dedup_index.py):
 replaying a corpus through the stream in ANY batch partitioning yields
@@ -25,7 +34,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from ..operators.dedup import (
     LSH_BUCKET_CAP,
@@ -35,14 +44,32 @@ from ..operators.dedup import (
 )
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch write: rows land in (and only in) the
+    batch's own ``batch_id`` partition; a replay replaces it."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def screen_and_index_batch(
     batch_docs: DataFrame,
     index_path: str,
+    batch_id: int,
     *,
     bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
-    """Screen one batch against the index + itself; append the batch's
-    signatures to the index. Returns the verdict frame
+    """Screen one batch against the index + itself; write the batch's
+    signatures into its index partition. Returns the verdict frame
     ``(doc_id, dup_of, est_jaccard)`` — ``dup_of`` is the previously
     seen (or same-batch, lower-id) near-duplicate."""
     spark = batch_docs.sparkSession
@@ -54,17 +81,25 @@ def screen_and_index_batch(
         "est_jaccard",
     )
     if os.path.exists(index_path):
-        sig_i = spark.read.parquet(index_path)
+        # exclude this batch's own partition: on a replay the first
+        # attempt's signatures are already there and would otherwise
+        # self-match every document
+        sig_i = spark.read.parquet(index_path).where(
+            F.col("batch_id") != int(batch_id)
+        ).drop("batch_id")
+        # a re-ingested doc_id meets its own earlier signature in the
+        # index — that is id-level re-arrival (the exact-dedup tier's
+        # concern), not a near-dup verdict; drop the identity pairs
         cross = cross_matches_from_signatures(
             sig_b, sig_i, bucket_cap=bucket_cap
-        )
+        ).where(F.col("doc_id") != F.col("dup_of"))
         verdicts = within.unionByName(cross)
     else:
         verdicts = within
-    # materialize BEFORE the index append so the verdict join cannot
+    # materialize BEFORE the index write so the verdict join cannot
     # observe the batch's own signatures on the index side
     verdicts = verdicts.localCheckpoint(eager=True)
-    sig_b.write.mode("append").parquet(index_path)
+    _write_batch_partition(sig_b, index_path, batch_id)
     return verdicts
 
 
@@ -76,15 +111,17 @@ def stream_dedup_index(
     *,
     bucket_cap: int = LSH_BUCKET_CAP,
 ):
-    """Start the ingest screen: per micro-batch verdicts append to
-    ``verdicts_path``; the signature index grows at ``index_path``."""
+    """Start the ingest screen: per micro-batch verdicts land in their
+    ``batch_id`` partition of ``verdicts_path``; the signature index
+    grows at ``index_path``. Both writes are replayable."""
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        screen_and_index_batch(
-            batch, index_path, bucket_cap=bucket_cap
-        ).write.mode("append").parquet(verdicts_path)
+        verdicts = screen_and_index_batch(
+            batch, index_path, batch_id, bucket_cap=bucket_cap
+        )
+        _write_batch_partition(verdicts, verdicts_path, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -20,7 +20,6 @@ tests/test_streaming_funnel.py.
 from __future__ import annotations
 
 import os
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -41,9 +40,19 @@ def batch_user_mins(events: DataFrame) -> DataFrame:
 def merge_state(state_path: str, batch_mins: DataFrame) -> None:
     """Elementwise-least merge of batch mins into the state table.
 
-    Staged write + directory swap so a concurrent reader never sees a
-    half-merged state (same idiom as pipeline.lake compaction)."""
+    Staged write + ``lake._atomic_swap`` (rename with rollback) so a
+    concurrent reader sees either the old or the new state, never a
+    partial write. A crash BETWEEN the swap's two renames leaves the
+    previous state parked at ``._pre_swap``; the recovery branch here
+    restores it on the next merge, and because the MIN-merge is
+    idempotent the re-delivered batch then reconverges — no silent
+    state loss."""
+    from ..pipeline.lake import _atomic_swap
+
     spark = batch_mins.sparkSession
+    pre = state_path.rstrip("/") + "._pre_swap"
+    if not os.path.exists(state_path) and os.path.exists(pre):
+        os.rename(pre, state_path)  # crashed mid-swap: restore
     if os.path.exists(state_path):
         prev = spark.read.parquet(state_path)
         merged = (
@@ -58,10 +67,7 @@ def merge_state(state_path: str, batch_mins: DataFrame) -> None:
         )
         staged = state_path.rstrip("/") + "._merging"
         merged.write.mode("overwrite").parquet(staged)
-        old = state_path.rstrip("/") + "._pre_swap"
-        os.rename(state_path, old)
-        os.rename(staged, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _atomic_swap(state_path, staged)
     else:
         batch_mins.write.mode("overwrite").parquet(state_path)
 

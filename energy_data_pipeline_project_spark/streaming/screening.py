@@ -72,6 +72,25 @@ def skipped_benchmark_docs(batch_docs: DataFrame) -> DataFrame:
     return benchmark_keyed_docs(batch_docs)
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch sink write (rows land in the batch's own
+    ``batch_id`` partition; replays replace it)."""
+    import pyspark.sql.functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def screen_stream(
     docs_stream: DataFrame,
     bench: DataFrame,
@@ -83,20 +102,30 @@ def screen_stream(
     skipped_dir: str | None = None,
 ):
     """Start the screening query: contamination verdicts for each
-    arriving batch append to ``out_dir`` as parquet. With a carving
+    arriving batch land in its ``batch_id`` partition of ``out_dir``
+    (replay-idempotent). With a carving
     screen, ``skipped_dir`` (when given) receives the benchmark-keyed
     doc ids each batch skipped, so the verdict + skipped outputs
     together cover every arriving document."""
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        screen_batch(
-            batch, bench, bloom, carve_benchmark=carve_benchmark
-        ).write.mode("append").parquet(out_dir)
+        # batch_id-partitioned dynamic overwrite: a re-delivered batch
+        # REPLACES its own verdict (and skipped) partitions instead of
+        # appending, so at-least-once delivery cannot double-count a
+        # batch's contamination rows (same idempotence carve as
+        # streaming/trend.py and streaming/dedup_index.py)
+        _write_batch_partition(
+            screen_batch(
+                batch, bench, bloom, carve_benchmark=carve_benchmark
+            ),
+            out_dir,
+            batch_id,
+        )
         if carve_benchmark and skipped_dir is not None:
-            skipped_benchmark_docs(batch).write.mode("append").parquet(
-                skipped_dir
+            _write_batch_partition(
+                skipped_benchmark_docs(batch), skipped_dir, batch_id
             )
 
     return (

@@ -76,8 +76,16 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     )
     curated.write.mode("overwrite").parquet(f"{out_dir}/curated/documents")
 
-    # 5. sequence packing over the curated docs' chunks
-    seqs = text.QUERIES["chunk_pack_sequences"](spark, sf_dir)
+    # 5. sequence packing over the CURATED documents only: the packed
+    # sequences are the artifact a training job consumes, so dropped
+    # duplicates / contaminated docs must not reappear here. The
+    # curated rows are laid out as a documents table and the packing
+    # operator runs over that — same plan, curated input.
+    curated_sf = f"{out_dir}/curated_tables"
+    curated.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{curated_sf}/documents.parquet")
+    seqs = text.QUERIES["chunk_pack_sequences"](spark, curated_sf)
     seqs.write.mode("overwrite").parquet(f"{out_dir}/curated/sequences")
     n_seq = spark.read.parquet(f"{out_dir}/curated/sequences").count()
 

@@ -623,6 +623,14 @@ def test_curate_corpus_example_runs(spark, tmp_path):
     splits = {r["split"] for r in curated.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
     assert counts["4_sequences"] > 0
+    # the packed sequences must cover ONLY curated documents — a
+    # dropped duplicate or contaminated doc reappearing in the
+    # training artifact would defeat stages 2-3
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    seq_rows = spark.read.parquet(f"{out}/curated/sequences")
+    doc_col = next(c for c in seq_rows.columns if "doc" in c)
+    packed = {r[doc_col] for r in seq_rows.select(doc_col).collect()}
+    assert packed and packed <= kept
 
 
 def test_fuzzy_editdist_lossless_on_random_corpus(spark, tmp_path):

@@ -48,3 +48,26 @@ def test_streamed_index_matches_batch_pairs(spark, tmp_path_factory):
     )
     # index holds one signature row per document
     assert spark.read.parquet(index).count() == docs.count()
+
+    # replay: re-deliver one batch with the same batch_id — the index
+    # partition is REPLACED (not appended), the cross-screen excludes
+    # the batch's own first-attempt signatures (no self-matches), and
+    # the verdicts for that batch are identical to any prior attempt
+    from energy_data_pipeline_project_spark.streaming.dedup_index import (
+        screen_and_index_batch,
+    )
+
+    some = docs.where("doc_id % 10 = 3")
+    v1 = {
+        (r.doc_id, r.dup_of, r.est_jaccard)
+        for r in screen_and_index_batch(some, index, 999).collect()
+    }
+    v2 = {
+        (r.doc_id, r.dup_of, r.est_jaccard)
+        for r in screen_and_index_batch(some, index, 999).collect()
+    }
+    assert v1 == v2
+    assert all(a != b for a, b, _ in v1), "no self-matches on replay"
+    assert (
+        spark.read.parquet(index).count() == docs.count() + some.count()
+    ), "replayed partition must replace, not append"

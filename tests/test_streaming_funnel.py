@@ -41,3 +41,36 @@ def test_streamed_funnel_matches_batch(spark, tmp_path_factory):
         for r in QUERIES["events_funnel_steps"](spark, SF_SMOKE).collect()
     }
     assert streamed == batch and batch["view"][0] > 0
+
+
+def test_funnel_state_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Simulate a crash between the swap's two renames (state parked
+    at ._pre_swap, no live state dir): the next merge must restore the
+    parked state and fold the new batch in — no silent reset to a
+    single batch's mins."""
+    import os
+
+    from energy_data_pipeline_project_spark.streaming.funnel import (
+        batch_user_mins,
+        funnel_report,
+        merge_state,
+    )
+
+    state = str(tmp_path / "state")
+    events = load_table(spark, SF_SMOKE, "events")
+    first_half = events.where("user_id % 2 = 0")
+    second_half = events.where("user_id % 2 = 1")
+
+    merge_state(state, batch_user_mins(first_half))
+    # crash simulation: first rename of the swap happened, second didn't
+    os.rename(state, state + "._pre_swap")
+
+    merge_state(state, batch_user_mins(second_half))
+    got = {
+        r["stage"]: r["n_users"] for r in funnel_report(spark, state).collect()
+    }
+    want = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["events_funnel_steps"](spark, SF_SMOKE).collect()
+    }
+    assert got == want, "recovered state must cover both halves"

@@ -49,7 +49,8 @@ def test_streamed_anomaly_matches_batch_and_is_replay_idempotent(
     # replay: re-deliver a batch into partition 0 — the dynamic
     # overwrite replaces that partition, so delivering the SAME data
     # any number of times converges to one stable state
-    some = spark.read.parquet(src).limit(500)
+    # deterministic subset (LIMIT without order can vary per action)
+    some = spark.read.parquet(src).where("event_id % 20 = 0")
     write_batch_partition(batch_day_totals(some), state, 0)
     first = _rows(anomaly_report(spark, state))
     write_batch_partition(batch_day_totals(some), state, 0)
