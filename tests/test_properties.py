@@ -312,3 +312,58 @@ def test_banded_skyline_equals_bruteforce(spark, pts):
         )
     }
     assert got == want, (pts, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point z² algebra (events_ab_lift / events_anomaly_zscore)
+# ---------------------------------------------------------------------------
+# The r04 rewrites claim z² is RATIONAL in the integer inputs and that
+# the emitted basis points equal floor(z² · 10⁴) exactly. Pin the
+# algebra itself against Fraction arithmetic so a future refactor of
+# either formula can't silently drift from the mathematical z².
+from fractions import Fraction
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    n_a=st.integers(min_value=1, max_value=2000),
+    n_b=st.integers(min_value=1, max_value=2000),
+    data=st.data(),
+)
+def test_ab_lift_zsq_matches_fraction_ground_truth(n_a, n_b, data):
+    k_a = data.draw(st.integers(min_value=0, max_value=n_a))
+    k_b = data.draw(st.integers(min_value=0, max_value=n_b))
+    K, N = k_a + k_b, n_a + n_b
+    den = n_a * n_b * K * (N - K)
+    num = k_b * n_a - k_a * n_b
+    if den == 0:
+        return  # NULLIF branch: degenerate experiment
+    # ground truth: z = (p_b - p_a) / sqrt(p(1-p)(1/n_a + 1/n_b))
+    p_a, p_b, p = (
+        Fraction(k_a, n_a),
+        Fraction(k_b, n_b),
+        Fraction(K, N),
+    )
+    z_sq = (p_b - p_a) ** 2 / (p * (1 - p) * (Fraction(1, n_a) + Fraction(1, n_b)))
+    emitted = (num * num * N * 10000) // den
+    assert emitted == (z_sq * 10000).__floor__()
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2,
+                max_size=30),
+    x=st.integers(min_value=0, max_value=10**6),
+)
+def test_anomaly_zsq_matches_fraction_ground_truth(xs, x):
+    n, s, sq = len(xs), sum(xs), sum(v * v for v in xs)
+    den = n * sq - s * s
+    if den <= 0:
+        return  # zero-variance gate
+    mean = Fraction(s, n)
+    var = Fraction(sq, n) - mean * mean
+    z_sq = (Fraction(x) - mean) ** 2 / var
+    num = n * x - s
+    emitted = (num * num * 10000) // den
+    assert emitted == (z_sq * 10000).__floor__()
