@@ -177,9 +177,17 @@ def ingest_dataset_incremental(
     ingest fills only holes. Returns the frame of newly written days
     (None when the table is already complete or nothing fetched).
     """
+    import os
+
     path = table_path(config.lake_root, "bronze", dataset.name)
     target = [d.isoformat() for d in config.dates()]
-    import os
+    # a crash between the legacy migration's two swap renames parks
+    # the table at ._pre_swap with no live dir — restore it before
+    # anything else, else the run would "first-run" and lose every
+    # day outside the current config range
+    pre = path.rstrip("/") + "._pre_swap"
+    if not os.path.exists(path) and os.path.exists(pre):
+        os.rename(pre, path)
 
     if os.path.exists(path):
         # partition-column values are type-inferred as DATE on read;
@@ -224,17 +232,16 @@ def ingest_dataset_incremental(
     # (plain ingest_dataset) would keep its root-level files alongside
     # new date= dirs and double-read. Migrate it once: union old rows
     # with the new days and rewrite fully partitioned.
-    import os
-
     legacy = existing and not any(
         e.startswith("date=") for e in os.listdir(path)
     )
     if legacy:
         from .lake import _atomic_swap
 
-        old = read_table(spark, path, config.table_format).where(
-            ~F.col("date").isin(missing)
-        )
+        # the new days are by construction absent from the legacy
+        # table (missing = target - existing), so the union is
+        # duplicate-free without filtering
+        old = read_table(spark, path, config.table_format)
         staged = path.rstrip("/") + "._repartitioning"
         (
             old.unionByName(df)
@@ -249,16 +256,13 @@ def ingest_dataset_incremental(
     # Dynamic partition overwrite: only the day-partitions present in
     # `df` are replaced; every other day's files are untouched. This
     # is the per-day idempotent refresh the reference's full overwrite
-    # becomes at scale.
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.write.format(config.table_format)
-            .mode("overwrite")
-            .partitionBy("date")
-            .save(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # becomes at scale. Per-writer option, not a session-conf toggle —
+    # conf set/restore races between concurrent writers.
+    (
+        df.write.format(config.table_format)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .save(path)
+    )
     return df

@@ -29,6 +29,10 @@ def table_path(root: str, layer: str, name: str) -> str:
 def resolve_table_format(spark: SparkSession, requested: str) -> str:
     """Resolve a config ``table_format`` to a concrete writer format.
 
+    Every lake IO function below resolves its ``fmt`` through this,
+    so a config carrying the literal ``"auto"`` works end to end
+    (runner, CLI compaction, incremental ingest, direct callers).
+
     ``"auto"`` picks real Delta whenever the jars are on the classpath
     (reference storage parity —
     /root/reference/src/utils/spark_session.py:77-90) and falls back
@@ -56,6 +60,7 @@ def write_table(
     fmt: str = "parquet",
     partition_by: tuple[str, ...] = (),
 ) -> None:
+    fmt = resolve_table_format(df.sparkSession, fmt)
     writer = df.write.format(fmt).mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -82,6 +87,7 @@ def write_table_observed(
     import pyspark.sql.functions as F
     from pyspark.sql import Observation
 
+    fmt = resolve_table_format(df.sparkSession, fmt)
     obs = Observation()
     exprs = [F.count(F.lit(1)).alias("n_rows")]
     for c in null_check_cols:
@@ -99,7 +105,7 @@ def write_table_observed(
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    return spark.read.format(fmt).load(path)
+    return spark.read.format(resolve_table_format(spark, fmt)).load(path)
 
 
 def compact_table(
@@ -128,6 +134,7 @@ def compact_table(
     """
     import math
 
+    fmt = resolve_table_format(spark, fmt)
     df = spark.read.format(fmt).load(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
@@ -135,6 +142,52 @@ def compact_table(
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(staged)
     _atomic_swap(path, staged)
     return n_files
+
+
+def write_batch_partition(df: "DataFrame", path: str, batch_id: int) -> None:
+    """Replay-idempotent per-batch sink write: rows land in (and only
+    in) the batch's own ``batch_id=<n>`` partition; a re-delivered
+    batch REPLACES that partition. The overwrite mode is set as a
+    PER-WRITER option (not a session conf set/restore, which races
+    between concurrently running streaming queries and can flip a
+    writer into static overwrite — wiping every other partition).
+
+    Legacy adoption: a sink directory that predates partitioning
+    (flat part-files at the root) would break partition discovery the
+    moment ``batch_id=`` dirs appear; such files are moved once into
+    a ``batch_id=-1`` partition, whose value partition-discovery then
+    supplies for the old rows."""
+    import pyspark.sql.functions as F
+
+    _adopt_legacy_flat(path)
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _adopt_legacy_flat(path: str) -> None:
+    """Move root-level data files of ``path`` into ``batch_id=-1/``."""
+    if not os.path.isdir(path):
+        return
+    entries = os.listdir(path)
+    if any(e.startswith("batch_id=") for e in entries):
+        return
+    data = [
+        e
+        for e in entries
+        if not e.startswith(("_", "."))
+        and os.path.isfile(os.path.join(path, e))
+    ]
+    if not data:
+        return
+    legacy = os.path.join(path, "batch_id=-1")
+    os.makedirs(legacy, exist_ok=True)
+    for e in data:
+        os.rename(os.path.join(path, e), os.path.join(legacy, e))
 
 
 def _atomic_swap(path: str, staged: str) -> None:
@@ -176,6 +229,7 @@ def upsert_table(
     row_number idiom as dedup_latest_order — shuffling only the
     touched slice.
     """
+    fmt = resolve_table_format(spark, fmt)
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 

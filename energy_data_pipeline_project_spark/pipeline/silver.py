@@ -127,21 +127,36 @@ def quarantine_predicate(dataset: DatasetSpec) -> F.Column:
     # from_json PERMISSIVE yields an all-null struct (not a NULL
     # struct) for malformed input, so JSON validity is probed with
     # get_json_object(payload, '$') — NULL exactly when the document
-    # does not parse.
+    # does not parse. All field checks run on the PARSED (typed)
+    # forms, so a field that is present but wrongly typed (scalar
+    # time, string prices, entities with null data arrays) — which
+    # from_json nulls out and extraction then silently drops —
+    # quarantines instead of vanishing.
     invalid = F.get_json_object("payload_json", "$").isNull()
     if spec.entity_array:
         payload = F.from_json("payload_json", _payload_schema(spec))
+        arr = payload[spec.entity_array]
+        usable = F.filter(
+            arr, lambda e: e[spec.entity_values_field].isNotNull()
+        )
         return (
             invalid
             | payload[spec.time_field].isNull()
-            | payload[spec.entity_array].isNull()
-            | (F.size(payload[spec.entity_array]) == 0)
+            | arr.isNull()
+            | (F.size(usable) == 0)
         )
-    time_json = F.get_json_object("payload_json", f"$.{spec.time_field}")
+    time_parsed = F.from_json(
+        F.get_json_object("payload_json", f"$.{spec.time_field}"),
+        T.ArrayType(T.DoubleType()),
+    )
     probes = [
-        F.get_json_object("payload_json", f"$.{p}") for p in spec.value_probes
+        F.from_json(
+            F.get_json_object("payload_json", f"$.{p}"),
+            T.ArrayType(T.DoubleType()),
+        )
+        for p in spec.value_probes
     ]
-    return invalid | time_json.isNull() | F.coalesce(*probes).isNull()
+    return invalid | time_parsed.isNull() | F.coalesce(*probes).isNull()
 
 
 def extract_timeseries_with_quarantine(
@@ -164,10 +179,13 @@ def extract_timeseries_with_quarantine(
             .otherwise("missing_values")
         )
     else:
-        time_json = F.get_json_object("payload_json", f"$.{spec.time_field}")
+        time_parsed = F.from_json(
+            F.get_json_object("payload_json", f"$.{spec.time_field}"),
+            T.ArrayType(T.DoubleType()),
+        )
         reason = (
             F.when(invalid, "unparseable_json")
-            .when(time_json.isNull(), "missing_time_array")
+            .when(time_parsed.isNull(), "missing_time_array")
             .otherwise("missing_values")
         )
     good = extract_timeseries(bronze.where(~bad), dataset)

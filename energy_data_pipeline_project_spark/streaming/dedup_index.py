@@ -36,29 +36,13 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..pipeline.lake import write_batch_partition as _write_batch_partition
 from ..operators.dedup import (
     LSH_BUCKET_CAP,
     _minhash_signatures,
     cross_matches_from_signatures,
     pairs_from_signatures,
 )
-
-
-def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
-    """Idempotent per-batch write: rows land in (and only in) the
-    batch's own ``batch_id`` partition; a replay replaces it."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def screen_and_index_batch(

@@ -47,12 +47,20 @@ def merge_state(state_path: str, batch_mins: DataFrame) -> None:
     restores it on the next merge, and because the MIN-merge is
     idempotent the re-delivered batch then reconverges — no silent
     state loss."""
+    import shutil
+
     from ..pipeline.lake import _atomic_swap
 
     spark = batch_mins.sparkSession
     pre = state_path.rstrip("/") + "._pre_swap"
     if not os.path.exists(state_path) and os.path.exists(pre):
         os.rename(pre, state_path)  # crashed mid-swap: restore
+    elif os.path.exists(pre):
+        # crash AFTER the second rename but before the old dir was
+        # removed: the live state is intact, the parked copy is
+        # stale — clear it or the next swap's first rename hits
+        # ENOTEMPTY and wedges every retry
+        shutil.rmtree(pre, ignore_errors=True)
     if os.path.exists(state_path):
         prev = spark.read.parquet(state_path)
         merged = (
@@ -69,7 +77,12 @@ def merge_state(state_path: str, batch_mins: DataFrame) -> None:
         merged.write.mode("overwrite").parquet(staged)
         _atomic_swap(state_path, staged)
     else:
-        batch_mins.write.mode("overwrite").parquet(state_path)
+        # stage + rename even for the FIRST write: a crash mid-write
+        # must not leave a half-written dir that the merge branch
+        # would then fail to read on every retry
+        staged = state_path.rstrip("/") + "._merging"
+        batch_mins.write.mode("overwrite").parquet(staged)
+        os.rename(staged, state_path)
 
 
 def stream_funnel_state(
@@ -93,8 +106,15 @@ def stream_funnel_state(
 
 def funnel_report(spark: SparkSession, state_path: str) -> DataFrame:
     """The 3-row funnel report from the state table — same schema and
-    semantics as the batch ``events_funnel_steps``."""
-    state = spark.read.parquet(state_path)
+    semantics as the batch ``events_funnel_steps``. Cold start (no
+    non-empty batch processed yet) reports zero users, exactly as the
+    batch query does on an empty events table."""
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+    else:
+        state = spark.createDataFrame(
+            [], "user_id bigint, mv bigint, mc bigint, mp bigint"
+        )
     tot = state.agg(
         F.count_if(F.col("mv").isNotNull()).alias("n1"),
         F.count_if(

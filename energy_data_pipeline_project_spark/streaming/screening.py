@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..pipeline.lake import write_batch_partition as _write_batch_partition
 from ..operators.dedup import (
     _contamination_postings,
     _contamination_report,
@@ -70,25 +71,6 @@ def skipped_benchmark_docs(batch_docs: DataFrame) -> DataFrame:
     """Doc ids the carving screen skips for a batch (benchmark-keyed
     arrivals); empty when ``carve_benchmark=False`` is in use."""
     return benchmark_keyed_docs(batch_docs)
-
-
-def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
-    """Idempotent per-batch sink write (rows land in the batch's own
-    ``batch_id`` partition; replays replace it)."""
-    import pyspark.sql.functions as F
-
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def screen_stream(

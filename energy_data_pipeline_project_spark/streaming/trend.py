@@ -23,6 +23,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.timeseries import _EPOCH, _cents, anomaly_from_daily
+from ..pipeline.lake import (
+    write_batch_partition as lake_write_batch_partition,
+)
 
 
 def batch_day_totals(events: DataFrame) -> DataFrame:
@@ -39,20 +42,11 @@ def batch_day_totals(events: DataFrame) -> DataFrame:
 def write_batch_partition(
     partial: DataFrame, state_path: str, batch_id: int
 ) -> None:
-    """Idempotent per-batch state write: the batch's partial lands in
-    (and only in) its own ``batch_id`` partition."""
-    spark = partial.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            partial.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(state_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    """Idempotent per-batch state write — delegates to the shared
+    ``lake.write_batch_partition`` (per-writer dynamic-overwrite
+    option; session-conf toggling would race between concurrent
+    streaming queries)."""
+    lake_write_batch_partition(partial, state_path, batch_id)
 
 
 def stream_day_totals(
@@ -76,9 +70,18 @@ def stream_day_totals(
 def anomaly_report(spark: SparkSession, state_path: str) -> DataFrame:
     """Merge the per-batch partials by addition and score — same
     output contract as the batch ``events_anomaly_zscore``."""
-    daily = (
-        spark.read.parquet(state_path)
-        .groupBy("event_type", "d", "day_no")
-        .agg(F.sum("day_cents").cast("bigint").alias("day_cents"))
+    import os
+
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+    else:  # cold start: no non-empty batch yet → empty report, like
+        # the batch query over an empty events table
+        state = spark.createDataFrame(
+            [],
+            "event_type string, d date, day_no int, day_cents bigint,"
+            " batch_id bigint",
+        )
+    daily = state.groupBy("event_type", "d", "day_no").agg(
+        F.sum("day_cents").cast("bigint").alias("day_cents")
     )
     return anomaly_from_daily(daily)

@@ -376,6 +376,11 @@ def test_quarantine_splits_bad_payloads(spark):
         ("de", "2023-11-16", '{"production_types": []}'),        # no time
         ("de", "2023-11-17",
          '{"unix_seconds": [1700000000], "production_types": []}'),  # empty
+        # present-but-wrongly-typed: every entity's data array is null
+        # — extraction would yield zero rows, so it must quarantine
+        ("de", "2023-11-18",
+         '{"unix_seconds": [1700000000],'
+         ' "production_types": [{"name": "solar", "data": null}]}'),
     ]
     bronze = spark.createDataFrame(
         rows, "country string, date string, payload_json string"
@@ -392,6 +397,7 @@ def test_quarantine_splits_bad_payloads(spark):
         "2023-11-15": "unparseable_json",
         "2023-11-16": "missing_time_array",
         "2023-11-17": "missing_values",
+        "2023-11-18": "missing_values",
     }
 
     # probe-shaped dataset: all probes null → quarantined
@@ -401,14 +407,23 @@ def test_quarantine_splits_bad_payloads(spark):
              '{"unix_seconds": [1700000000], "price": [42.0]}'),
             ("DE-LU", "2023-11-15",
              '{"unix_seconds": [1700000000], "volume": [1.0]}'),
+            # wrongly typed: scalar time, string price — the parsed
+            # forms are null so both quarantine instead of vanishing
+            ("DE-LU", "2023-11-16",
+             '{"unix_seconds": 5, "price": [42.0]}'),
+            ("DE-LU", "2023-11-17",
+             '{"unix_seconds": [1700000000], "price": "abc"}'),
         ],
         "market string, date string, payload_json string",
     )
     g2, q2 = extract_timeseries_with_quarantine(pb, price)
     assert g2.count() == 1
-    assert [r["quarantine_reason"] for r in q2.collect()] == [
-        "missing_values"
-    ]
+    q2m = {r["date"]: r["quarantine_reason"] for r in q2.collect()}
+    assert q2m == {
+        "2023-11-15": "missing_values",
+        "2023-11-16": "missing_time_array",
+        "2023-11-17": "missing_values",
+    }
 
 
 def test_incremental_backfill_fetches_only_missing_days(spark, tmp_path):
