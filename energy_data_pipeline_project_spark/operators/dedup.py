@@ -371,6 +371,15 @@ def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path, mtime)
     df = _SHARED_PAIRS.get(key)
     if df is None:
+        # evict superseded entries for the same table path (rewritten
+        # fixture → new mtime): without this, each rewrite leaks a
+        # persisted frame for the application lifetime, and the
+        # CacheManager keeps plan-substituting the stale data
+        for k in [k for k in _SHARED_PAIRS if k[0] == key[0] and k[1] == path]:
+            try:
+                _SHARED_PAIRS.pop(k).unpersist()
+            except Exception:
+                pass
         df = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).persist()
         _SHARED_PAIRS[key] = df
     return df

@@ -514,15 +514,22 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
-    cells = cdist.groupBy("vec_id").agg(
-        (F.min(F.col("dist") * cm + F.col("cell")) % cm).alias("cell")
+    cells = (
+        cdist.groupBy("vec_id")
+        .agg((F.min(F.col("dist") * cm + F.col("cell")) % cm).alias("cell"))
+        .localCheckpoint(eager=True)
     )
+    # materialize the residual frame: Lloyd training re-scans its
+    # input once per round (plus the final full assignment), and
+    # without this every scan re-runs the coarse/cdist/assignment
+    # join-aggregate chain — measured ~4-5x the query's actual cost
     rm = (
         melted.join(cells, "vec_id")
         .join(F.broadcast(coarse), ["cell", "dim"])
         .select(
             "vec_id", "dim", "sub", (F.col("val") - F.col("ccval")).alias("val")
         )
+        .localCheckpoint(eager=True)
     )
     codes, cb = _train_codes(rm, n_vecs=_n_vecs(spark, sf_dir))
 
