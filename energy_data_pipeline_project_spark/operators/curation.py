@@ -783,10 +783,21 @@ def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-join classifier expression; the argmax is a single groupBy on
     component_id over an int64 composite key — no window, no second
     pass. At 100 TB every stage shuffles ids and 8-byte keys only."""
-    from .dedup import duplicate_components, shared_lsh_pairs
+    from .dedup import shared_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    comps = duplicate_components(docs, shared_lsh_pairs(spark, sf_dir))
+    return keep_best_per_component(docs, shared_lsh_pairs(spark, sf_dir))
+
+
+def keep_best_per_component(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Frame-level keep-best: one decision row per duplicate component
+    of ``docs`` under the given pair graph. Exposed so composed
+    pipelines (examples/curate_corpus.py) can run the dedup over an
+    already-filtered corpus — e.g. quality survivors — instead of the
+    raw table."""
+    from .dedup import duplicate_components
+
+    comps = duplicate_components(docs, pairs)
     scores = quality_scores(docs)
     k = (
         (F.lit(KEEP_SCORE_BOUND) - F.col("score_milli"))

@@ -554,6 +554,30 @@ FUNNEL_TTR_MIN = 0.4
 FUNNEL_REP_MAX = REPETITION_MAX_FRAC
 
 
+def _funnel_doc_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc (topc, n, ntypes) token metrics — the single source the
+    funnel report AND the kept-set share (one explode + two hash
+    aggregates)."""
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").alias("topc"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("ntypes"),
+    )
+
+
+def _funnel_gates() -> tuple[F.Column, F.Column, F.Column]:
+    """The three cumulative gate predicates over the metric columns —
+    defined ONCE so the funnel counts and the kept set cannot drift."""
+    g_len = F.col("n") >= FUNNEL_MIN_TOKENS
+    g_ttr = g_len & (F.col("ntypes") * 1.0 / F.col("n") >= FUNNEL_TTR_MIN)
+    g_rep = g_ttr & (F.col("topc") * 1.0 / F.col("n") <= FUNNEL_REP_MAX)
+    return g_len, g_ttr, g_rep
+
+
+
+
 @query(
     "corpus_quality_funnel",
     f"""
@@ -592,16 +616,8 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     between one pass and four at corpus scale. All gates are exact
     integer ratios, bitwise equal across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
-    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    pd = cnt.groupBy("doc_id").agg(
-        F.max("c").alias("topc"),
-        F.sum("c").alias("n"),
-        F.count("*").alias("ntypes"),
-    )
-    g_len = F.col("n") >= FUNNEL_MIN_TOKENS
-    g_ttr = g_len & (F.col("ntypes") * 1.0 / F.col("n") >= FUNNEL_TTR_MIN)
-    g_rep = g_ttr & (F.col("topc") * 1.0 / F.col("n") <= FUNNEL_REP_MAX)
+    pd = _funnel_doc_metrics(docs)
+    g_len, g_ttr, g_rep = _funnel_gates()
     return pd.agg(
         F.count("*").alias("n_total"),
         F.sum(g_len.cast("int")).alias("n_len_ok"),
@@ -1616,21 +1632,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc ids surviving all three quality-funnel gates — the kept-set
     twin of ``corpus_quality_funnel`` (which reports only counts).
-    Same per-doc metrics, same thresholds; one explode + two hash
-    aggregates, then the cumulative predicate."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
-    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    pd = cnt.groupBy("doc_id").agg(
-        F.max("c").alias("topc"),
-        F.sum("c").alias("n"),
-        F.count("*").alias("ntypes"),
-    )
-    return pd.where(
-        (F.col("n") >= FUNNEL_MIN_TOKENS)
-        & (F.col("ntypes") * 1.0 / F.col("n") >= FUNNEL_TTR_MIN)
-        & (F.col("topc") * 1.0 / F.col("n") <= FUNNEL_REP_MAX)
-    ).select("doc_id")
+    Shares the funnel's metric frame and gate predicates, so the two
+    views cannot drift."""
+    return quality_gate_docs(load_table(spark, sf_dir, "documents"))
+
+
+def quality_gate_docs(docs: DataFrame) -> DataFrame:
+    """Doc ids of ``docs`` passing the final cumulative quality gate."""
+    _, _, g_rep = _funnel_gates()
+    return _funnel_doc_metrics(docs).where(g_rep).select("doc_id")
 
 
 def split_label_sql() -> str:

@@ -8,12 +8,14 @@ Stages (each an oracle-checked query from the engine surface):
 
 1. quality funnel   — per-source survival through the heuristic
                       quality gates (corpus_quality_funnel)
-2. near-dup resolve — MinHash-LSH pair graph → connected components →
-                      keep the best-scoring doc per duplicate family
-                      (corpus_dedup_keep_best)
+2. near-dup resolve — MinHash-LSH pair graph over the QUALITY
+                      SURVIVORS → connected components → keep the
+                      best-scoring doc per duplicate family
+                      (curation.keep_best_per_component)
 3. decontamination  — drop docs sharing >= 2 five-gram shingles with
                       the benchmark carve (dedup_contamination_bloom,
-                      the broadcast-Bloom formulation)
+                      the broadcast-Bloom formulation) AND the
+                      benchmark members themselves
 4. split assignment — deterministic 90/5/5 hash split
                       (data_split_hash machinery)
 5. sequence packing — greedy first-fit chunk packing into
@@ -41,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from energy_data_pipeline_project_spark.operators import dedup, text
 from energy_data_pipeline_project_spark.operators.curation import (
-    corpus_dedup_keep_best,
+    keep_best_per_component,
 )
 from energy_data_pipeline_project_spark.session import get_spark_session
 from energy_data_pipeline_project_spark.sources.tables import load_table
@@ -53,20 +55,30 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
 
     # 1. quality gates: keep docs the funnel's final stage keeps
     kept_q = text.quality_kept_docs(spark, sf_dir)
+    kept_docs = docs.join(kept_q, "doc_id")
     n1 = kept_q.count()
 
-    # 2. duplicate-family resolution: survivors of keep-best
-    keep_best = corpus_dedup_keep_best(spark, sf_dir).select(
-        F.col("kept_doc_id").alias("doc_id")
-    )
-    n2 = kept_q.join(keep_best, "doc_id").count()
+    # 2. duplicate-family resolution OVER THE QUALITY SURVIVORS:
+    # running keep-best on the raw corpus and intersecting afterwards
+    # would silently drop whole families whose raw-corpus winner
+    # failed a quality gate — dedup what survived, keep the best of
+    # each surviving family
+    keep_best = keep_best_per_component(
+        kept_docs, dedup.minhash_lsh_pairs(kept_docs)
+    ).select(F.col("kept_doc_id").alias("doc_id"))
+    n2 = keep_best.count()
 
-    # 3. decontamination: flagged docs are dropped
+    # 3. decontamination: docs sharing benchmark shingles are dropped,
+    # AND so are the benchmark members themselves (the carve excludes
+    # them from the flagging side precisely because they ARE the
+    # benchmark — a training corpus must not contain them either)
     flagged = dedup.QUERIES["dedup_contamination_bloom"](
         spark, sf_dir
     ).select("doc_id")
+    bench_members = dedup.benchmark_keyed_docs(docs)
     survivors = (
-        kept_q.join(keep_best, "doc_id").join(flagged, "doc_id", "left_anti")
+        keep_best.join(flagged, "doc_id", "left_anti")
+        .join(bench_members, "doc_id", "left_anti")
     )
     n3 = survivors.count()
 
@@ -100,6 +112,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         "stage string, n bigint",
     )
     report.write.mode("overwrite").parquet(f"{out_dir}/curated/report")
+    dedup.release_cached_frames()
     return {r["stage"]: r["n"] for r in report.collect()}
 
 

@@ -631,6 +631,20 @@ def test_curate_corpus_example_runs(spark, tmp_path):
     doc_col = next(c for c in seq_rows.columns if "doc" in c)
     packed = {r[doc_col] for r in seq_rows.select(doc_col).collect()}
     assert packed and packed <= kept
+    # the benchmark members themselves must never reach the training
+    # corpus — the carve excludes them from flagging, not from removal
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        benchmark_keyed_docs,
+    )
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    bench = {
+        r["doc_id"]
+        for r in benchmark_keyed_docs(
+            load_table(spark, SF_SMOKE, "documents")
+        ).collect()
+    }
+    assert bench and not (kept & bench)
 
 
 def test_fuzzy_editdist_lossless_on_random_corpus(spark, tmp_path):
