@@ -85,3 +85,27 @@ def anomaly_report(spark: SparkSession, state_path: str) -> DataFrame:
         F.sum("day_cents").cast("bigint").alias("day_cents")
     )
     return anomaly_from_daily(daily)
+
+
+def ewma_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """EWMA trend from the same merged day-grain state — one state
+    table, two readouts (anomaly z² and smoothed trend), the payoff of
+    keeping the smallest sufficient statistic instead of per-query
+    state. Output contract matches the batch ``events_ewma_trend``
+    minus the calendar-date column (state holds day numbers)."""
+    import os
+
+    from ..operators.timeseries import ewma_from_daily
+
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+    else:
+        state = spark.createDataFrame(
+            [],
+            "event_type string, d date, day_no int, day_cents bigint,"
+            " batch_id bigint",
+        )
+    daily = state.groupBy("event_type", "day_no").agg(
+        F.sum("day_cents").cast("bigint").alias("day_cents")
+    )
+    return ewma_from_daily(daily).drop("d")

@@ -56,3 +56,36 @@ def test_streamed_anomaly_matches_batch_and_is_replay_idempotent(
     write_batch_partition(batch_day_totals(some), state, 0)
     write_batch_partition(batch_day_totals(some), state, 0)
     assert _rows(anomaly_report(spark, state)) == first
+
+
+def test_streamed_ewma_matches_batch(spark, tmp_path_factory):
+    """One state table, second readout: the EWMA report over the
+    merged day-grain state must equal the batch events_ewma_trend
+    exactly (additive state + deterministic integer kernel)."""
+    from energy_data_pipeline_project_spark.streaming.trend import (
+        ewma_report,
+    )
+
+    src = str(tmp_path_factory.mktemp("events-ewma"))
+    state = str(tmp_path_factory.mktemp("ewma-state")) + "/day_totals"
+    ckpt = str(tmp_path_factory.mktemp("ewma-ckpt"))
+
+    events = load_table(spark, SF_SMOKE, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_day_totals(stream, state, ckpt)
+    q.awaitTermination()
+
+    streamed = {
+        (r["event_type"], r["day_cents"], r["ewma_millicents"])
+        for r in ewma_report(spark, state).collect()
+    }
+    batch = {
+        (r["event_type"], r["day_cents"], r["ewma_millicents"])
+        for r in QUERIES["events_ewma_trend"](spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch and batch
