@@ -86,7 +86,8 @@ def _kmeans_oracle() -> str:
             )
     parts.append(
         f"""
-    SELECT vec_id, key % {k} AS cluster, key // {k} AS dist_sq
+    SELECT vec_id, CAST(key % {k} AS BIGINT) AS cluster,
+           CAST(key // {k} AS BIGINT) AS dist_sq
     FROM a{KMEANS_ITERS}
     """
     )

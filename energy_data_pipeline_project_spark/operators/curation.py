@@ -214,7 +214,8 @@ _CLS_ORACLE = f"""
     f AS (SELECT doc_id,
                  {_classifier_weight(H.md5_int64("tok", duck=True) + f" % {CLS_BUCKETS}")} AS w
           FROM t),
-    s AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(w) AS sum_w
+    s AS (SELECT doc_id, COUNT(*) AS n_tok,
+                 CAST(SUM(w) AS BIGINT) AS sum_w
           FROM f GROUP BY doc_id)
     SELECT doc_id, n_tok, sum_w,
            CAST((sum_w * 1000) // n_tok AS BIGINT) AS score_milli,
@@ -981,9 +982,9 @@ TRIM_FRACTION_DENOM = 10  # drop floor(n/10) rows from each tail
     SELECT event_type, MAX(n) AS n,
            CAST(MAX(n) - 2 * (MAX(n) // {TRIM_FRACTION_DENOM}) AS BIGINT)
              AS n_kept,
-           SUM(CASE WHEN rn > n // {TRIM_FRACTION_DENOM}
+           CAST(SUM(CASE WHEN rn > n // {TRIM_FRACTION_DENOM}
                      AND rn <= n - n // {TRIM_FRACTION_DENOM}
-                    THEN cents END) AS trimmed_sum_cents
+                    THEN cents END) AS BIGINT) AS trimmed_sum_cents
     FROM r GROUP BY event_type
     """,
 )

@@ -116,7 +116,8 @@ def _pagerank_oracle() -> str:
         )
     parts.append(
         f"""
-    SELECT src AS doc_id, rank FROM r{PAGERANK_ITERS}
+    SELECT src AS doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r{PAGERANK_ITERS}
     """
     )
     return "".join(parts)

@@ -535,9 +535,9 @@ QUANT_GRID = 10000
       FROM m JOIN sc USING (vec_id) WHERE sc.amax > 0
     )
     SELECT q.vec_id, sc.amax, sc.n_dims,
-           SUM(q.code) AS sum_code,
+           CAST(SUM(q.code) AS BIGINT) AS sum_code,
            MIN(q.code) AS min_code, MAX(q.code) AS max_code,
-           SUM(q.rem) AS sum_rem
+           CAST(SUM(q.rem) AS BIGINT) AS sum_rem
     FROM q JOIN sc USING (vec_id)
     GROUP BY 1, 2, 3
     """,

@@ -765,7 +765,7 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) AS stream_offset,
+           CAST(cum - n_tokens AS BIGINT) AS stream_offset,
            CAST((cum - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id
     FROM c
     """,

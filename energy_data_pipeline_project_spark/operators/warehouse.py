@@ -407,7 +407,7 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     ),
     q AS (
-      SELECT event_type, MAX(n) AS n,
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
              MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN cents END) AS q1,
              MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN cents END) AS q3
       FROM c GROUP BY event_type

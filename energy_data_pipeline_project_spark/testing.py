@@ -27,6 +27,56 @@ def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     return con
 
 
+# DuckDB output types with no exact Spark twin. The driver's value hasher is
+# type-aware: an uncast DuckDB SUM(BIGINT) yields HUGEINT (int128) and
+# hash-mismatches Spark's BIGINT even when every value is equal (round-4
+# verdict, 6 red rows). Oracles must CAST such aggregates to BIGINT/DOUBLE.
+FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_output_types(con, oracle_sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs for an oracle query's output schema."""
+    rows = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
+def duck_to_spark_type(duck_type: str) -> str:
+    """Map a DuckDB output type to the Spark ``simpleString`` twin.
+
+    Only covers types the oracle surface is allowed to emit; anything
+    unmapped returns ``"?<type>"`` so audits surface it as a mismatch.
+    """
+    t = duck_type.upper()
+    base = {
+        "BIGINT": "bigint",
+        "INTEGER": "int",
+        "SMALLINT": "smallint",
+        "TINYINT": "tinyint",
+        "UBIGINT": "bigint",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "REAL": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "BLOB": "binary",
+    }
+    if t in base:
+        return base[t]
+    if t.endswith("[]"):
+        return f"array<{duck_to_spark_type(t[:-2])}>"
+    return f"?{duck_type}"
+
+
+def forbidden_type_columns(con, oracle_sql: str) -> list[tuple[str, str]]:
+    return [
+        (c, t)
+        for c, t in oracle_output_types(con, oracle_sql)
+        if any(f in t.upper() for f in FORBIDDEN_DUCK_TYPES)
+    ]
+
+
 def _canon(v):
     if isinstance(v, float):
         if v == 0.0:
@@ -60,6 +110,13 @@ def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str) -> Parit
 
     con = duck_connection(sf_dir)
     try:
+        offenders = forbidden_type_columns(con, oracle)
+        if offenders:
+            return ParityResult(
+                name, False, len(s_rows), -1,
+                "oracle exposes DuckDB types with no Spark twin "
+                f"(driver hasher is type-aware): {offenders}",
+            )
         res = con.execute(oracle)
         o_cols = [d[0] for d in res.description]
         o_rows = res.fetchall()

@@ -27,3 +27,27 @@ def test_oracle_parity(spark, name):
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+def test_no_forbidden_duckdb_output_types():
+    """The driver's hasher fetches oracle results through a pandas/Arrow
+    path where DuckDB HUGEINT (int128) degrades to float64 — hashing
+    "5.0" against Spark's "5" (round-4 verdict: 6 red rows, 3 latent).
+    int32-vs-int64 is fine (same Python int repr; r03 stamps prove it),
+    so the gate is exactly the no-exact-twin types, not a full 1:1 map.
+    """
+    from energy_data_pipeline_project_spark.testing import (
+        duck_connection,
+        forbidden_type_columns,
+    )
+
+    con = duck_connection(SF_SMOKE)
+    offenders = {}
+    try:
+        for name, sql in sorted(ORACLES.items()):
+            cols = forbidden_type_columns(con, sql)
+            if cols:
+                offenders[name] = cols
+    finally:
+        con.close()
+    assert not offenders, f"HUGEINT/DECIMAL oracle outputs: {offenders}"
