@@ -96,8 +96,10 @@ def test_pq_train_sample_knob(spark):
 
 def test_ivfpq_recall_vs_bruteforce(spark):
     """IVF-PQ composes two approximations (cell pruning + residual
-    ADC) yet the exact refine must still recover most true neighbors
-    at nprobe=6; same 0.75 gate as plain PQ."""
+    ADC) yet must meet the house >= 0.8 recall bar (r01 IVF
+    precedent): trained coarse cells (2 Lloyd rounds) + nprobe=7 +
+    2x exact-refine shortlist measure 0.9 at sf0.001, 0.85 at
+    sf0.01."""
     from energy_data_pipeline_project_spark.operators.pq import (
         ann_topk_ivfpq,
     )
@@ -110,4 +112,4 @@ def test_ivfpq_recall_vs_bruteforce(spark):
         (r.query_id, r.neighbor_id)
         for r in ann_topk_ivfpq(spark, SF_SMOKE).collect()
     }
-    assert len(bf & iv) / len(bf) >= 0.75
+    assert len(bf & iv) / len(bf) >= 0.8
