@@ -424,3 +424,31 @@ def test_ewma_explode_is_day_grain(spark):
     # the aggregate feeding the generate appears later in the
     # formatted operator list (children print below parents)
     assert "HashAggregate" in plan[gen:], "explode must consume the day agg"
+
+
+def test_basket_pairs_shape_pinned(spark):
+    """r03->r04 bench wobble on basket_part_pairs was noise, not plan
+    drift — pin the shape so real drift is caught structurally:
+    distinct, co-partitioned self-join on the order key, pair agg; no
+    cartesian/BNLJ, no window, bounded exchanges."""
+    rep = plan_report(
+        relational.QUERIES["basket_part_pairs"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+    assert "Window" not in rep.plan
+    assert rep.exchanges <= 3  # distinct + join alignment + pair agg
+
+
+def test_quantile_histogram_shape_pinned(spark):
+    """events_quantile_histogram: histogram bins, weekly merge, CDF
+    windows partitioned by (series, week) — no joins at all and no
+    global window."""
+    from energy_data_pipeline_project_spark.operators import timeseries
+
+    rep = plan_report(
+        timeseries.QUERIES["events_quantile_histogram"](spark, SF_SMOKE)
+    )
+    assert "Join" not in rep.plan
+    assert "Window, [" not in rep.plan  # no unpartitioned window frames
+    assert rep.exchanges <= 3
