@@ -1480,3 +1480,133 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp.cast("double") / F.nullif(n_truth.cast("bigint"), F.lit(0))
         ).alias("cand_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (cross-document memorization hazard)
+# ---------------------------------------------------------------------------
+# The dedup family the doc-level tiers above cannot express: find the
+# exact token SPANS that repeat across documents (boilerplate headers,
+# license blocks, memorized passages), per Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better"), which
+# removes duplicated substrings of >= 50 tokens via a suffix array.
+# The distributed re-expression: every length-G token gram is hashed
+# (rolling window over positions); a gram occurring in >= 2 distinct
+# docs marks its start position "duplicated"; maximal runs of adjacent
+# duplicated positions merge into spans (the classic gaps-and-islands
+# window). A span of n consecutive duplicated grams certifies an exact
+# duplicated substring of n+G-1 tokens.
+#
+# Scale shape (100 TB): everything is LINEAR in corpus tokens — one
+# (h, doc) distinct + count for gram document-frequency (two-stage, no
+# countDistinct skew), one equi-join of positions against the df frame
+# (hot boilerplate grams fan out to their own positions only — no pair
+# join anywhere), and per-doc windows for the island merge. Contrast
+# with the O(pairs) verification tiers: this op never forms doc pairs.
+SPAN_GRAM = 8  # tokens per gram; min reportable duplicated span
+
+
+def _span_grams_duck() -> str:
+    g = SPAN_GRAM
+    return (
+        f"list_transform(generate_series(1, len(toks) - {g - 1}), "
+        f"i -> {{'p': i, 'g': array_to_string("
+        f"list_slice(toks, i, i + {g - 1}), ' ')}})"
+    )
+
+
+def _span_grams_spark() -> str:
+    g = SPAN_GRAM
+    return (
+        f"IF(size(toks) < {g}, array(), "
+        f"transform(sequence(1, size(toks) - {g - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {g}))))"
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos,
+             {H.md5_int64("u['g']", duck=True)} AS h
+      FROM (SELECT doc_id, unnest({_span_grams_duck()}) AS u FROM t)
+    ),
+    dfq AS (
+      SELECT h, COUNT(*) AS df
+      FROM (SELECT DISTINCT h, doc_id FROM g)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    d AS (SELECT g.doc_id, g.pos, f.df FROM g JOIN dfq f USING (h)),
+    brks AS (
+      SELECT doc_id, pos, df,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, pos, df,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM brks
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           MIN(pos) AS start_tok,
+           MAX(pos) + {SPAN_GRAM - 1} AS end_tok,
+           MAX(pos) + {SPAN_GRAM} - MIN(pos) AS span_tokens,
+           COUNT(*) AS n_grams,
+           MAX(df) AS max_df
+    FROM spans GROUP BY doc_id, span_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated token spans (Lee et al. 2022 shape).
+
+    Linear plan: gram hashes at every position (map-side), two-stage
+    exact document frequency (distinct then count — no countDistinct
+    hot-key state), position-vs-df equi-join, and a per-doc
+    gaps-and-islands window merge. No doc pairs are ever formed, so a
+    boilerplate gram shared by a million docs costs a million posting
+    rows — not a trillion pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    g = (
+        t.select(
+            "doc_id",
+            F.posexplode(F.expr(_span_grams_spark())).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.expr(H.md5_int64("gram", duck=False)).alias("h"),
+        )
+    )
+    dfq = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+    )
+    d = g.join(dfq, "h").select("doc_id", "pos", "df")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brks = d.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1),
+    )
+    spans = brks.withColumn(
+        "span_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    gl = SPAN_GRAM
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + (gl - 1)).alias("end_tok"),
+        (F.max("pos") + gl - F.min("pos")).alias("span_tokens"),
+        F.count("*").alias("n_grams"),
+        F.max("df").alias("max_df"),
+    )

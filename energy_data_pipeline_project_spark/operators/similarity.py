@@ -756,3 +756,201 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + semantic top-k
+# ---------------------------------------------------------------------------
+# The standard two-tower serving shape (Cormack et al. 2009 RRF;
+# every hybrid search stack): a lexical ranking (shingle Jaccard — the
+# sparse arm) and a semantic ranking (embedding cosine — the dense
+# arm) fused by rrf(d) = Σ_arms 1/(K + rank_arm(d)). Fusion needs only
+# the two per-query top-k lists — never the underlying scores — which
+# is what makes it robust to scale mismatches between arms.
+#
+# Exactness: RRF terms are fixed-point RRF_SCALE // (K + rank) integer
+# divisions; the lexical ordering key is (inter*10^6) // union — all
+# int64, so both arms and the fusion replay bitwise in DuckDB.
+# Scale shape: lexical candidates come from a postings equi-join with
+# the (tiny) query-side postings broadcast — linear in corpus postings;
+# the dense arm is the brute-force baseline here, with ann_topk_lsh /
+# ann_topk_ivfpq as the documented drop-in at corpus scale; fusion
+# joins two ≤(k·queries)-row frames — negligible.
+RRF_K = 60  # the canonical constant from Cormack et al.
+RRF_SCALE = 1_000_000  # fixed-point micro-units
+RRF_LEX_TOP = 8  # lexical-arm list length
+RRF_SHINGLE_N = 3
+
+
+def _rrf_term(rank_col: str) -> str:
+    """SQL fragment (both engines): fixed-point 1/(K+rank), 0 if NULL."""
+    return (
+        f"COALESCE({RRF_SCALE} // ({RRF_K} + {rank_col}), 0)"
+    )
+
+
+def _rrf_oracle() -> str:
+    from ..functions import hashing as H
+
+    toks = H.tokens_sql("text", duck=True)
+    shingles = H.shingles_sql("toks", RRF_SHINGLE_N, duck=True)
+    h = H.md5_int64("u", duck=True)
+    nq, scale = N_QUERY_VECS, RRF_SCALE
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    post AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, unnest({shingles}) AS u FROM t)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM post GROUP BY 1),
+    inter AS (
+      SELECT qp.doc_id AS query_id, cp.doc_id AS cand_id,
+             COUNT(*) AS inter
+      FROM post qp JOIN post cp ON qp.h = cp.h AND cp.doc_id != qp.doc_id
+      WHERE qp.doc_id < {nq}
+      GROUP BY 1, 2
+    ),
+    lexr AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 (i.inter * {scale})
+                   // (sq.n_sh + sc.n_sh - i.inter) DESC,
+                 cand_id) AS lex_rank
+      FROM inter i JOIN sizes sq ON sq.doc_id = i.query_id
+                   JOIN sizes sc ON sc.doc_id = i.cand_id
+    ),
+    lex AS (SELECT * FROM lexr WHERE lex_rank <= {RRF_LEX_TOP}),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings),
+    semr AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_cosine_similarity(qe, ce) DESC, cand_id) AS sem_rank
+      FROM q, c WHERE query_id != cand_id
+    ),
+    sem AS (SELECT * FROM semr WHERE sem_rank <= {TOP_K}),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.cand_id, s.cand_id) AS doc_id,
+             CAST(l.lex_rank AS INT) AS lex_rank,
+             CAST(s.sem_rank AS INT) AS sem_rank,
+             {_rrf_term("l.lex_rank")} + {_rrf_term("s.sem_rank")}
+               AS rrf_micro
+      FROM lex l FULL OUTER JOIN sem s
+           ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+    )
+    SELECT query_id, doc_id, lex_rank, sem_rank,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+@query("retrieval_rrf_hybrid", _rrf_oracle())
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of shingle-Jaccard lexical top-k and cosine semantic
+    top-k per query doc. Query-side postings and vectors broadcast;
+    corpus side streams — no pair explosion beyond per-query top-k."""
+    from ..functions import hashing as H
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = H.tokens_sql("text", duck=False)
+    shingles = H.shingles_sql("toks", RRF_SHINGLE_N, duck=False)
+
+    post = (
+        docs.select("doc_id", F.expr(toks).alias("toks"))
+        .select("doc_id", F.explode(F.expr(shingles)).alias("u"))
+        .select("doc_id", F.expr(H.md5_int64("u", duck=False)).alias("h"))
+    )
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    qpost = F.broadcast(
+        post.where(F.col("doc_id") < N_QUERY_VECS).select(
+            F.col("doc_id").alias("query_id"), "h"
+        )
+    )
+    inter = (
+        post.select(F.col("doc_id").alias("cand_id"), "h")
+        .join(qpost, "h")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("query_id"),
+                         F.col("n_sh").alias("nq")),
+            "query_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("cand_id"),
+                         F.col("n_sh").alias("nc")),
+            "cand_id",
+        )
+        .withColumn(
+            "jac_ppm",
+            F.expr(f"(inter * {RRF_SCALE}) DIV (nq + nc - inter)"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("jac_ppm"), "cand_id"
+    )
+    lex = (
+        jac.withColumn("lex_rank", F.row_number().over(wl))
+        .where(F.col("lex_rank") <= RRF_LEX_TOP)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), "cand_id"
+    )
+    sem = (
+        emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"))
+        .crossJoin(q)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", V.cosine("qe", "ce").alias("cos"))
+        .withColumn("sem_rank", F.row_number().over(ws))
+        .where(F.col("sem_rank") <= TOP_K)
+        .select("query_id", "cand_id", "sem_rank")
+    )
+
+    fused = (
+        lex.withColumnRenamed("query_id", "lq")
+        .withColumnRenamed("cand_id", "lc")
+        .join(
+            sem.withColumnRenamed("query_id", "sq")
+            .withColumnRenamed("cand_id", "sc"),
+            (F.col("lq") == F.col("sq")) & (F.col("lc") == F.col("sc")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lq", "sq").alias("query_id"),
+            F.coalesce("lc", "sc").alias("doc_id"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            (
+                F.expr(_rrf_term("lex_rank").replace("//", "DIV"))
+                + F.expr(_rrf_term("sem_rank").replace("//", "DIV"))
+            ).alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), "doc_id"
+    )
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.col("rrf_micro").cast("bigint").alias("rrf_micro"),
+        F.row_number().over(wf).cast("int").alias("fused_rank"),
+    )

@@ -1652,3 +1652,133 @@ def split_label_sql() -> str:
         f"WHEN {_SPLIT_BUCKET_SPARK} < 95 THEN 'val' "
         "ELSE 'test' END"
     )
+
+
+# ---------------------------------------------------------------------------
+# In-plan n-gram LM scoring (Stupid Backoff) — perplexity-proxy signal
+# ---------------------------------------------------------------------------
+# The classic curation quality signal (CCNet/Gopher filter stage): score
+# each document by how predictable its text is under an n-gram language
+# model trained on a held split of the same corpus. Brants et al. 2007
+# ("Large Language Models in Machine Translation") showed the Stupid
+# Backoff score S(w2|w1) = c(w1 w2)/c(w1), backing off to alpha*c(w2)/N
+# (alpha = 0.4 = 2/5), needs no discounting at scale and distributes
+# trivially — counts are the only state.
+#
+# Exactness: scores are fixed-point milli-units via integer division
+# ((cb*1000) DIV cw1; backoff (2*cu*1000) DIV (5*N)), and the doc
+# aggregate is an integer SUM + DIV — bitwise identical in DuckDB.
+# Scale shape: training is two count aggregates over the (hashed) train
+# split; scoring is one bigram explode + two equi-joins against the
+# count frames (shuffle on the bigram/unigram keys — map-side combined,
+# no skew amplification: a hot bigram joins one count row).
+LM_TRAIN_MOD = 2  # train split: doc_id % 2 = 0; scoring covers ALL docs
+LM_ALPHA_NUM, LM_ALPHA_DEN = 2, 5  # Stupid Backoff alpha = 0.4
+
+
+def _bigrams_sql(*, duck: bool) -> str:
+    if duck:
+        return (
+            "list_transform(generate_series(1, len(toks) - 1), "
+            "i -> {'w1': toks[i], 'w2': toks[i + 1]})"
+        )
+    return (
+        "IF(size(toks) < 2, array(), "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> named_struct('w1', element_at(toks, i), "
+        "'w2', element_at(toks, i + 1))))"
+    )
+
+
+_LM_MILLI = (
+    "CASE WHEN cb IS NOT NULL THEN (cb * 1000) {div} cw1 "
+    f"ELSE ({LM_ALPHA_NUM} * COALESCE(cu2, 0) * 1000) "
+    f"{{div}} ({LM_ALPHA_DEN} * n_total) END"
+)
+
+
+@query(
+    "text_lm_backoff_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2
+      FROM (SELECT doc_id, unnest({_bigrams_sql(duck=True)}) AS u FROM t)
+    ),
+    train_uni AS (
+      SELECT u AS w, COUNT(*) AS cu
+      FROM (SELECT doc_id, unnest(toks) AS u FROM t
+            WHERE doc_id % {LM_TRAIN_MOD} = 0)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM train_uni),
+    train_bi AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM bg
+      WHERE doc_id % {LM_TRAIN_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             {_LM_MILLI.format(div="//")} AS milli,
+             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS unseen
+      FROM bg
+      LEFT JOIN train_bi b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      LEFT JOIN (SELECT w, cu AS cw1 FROM train_uni) u1 ON bg.w1 = u1.w
+      LEFT JOIN (SELECT w, cu AS cu2 FROM train_uni) u2 ON bg.w2 = u2.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+           CAST(SUM(milli) // COUNT(*) AS BIGINT) AS lm_avg_milli
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Stupid-Backoff bigram score per document, fixed-point.
+
+    Train on the doc_id-parity split, score every document; the whole
+    chain (two count aggregates, bigram/unigram left joins, integer
+    fixed-point) is one Catalyst plan with no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    bg = t.select(
+        "doc_id", F.explode(F.expr(_bigrams_sql(duck=False))).alias("u")
+    ).select("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+    train_toks = t.where(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    train_uni = (
+        train_toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = train_uni.agg(F.sum("cu").cast("bigint").alias("n_total"))
+    train_bi = (
+        bg.where(F.col("doc_id") % LM_TRAIN_MOD == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    scored = (
+        bg.join(train_bi, ["w1", "w2"], "left")
+        .join(
+            train_uni.select(F.col("w").alias("w1"),
+                             F.col("cu").alias("cw1")),
+            "w1",
+            "left",
+        )
+        .join(
+            train_uni.select(F.col("w").alias("w2"),
+                             F.col("cu").alias("cu2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(_LM_MILLI.format(div="DIV")).alias("milli"),
+            F.when(F.col("cb").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("unseen").cast("bigint").alias("n_unseen"),
+        F.expr("SUM(milli) DIV COUNT(*)").cast("bigint").alias("lm_avg_milli"),
+    )

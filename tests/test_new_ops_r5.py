@@ -1,0 +1,102 @@
+"""Round-5 operator additions: behavioral invariants beyond the
+oracle-parity sweep (which already pins cross-engine equality)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from energy_data_pipeline_project_spark.operators.dedup import (
+    SPAN_GRAM,
+    dedup_substring_spans,
+)
+from energy_data_pipeline_project_spark.operators.similarity import (
+    RRF_K,
+    RRF_SCALE,
+    retrieval_rrf_hybrid,
+)
+from energy_data_pipeline_project_spark.operators.text import (
+    LM_TRAIN_MOD,
+    text_lm_backoff_score,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_substring_spans_are_real_duplicates(spark):
+    """Every reported span names an exact token substring that occurs
+    in at least one OTHER document — the end-to-end semantic claim,
+    checked against the raw corpus in DuckDB, independent of the
+    operator's own gram/hash machinery."""
+    spans = dedup_substring_spans(spark, SF_SMOKE).collect()
+    assert spans, "corpus with exact dup docs must yield spans"
+    con = duckdb.connect()
+    toks = {
+        d: t
+        for d, t in con.execute(
+            "SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') FROM "
+            f"'{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    }
+    con.close()
+    joined = {d: " ".join(t) for d, t in toks.items()}
+    for r in spans:
+        assert r.span_tokens == r.end_tok - r.start_tok + 1
+        assert r.span_tokens >= SPAN_GRAM
+        assert r.n_grams == r.span_tokens - SPAN_GRAM + 1
+        assert r.max_df >= 2
+        frag = " ".join(toks[r.doc_id][r.start_tok - 1 : r.end_tok])
+        owners = [d for d, s in joined.items() if frag in s]
+        assert len(owners) >= 2, (r.doc_id, frag[:80])
+
+
+def test_substring_spans_are_maximal(spark):
+    """Spans in one doc never touch: merging is maximal, so consecutive
+    spans' duplicated gram-start runs are separated by a gap >= 2."""
+    spans = sorted(
+        dedup_substring_spans(spark, SF_SMOKE).collect(),
+        key=lambda r: (r.doc_id, r.start_tok),
+    )
+    for a, b in zip(spans, spans[1:]):
+        if a.doc_id != b.doc_id:
+            continue
+        prev_last_gram = a.end_tok - SPAN_GRAM + 1
+        assert b.start_tok - prev_last_gram >= 2
+
+
+def test_rrf_fusion_arithmetic(spark):
+    """fused_rank is a contiguous 1..n per query and rrf_micro is
+    exactly the sum of the two fixed-point reciprocal terms."""
+    rows = retrieval_rrf_hybrid(spark, SF_SMOKE).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r.fused_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        for r in rs:
+            want = sum(
+                RRF_SCALE // (RRF_K + rank)
+                for rank in (r.lex_rank, r.sem_rank)
+                if rank is not None
+            )
+            assert r.rrf_micro == want
+            assert r.lex_rank is not None or r.sem_rank is not None
+
+
+def test_lm_backoff_train_split_semantics(spark):
+    """Train-split docs contributed every one of their own bigrams to
+    the model, so they can never contain an unseen bigram; all scores
+    sit inside the fixed-point [0, 1000] probability range."""
+    rows = text_lm_backoff_score(spark, SF_SMOKE).collect()
+    assert rows
+    saw_unseen = False
+    for r in rows:
+        assert 0 <= r.lm_avg_milli <= 1000
+        assert 0 <= r.n_unseen <= r.n_bigrams
+        if r.doc_id % LM_TRAIN_MOD == 0:
+            assert r.n_unseen == 0, r
+        elif r.n_unseen:
+            saw_unseen = True
+    assert saw_unseen, "held-out docs should contain novel bigrams"
