@@ -47,6 +47,9 @@ HEADLINE = [
 # Round-2 additions, timed separately so the headline total stays
 # directly comparable with the BENCH_r01 baseline (same query set).
 EXTRA = [
+    "dedup_substring_spans",
+    "retrieval_rrf_hybrid",
+    "text_lm_backoff_score",
     "q6_discount_revenue",
     "q7_nation_trade_volume",
     "events_conversion_join",
@@ -118,7 +121,6 @@ EXTRA = [
     "embedding_quantize_int8",
     "join_fuzzy_prefix",
     "docs_dup_rate_by_source",
-    "graph_triangle_count",
     "events_funnel_ordered",
     "orders_retention_cohorts",
     "agg_string_concat",
@@ -128,7 +130,6 @@ EXTRA = [
     "events_scd2_intervals",
     "events_markov_transitions",
     "agg_approx_percentile",
-    "graph_kcore",
     "graph_label_propagation",
     "text_bigram_pmi",
     "events_ab_lift",
@@ -284,7 +285,7 @@ def main() -> None:
         finally:
             shutil.rmtree(lake, ignore_errors=True)
 
-    # Extras are single-sample by design (121 queries); the two WATCH
+    # Extras are single-sample by design (~125 queries); the two WATCH
     # queries wobbled >1.3x between r03 and r04 from first-touch/JIT
     # noise alone (warm re-runs measure well under both rounds, and no
     # commit touched their plans — r04 verdict item 5), so they take

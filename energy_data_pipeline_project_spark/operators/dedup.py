@@ -1494,8 +1494,13 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rolling window over positions); a gram occurring in >= 2 distinct
 # docs marks its start position "duplicated"; maximal runs of adjacent
 # duplicated positions merge into spans (the classic gaps-and-islands
-# window). A span of n consecutive duplicated grams certifies an exact
-# duplicated substring of n+G-1 tokens.
+# window). Contract: a span is the merged COVERAGE of duplicated
+# length-G windows — every G-token window inside it occurs verbatim in
+# >= 2 documents, but different windows may owe their duplication to
+# DIFFERENT partner docs (chained overlaps), so the full span text is
+# not guaranteed to appear whole elsewhere. That is exactly the region
+# a Lee-et-al-style pass cuts: they too merge overlapping duplicated
+# ranges before removal.
 #
 # Scale shape (100 TB): everything is LINEAR in corpus tokens — one
 # (h, doc) distinct + count for gram document-frequency (two-stage, no
@@ -1562,7 +1567,9 @@ def _span_grams_spark() -> str:
     """,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal cross-doc duplicated token spans (Lee et al. 2022 shape).
+    """Maximal coverage spans of cross-doc duplicated G-token windows
+    (Lee et al. 2022 removal regions; see contract note above — span
+    text as a whole need not recur verbatim when overlaps chain).
 
     Linear plan: gram hashes at every position (map-side), two-stage
     exact document frequency (distinct then count — no countDistinct

@@ -768,9 +768,13 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two per-query top-k lists — never the underlying scores — which
 # is what makes it robust to scale mismatches between arms.
 #
-# Exactness: RRF terms are fixed-point RRF_SCALE // (K + rank) integer
-# divisions; the lexical ordering key is (inter*10^6) // union — all
-# int64, so both arms and the fusion replay bitwise in DuckDB.
+# Exactness: the lexical arm and the fusion are pure int64 — ordering
+# key (inter*10^6) // union, RRF terms RRF_SCALE // (K + rank) — and
+# replay bitwise in DuckDB. The dense arm ranks by FLOAT cosine with a
+# doc-id tie-break, the same cross-engine contract ann_topk_bruteforce
+# already rides (both engines compute the identical IEEE-f64 chain;
+# a last-ulp accumulation flip would reorder near-ties — accepted and
+# parity-proven since r01 for the cosine tier).
 # Scale shape: lexical candidates come from a postings equi-join with
 # the (tiny) query-side postings broadcast — linear in corpus postings;
 # the dense arm is the brute-force baseline here, with ann_topk_lsh /

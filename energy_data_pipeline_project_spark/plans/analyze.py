@@ -36,6 +36,7 @@ class PlanReport:
     broadcast_joins: int = 0
     shuffle_joins: int = 0
     exchanges: int = 0
+    single_partition_exchanges: int = 0
     codegen_stages: int = 0
     python_eval: bool = False  # row-at-a-time Python UDF — the slow path
     arrow_eval: bool = False  # pandas/Arrow eval — acceptable when needed
@@ -61,6 +62,10 @@ def plan_report(df: DataFrame) -> PlanReport:
         re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", text, re.M)
     )
     rep.exchanges = len(re.findall(r"^\(\d+\) Exchange", text, re.M))
+    # "Arguments: SinglePartition" is the formatted-plan signature of a
+    # global funnel (unpartitioned window / global sort-limit feeding a
+    # single task) — the 100 TB scale hazard plan pins guard against.
+    rep.single_partition_exchanges = text.count("Arguments: SinglePartition")
     rep.codegen_stages = len(set(re.findall(r"codegen id : (\d+)", text)))
     # BatchEvalPythonUDTF is the (deliberate) Python table-function
     # node, not a scalar-UDF fallback — classify it separately so the

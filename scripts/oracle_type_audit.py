@@ -12,15 +12,15 @@ Exit code 1 if any offender is found.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from energy_data_pipeline_project_spark.operators import all_oracles
 from energy_data_pipeline_project_spark.testing import (
-    FORBIDDEN_DUCK_TYPES,
     duck_connection,
-    oracle_output_types,
+    forbidden_type_columns,
 )
 
 
@@ -31,16 +31,11 @@ def main() -> int:
     try:
         for name, sql in sorted(all_oracles().items()):
             try:
-                cols = oracle_output_types(con, sql)
+                offenders = forbidden_type_columns(con, sql)
             except Exception as exc:  # pragma: no cover - surfacing only
                 print(f"ERROR {name}: {exc}")
                 bad += 1
                 continue
-            offenders = [
-                (c, t)
-                for c, t in cols
-                if any(f in t.upper() for f in FORBIDDEN_DUCK_TYPES)
-            ]
             if offenders:
                 bad += 1
                 print(f"HUGEINT-RISK {name}: {offenders}")

@@ -450,5 +450,6 @@ def test_quantile_histogram_shape_pinned(spark):
         timeseries.QUERIES["events_quantile_histogram"](spark, SF_SMOKE)
     )
     assert "Join" not in rep.plan
-    assert "Window, [" not in rep.plan  # no unpartitioned window frames
+    # no global funnel: every window/sort runs hash-partitioned
+    assert rep.single_partition_exchanges == 0, rep.plan
     assert rep.exchanges <= 3
