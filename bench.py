@@ -48,6 +48,7 @@ HEADLINE = [
 # directly comparable with the BENCH_r01 baseline (same query set).
 EXTRA = [
     "dedup_substring_spans",
+    "dedup_span_removal",
     "retrieval_rrf_hybrid",
     "text_lm_backoff_score",
     "q6_discount_revenue",

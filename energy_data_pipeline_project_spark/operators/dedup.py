@@ -1617,3 +1617,116 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_grams"),
         F.max("df").alias("max_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span removal: cut the duplicated coverage out of each document
+# ---------------------------------------------------------------------------
+# The consumption side of dedup_substring_spans — the actual cleaning
+# pass a training pipeline runs: drop every token covered by a
+# cross-doc duplicated span and fingerprint what remains. Composition
+# is pure plan-on-plan: the span frame groups to a per-doc interval
+# list (bounded: spans per doc, not tokens), joins back to documents,
+# and the cut runs as higher-order array functions over the token
+# array — no second explode, no per-token shuffle. Docs with no spans
+# pass through whole via the left join.
+def _span_frame_ctes() -> str:
+    """The dedup_substring_spans CTE chain (shared text, both oracles
+    stay in lockstep by construction)."""
+    return f"""t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos,
+             {H.md5_int64("u['g']", duck=True)} AS h
+      FROM (SELECT doc_id, unnest({_span_grams_duck()}) AS u FROM t)
+    ),
+    dfq AS (
+      SELECT h, COUNT(*) AS df
+      FROM (SELECT DISTINCT h, doc_id FROM g)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    d AS (SELECT g.doc_id, g.pos, f.df FROM g JOIN dfq f USING (h)),
+    brks AS (
+      SELECT doc_id, pos, df,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, pos, df,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM brks
+    ),
+    intervals AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_GRAM - 1} AS e
+      FROM spans GROUP BY doc_id, span_id
+    ),
+    ivl AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs
+      FROM intervals GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH {_span_frame_ctes()},
+    cut AS (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             list_filter(
+               generate_series(1, len(t.toks)),
+               p -> iv.ivs IS NULL OR len(list_filter(iv.ivs,
+                      v -> p >= v['s'] AND p <= v['e'])) = 0
+             ) AS keep_pos,
+             t.toks AS toks
+      FROM t LEFT JOIN ivl iv USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(keep_pos) AS BIGINT) AS cut_tokens,
+           CAST(len(keep_pos) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(array_to_string(
+             list_transform(keep_pos, p -> toks[p]), ' '), '')) AS kept_md5
+    FROM cut
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove cross-doc duplicated spans from every document and md5
+    the surviving token stream. Interval lists are per-doc bounded, so
+    the cut is a broadcast-joinable array-lambda pass — linear, no
+    token-level shuffle beyond the span frame itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup_substring_spans(spark, sf_dir)
+    ivl = (
+        spans.select(
+            "doc_id",
+            F.struct(
+                F.col("start_tok").alias("s"), F.col("end_tok").alias("e")
+            ).alias("iv"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("iv").alias("ivs"))
+    )
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    cut = t.join(ivl, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "filter(sequence(1, size(toks)), i -> ivs IS NULL OR "
+            "NOT exists(ivs, v -> i >= v.s AND i <= v.e))"
+        ).alias("keep_pos"),
+        "toks",
+    )
+    return cut.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.size("keep_pos"))
+        .cast("bigint")
+        .alias("cut_tokens"),
+        F.size("keep_pos").cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.expr(
+                "array_join(transform(keep_pos, p -> element_at(toks, p)), ' ')"
+            )
+        ).alias("kept_md5"),
+    )

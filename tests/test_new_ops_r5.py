@@ -102,3 +102,34 @@ def test_lm_backoff_train_split_semantics(spark):
         elif r.n_unseen:
             saw_unseen = True
     assert saw_unseen, "held-out docs should contain novel bigrams"
+
+
+def test_span_removal_consistency(spark):
+    """kept + cut = total per doc; spans and removal agree on the cut
+    budget; exact-duplicate docs (>= G tokens) are cut ENTIRELY —
+    their whole token stream is duplicated coverage."""
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        dedup_exact,
+        dedup_span_removal,
+        dedup_substring_spans,
+    )
+
+    removal = {r.doc_id: r for r in dedup_span_removal(spark, SF_SMOKE).collect()}
+    span_cut: dict[int, int] = {}
+    for r in dedup_substring_spans(spark, SF_SMOKE).collect():
+        span_cut[r.doc_id] = span_cut.get(r.doc_id, 0) + r.span_tokens
+    for d, r in removal.items():
+        assert r.kept_tokens + r.cut_tokens == r.n_tokens
+        assert r.cut_tokens == span_cut.get(d, 0)
+    # the corpus has no byte-exact duplicate docs (verified via
+    # dedup_exact), yet chained template partners still fully cover
+    # some docs — the case doc-level dedup misses and this op exists for
+    assert not any(
+        r.n_copies > 1 for r in dedup_exact(spark, SF_SMOKE).collect()
+    )
+    fully_cut = [
+        r
+        for r in removal.values()
+        if r.n_tokens >= SPAN_GRAM and r.cut_tokens == r.n_tokens
+    ]
+    assert fully_cut, "templated docs should be fully duplicated coverage"
