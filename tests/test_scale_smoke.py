@@ -297,3 +297,55 @@ def test_ewma_on_200k_events(spark, big_dir):
         if abs(big[k]["ewma_millicents"] - N_COPIES * b["ewma_millicents"]) > 19:
             mism += 1
     assert mism == 0
+
+
+def test_lm_backoff_invariant_under_replication(spark, big_dir):
+    """Replica ids offset by 10M (even), so the doc-parity train split
+    replicates with the corpus: every count scales by exactly 20 and
+    integer division cancels the factor — floor(20a/20b) == floor(a/b)
+    — so each replica's (n_bigrams, n_unseen, lm_avg_milli) must equal
+    its base doc's row bit-for-bit."""
+    from energy_data_pipeline_project_spark.operators import text
+
+    q = text.QUERIES["text_lm_backoff_score"]
+    base = {r["doc_id"]: r for r in q(spark, SF_CORRECT).collect()}
+    big = q(spark, big_dir).collect()
+    assert len(big) == N_COPIES * len(base)
+    for r in big:
+        b = base[r["doc_id"] % 10_000_000]
+        assert r["n_bigrams"] == b["n_bigrams"]
+        assert r["n_unseen"] == b["n_unseen"]
+        assert r["lm_avg_milli"] == b["lm_avg_milli"]
+
+
+def test_substring_spans_on_replicated_corpus(spark, big_dir):
+    """Replication makes every >= G-token document an exact duplicate,
+    so EVERY gram is duplicated and each such doc must collapse to ONE
+    span covering tokens 1..n — the planted-duplicate ground truth.
+    Also the no-quadratic guard: 10k docs with 20 copies each stays
+    seconds because the op never forms doc pairs."""
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        SPAN_GRAM,
+        dedup_substring_spans,
+    )
+
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .selectExpr(
+            "doc_id",
+            "size(filter(split(text, ' '), x -> x != '')) AS n",
+        )
+        .collect()
+    }
+    eligible = {d for d, n in n_toks.items() if n >= SPAN_GRAM}
+    spans = dedup_substring_spans(spark, big_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == N_COPIES * len(eligible)
+    for doc_id, rs in by_doc.items():
+        n = n_toks[doc_id % 10_000_000]
+        assert len(rs) == 1, (doc_id, rs)
+        assert rs[0]["start_tok"] == 1 and rs[0]["end_tok"] == n
+        assert rs[0]["max_df"] >= N_COPIES
