@@ -1529,10 +1529,10 @@ def _span_grams_spark() -> str:
     )
 
 
-@query(
-    "dedup_substring_spans",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+def _span_frame_ctes() -> str:
+    """The dedup_substring_spans CTE chain (shared text, both oracles
+    stay in lockstep by construction)."""
+    return f"""t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     g AS (
       SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos,
              {H.md5_int64("u['g']", duck=True)} AS h
@@ -1556,7 +1556,23 @@ def _span_grams_spark() -> str:
              SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS UNBOUNDED PRECEDING) AS span_id
       FROM brks
-    )
+    ),
+    intervals AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_GRAM - 1} AS e
+      FROM spans GROUP BY doc_id, span_id
+    ),
+    ivl AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs
+      FROM intervals GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_substring_spans",
+    # shares the full CTE chain with dedup_span_removal's oracle (the
+    # unreferenced intervals/ivl CTEs are pruned by the planner)
+    f"""
+    WITH {_span_frame_ctes()}
     SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
            MIN(pos) AS start_tok,
            MAX(pos) + {SPAN_GRAM - 1} AS end_tok,
@@ -1630,44 +1646,6 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the cut runs as higher-order array functions over the token
 # array — no second explode, no per-token shuffle. Docs with no spans
 # pass through whole via the left join.
-def _span_frame_ctes() -> str:
-    """The dedup_substring_spans CTE chain (shared text, both oracles
-    stay in lockstep by construction)."""
-    return f"""t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    g AS (
-      SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos,
-             {H.md5_int64("u['g']", duck=True)} AS h
-      FROM (SELECT doc_id, unnest({_span_grams_duck()}) AS u FROM t)
-    ),
-    dfq AS (
-      SELECT h, COUNT(*) AS df
-      FROM (SELECT DISTINCT h, doc_id FROM g)
-      GROUP BY h HAVING COUNT(*) >= 2
-    ),
-    d AS (SELECT g.doc_id, g.pos, f.df FROM g JOIN dfq f USING (h)),
-    brks AS (
-      SELECT doc_id, pos, df,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
-                                            ORDER BY pos) = 1
-                  THEN 0 ELSE 1 END AS brk
-      FROM d
-    ),
-    spans AS (
-      SELECT doc_id, pos, df,
-             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS UNBOUNDED PRECEDING) AS span_id
-      FROM brks
-    ),
-    intervals AS (
-      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_GRAM - 1} AS e
-      FROM spans GROUP BY doc_id, span_id
-    ),
-    ivl AS (
-      SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs
-      FROM intervals GROUP BY doc_id
-    )"""
-
-
 @query(
     "dedup_span_removal",
     f"""

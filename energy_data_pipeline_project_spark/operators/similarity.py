@@ -786,11 +786,11 @@ RRF_LEX_TOP = 8  # lexical-arm list length
 RRF_SHINGLE_N = 3
 
 
-def _rrf_term(rank_col: str) -> str:
-    """SQL fragment (both engines): fixed-point 1/(K+rank), 0 if NULL."""
-    return (
-        f"COALESCE({RRF_SCALE} // ({RRF_K} + {rank_col}), 0)"
-    )
+def _rrf_term(rank_col: str, *, duck: bool = True) -> str:
+    """SQL fragment: fixed-point 1/(K+rank), 0 if NULL. Same text in
+    both engines up to the integer-division spelling (// vs DIV)."""
+    div = "//" if duck else "DIV"
+    return f"COALESCE({RRF_SCALE} {div} ({RRF_K} + {rank_col}), 0)"
 
 
 def _rrf_oracle() -> str:
@@ -942,8 +942,8 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lex_rank").cast("int").alias("lex_rank"),
             F.col("sem_rank").cast("int").alias("sem_rank"),
             (
-                F.expr(_rrf_term("lex_rank").replace("//", "DIV"))
-                + F.expr(_rrf_term("sem_rank").replace("//", "DIV"))
+                F.expr(_rrf_term("lex_rank", duck=False))
+                + F.expr(_rrf_term("sem_rank", duck=False))
             ).alias("rrf_micro"),
         )
     )
