@@ -1529,6 +1529,49 @@ def _span_grams_spark() -> str:
     )
 
 
+def span_gram_frame(docs: DataFrame) -> DataFrame:
+    """Positional gram hashes ``(doc_id, pos, h)`` for a documents
+    frame — the shared front end of the span tier (batch op AND the
+    streaming index twin)."""
+    return (
+        docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_span_grams_spark())).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.expr(H.md5_int64("gram", duck=False)).alias("h"),
+        )
+    )
+
+
+def merge_span_islands(flagged: DataFrame, *extra_aggs) -> DataFrame:
+    """Gaps-and-islands merge of flagged gram positions
+    ``(doc_id, pos, ...)`` into maximal spans. Extra aggregate
+    expressions (e.g. ``F.max("df")``) ride along per span."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brks = flagged.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1),
+    )
+    spans = brks.withColumn(
+        "span_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    gl = SPAN_GRAM
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + (gl - 1)).alias("end_tok"),
+        (F.max("pos") + gl - F.min("pos")).alias("span_tokens"),
+        F.count("*").alias("n_grams"),
+        *extra_aggs,
+    )
+
+
 def _span_frame_ctes() -> str:
     """The dedup_substring_spans CTE chain (shared text, both oracles
     stay in lockstep by construction)."""
@@ -1593,19 +1636,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands window merge. No doc pairs are ever formed, so a
     boilerplate gram shared by a million docs costs a million posting
     rows — not a trillion pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    g = (
-        t.select(
-            "doc_id",
-            F.posexplode(F.expr(_span_grams_spark())).alias("pos0", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).cast("bigint").alias("pos"),
-            F.expr(H.md5_int64("gram", duck=False)).alias("h"),
-        )
-    )
+    g = span_gram_frame(load_table(spark, sf_dir, "documents"))
     dfq = (
         g.select("h", "doc_id")
         .distinct()
@@ -1614,25 +1645,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 2)
     )
     d = g.join(dfq, "h").select("doc_id", "pos", "df")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brks = d.withColumn(
-        "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1),
-    )
-    spans = brks.withColumn(
-        "span_id",
-        F.sum("brk")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint"),
-    )
-    gl = SPAN_GRAM
-    return spans.groupBy("doc_id", "span_id").agg(
-        F.min("pos").alias("start_tok"),
-        (F.max("pos") + (gl - 1)).alias("end_tok"),
-        (F.max("pos") + gl - F.min("pos")).alias("span_tokens"),
-        F.count("*").alias("n_grams"),
-        F.max("df").alias("max_df"),
-    )
+    return merge_span_islands(d, F.max("df").alias("max_df"))
 
 
 # ---------------------------------------------------------------------------
