@@ -51,6 +51,7 @@ EXTRA = [
     "dedup_span_removal",
     "retrieval_rrf_hybrid",
     "text_lm_backoff_score",
+    "embedding_random_projection",
     "q6_discount_revenue",
     "q7_nation_trade_volume",
     "events_conversion_join",

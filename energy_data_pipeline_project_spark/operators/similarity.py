@@ -958,3 +958,100 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_micro").cast("bigint").alias("rrf_micro"),
         F.row_number().over(wf).cast("int").alias("fused_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+# The standard pre-ANN compression step at 100 TB: project d=64 float
+# dims onto RP_DIM Rademacher (+/-1) components (Achlioptas 2003 —
+# database-friendly random projections: +/-1 entries need no float
+# matrix, just sign flips). E||Rx||^2 = k*||x||^2, so the per-vector
+# norm ratio concentrates around 1 with Var ~ 2/k — the distortion
+# report column makes the JL guarantee observable per vector.
+#
+# Exactness: embeddings land on the PQ integer grid (floor(v*10^4)),
+# signs are deterministic integer literals shared with the oracle via
+# _plane(), and every projection/norm is an int64 sum — bitwise
+# identical in DuckDB (list_sum yields HUGEINT; cast at the edge).
+RP_DIM = 16
+RP_QUANT = 10_000  # same integer grid as operators/pq.py
+
+
+def _rp_signs(j: int) -> list[int]:
+    """Rademacher row j: the sign bits of the LSH plane generator —
+    one deterministic integer source for both engines."""
+    return [1 if c >= 0 else -1 for c in _plane(j)]
+
+
+def _rp_proj_expr(j: int, *, duck: bool) -> str:
+    signs = _rp_signs(j)
+    if duck:
+        lits = ", ".join(str(s) for s in signs)
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {LSH_DIM}), "
+            f"d -> ([{lits}])[d] * CAST(FLOOR(CAST(embedding[d] AS DOUBLE) "
+            f"* {RP_QUANT}) AS BIGINT))) AS BIGINT)"
+        )
+    lits = ", ".join(str(s) for s in signs)
+    return (
+        f"aggregate(zip_with(embedding, array({lits}), "
+        f"(x, s) -> s * CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _rp_oracle() -> str:
+    projs = ",\n             ".join(
+        _rp_proj_expr(j, duck=True) for j in range(RP_DIM)
+    )
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             [{projs}] AS proj,
+             CAST(list_sum(list_transform(generate_series(1, {LSH_DIM}),
+               d -> CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {RP_QUANT})
+                    AS BIGINT) * CAST(FLOOR(CAST(embedding[d] AS DOUBLE)
+                    * {RP_QUANT}) AS BIGINT))) AS BIGINT) AS orig_norm_sq
+      FROM embeddings
+    )
+    SELECT vec_id, proj,
+           CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT)
+             AS proj_norm_sq,
+           CAST(list_sum(list_transform(proj, x -> x * x)) * 1000000
+                // NULLIF({RP_DIM} * orig_norm_sq, 0) AS BIGINT)
+             AS norm_ratio_ppm
+    FROM p
+    """
+
+
+@query("embedding_random_projection", _rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL/Achlioptas +/-1 projection to RP_DIM int64 components with a
+    per-vector norm-distortion report (ppm of the expected k*||x||^2).
+    Pure codegen map — no shuffle, no Python; the 16 sign rows are
+    compile-time literals, so at 100 TB this is a free pre-ANN pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = F.array(
+        *[F.expr(_rp_proj_expr(j, duck=False)) for j in range(RP_DIM)]
+    ).alias("proj")
+    orig = F.expr(
+        f"aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT) * "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT))"
+    ).alias("orig_norm_sq")
+    p = emb.select("vec_id", proj, orig)
+    pn = F.expr(
+        "aggregate(proj, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    return p.select(
+        "vec_id",
+        "proj",
+        pn.alias("proj_norm_sq"),
+        F.expr(
+            f"aggregate(proj, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) "
+            f"* 1000000 DIV NULLIF({RP_DIM} * orig_norm_sq, 0)"
+        )
+        .cast("bigint")
+        .alias("norm_ratio_ppm"),
+    )

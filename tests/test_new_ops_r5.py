@@ -133,3 +133,28 @@ def test_span_removal_consistency(spark):
         if r.n_tokens >= SPAN_GRAM and r.cut_tokens == r.n_tokens
     ]
     assert fully_cut, "templated docs should be fully duplicated coverage"
+
+
+def test_random_projection_jl_unbiasedness(spark):
+    """E||Rx||^2 = k||x||^2 for Rademacher R — the JL expectation
+    identity — so the corpus MEAN norm ratio must land within 10% of
+    1e6 ppm. Individual vectors are heavy-tailed on this corpus (the
+    embeddings share low-dim structure, so sign rows that align with
+    it inflate: measured p95 ~2.7e6, max ~6e6 at both SFs) — the
+    per-vector claim is positivity + a median sanity band, not a
+    Gaussian 5-sigma bound."""
+    from energy_data_pipeline_project_spark.operators.similarity import (
+        RP_DIM,
+        embedding_random_projection,
+    )
+
+    rows = embedding_random_projection(spark, SF_SMOKE).collect()
+    assert rows
+    ratios = sorted(r.norm_ratio_ppm for r in rows)
+    assert all(x is not None and x >= 0 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.9e6 < mean < 1.1e6, mean
+    median = ratios[len(ratios) // 2]
+    assert 0.3e6 < median < 1.5e6, median
+    for r in rows:
+        assert len(r.proj) == RP_DIM
