@@ -52,6 +52,7 @@ EXTRA = [
     "retrieval_rrf_hybrid",
     "text_lm_backoff_score",
     "embedding_random_projection",
+    "events_attribution",
     "q6_discount_revenue",
     "q7_nation_trade_volume",
     "events_conversion_join",

@@ -158,3 +158,43 @@ def test_random_projection_jl_unbiasedness(spark):
     assert 0.3e6 < median < 1.5e6, median
     for r in rows:
         assert len(r.proj) == RP_DIM
+
+
+def test_attribution_conserves_revenue(spark):
+    """Attributed cents across channels must equal the exact cents of
+    every purchase that had >= 1 click touch in its window — the
+    integer U-shaped split loses nothing to rounding (remainders land
+    on the last touch)."""
+    import pyspark.sql.functions as F
+
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        ATTR_WINDOW_DAYS,
+        events_attribution,
+    )
+    from energy_data_pipeline_project_spark.sources.tables import load_table
+
+    rep = events_attribution(spark, SF_SMOKE).collect()
+    assert rep
+    total_attr = sum(r.attributed_cents for r in rep)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pid"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    touched = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("cts") <= F.col("ts"))
+            & (F.col("cts") >= F.expr(f"ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS"))
+        )
+        .select("pid", "cents")
+        .distinct()
+    )
+    expected = touched.agg(F.sum("cents")).collect()[0][0]
+    assert total_attr == expected, (total_attr, expected)
