@@ -1492,15 +1492,19 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # removes duplicated substrings of >= 50 tokens via a suffix array.
 # The distributed re-expression: every length-G token gram is hashed
 # (rolling window over positions); a gram occurring in >= 2 distinct
-# docs marks its start position "duplicated"; maximal runs of adjacent
-# duplicated positions merge into spans (the classic gaps-and-islands
-# window). Contract: a span is the merged COVERAGE of duplicated
-# length-G windows — every G-token window inside it occurs verbatim in
-# >= 2 documents, but different windows may owe their duplication to
-# DIFFERENT partner docs (chained overlaps), so the full span text is
-# not guaranteed to appear whole elsewhere. That is exactly the region
-# a Lee-et-al-style pass cuts: they too merge overlapping duplicated
-# ranges before removal.
+# docs marks its start position "duplicated"; runs of duplicated
+# positions whose G-token coverage overlaps or touches (position gap
+# <= G) merge into spans (gaps-and-islands with a coverage-width break
+# rule). Contract: a span is the merged COVERAGE of duplicated
+# length-G windows — every token in it lies under >= 1 duplicated
+# window, its first and last windows are duplicated, and span_tokens
+# is the exact union size (spans within a doc are disjoint, so the
+# removal pass's cut budget equals sum(span_tokens)). Interior windows
+# starting at unflagged positions, and the span text as a whole, need
+# NOT recur verbatim — different windows may owe their duplication to
+# DIFFERENT partner docs (chained overlaps). That is exactly the
+# region a Lee-et-al-style pass cuts: they too merge overlapping
+# duplicated ranges before removal.
 #
 # Scale shape (100 TB): everything is LINEAR in corpus tokens — one
 # (h, doc) distinct + count for gram document-frequency (two-stage, no
@@ -1549,12 +1553,23 @@ def span_gram_frame(docs: DataFrame) -> DataFrame:
 
 def merge_span_islands(flagged: DataFrame, *extra_aggs) -> DataFrame:
     """Gaps-and-islands merge of flagged gram positions
-    ``(doc_id, pos, ...)`` into maximal spans. Extra aggregate
-    expressions (e.g. ``F.max("df")``) ride along per span."""
+    ``(doc_id, pos, ...)`` into maximal COVERAGE spans: two flagged
+    windows merge when their G-token coverage overlaps or touches,
+    i.e. position gap <= G — not just gap 1. (With a gap-1-only rule,
+    flagged positions p and p+2 would yield two spans whose coverage
+    intervals OVERLAP, double-counting span_tokens and breaking the
+    cut == sum(span_tokens) conservation the removal pass relies on;
+    round-5 review finding.) Within a span, coverage is contiguous —
+    consecutive flagged windows overlap/touch — so span_tokens =
+    end - start + 1 is the exact union size, while interior windows
+    at UNflagged positions need not themselves be duplicated. Extra
+    aggregate expressions (e.g. ``F.max("df")``) ride along."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brks = flagged.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1),
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= SPAN_GRAM, 0
+        ).otherwise(1),
     )
     spans = brks.withColumn(
         "span_id",
@@ -1590,7 +1605,7 @@ def _span_frame_ctes() -> str:
     brks AS (
       SELECT doc_id, pos, df,
              CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
-                                            ORDER BY pos) = 1
+                                            ORDER BY pos) <= {SPAN_GRAM}
                   THEN 0 ELSE 1 END AS brk
       FROM d
     ),
@@ -1702,9 +1717,13 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = t.join(ivl, "doc_id", "left").select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
+        # Spark's sequence(1, 0) counts DOWN to [1, 0] (step defaults
+        # to -1), so a zero-token doc must short-circuit to array() —
+        # DuckDB's generate_series(1, 0) is already empty
         F.expr(
+            "IF(size(toks) = 0, array(), "
             "filter(sequence(1, size(toks)), i -> ivs IS NULL OR "
-            "NOT exists(ivs, v -> i >= v.s AND i <= v.e))"
+            "NOT exists(ivs, v -> i >= v.s AND i <= v.e)))"
         ).alias("keep_pos"),
         "toks",
     )

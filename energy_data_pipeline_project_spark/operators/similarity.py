@@ -985,15 +985,13 @@ def _rp_signs(j: int) -> list[int]:
 
 
 def _rp_proj_expr(j: int, *, duck: bool) -> str:
-    signs = _rp_signs(j)
+    lits = ", ".join(str(s) for s in _rp_signs(j))
     if duck:
-        lits = ", ".join(str(s) for s in signs)
         return (
             f"CAST(list_sum(list_transform(generate_series(1, {LSH_DIM}), "
             f"d -> ([{lits}])[d] * CAST(FLOOR(CAST(embedding[d] AS DOUBLE) "
             f"* {RP_QUANT}) AS BIGINT))) AS BIGINT)"
         )
-    lits = ", ".join(str(s) for s in signs)
     return (
         f"aggregate(zip_with(embedding, array({lits}), "
         f"(x, s) -> s * CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT)), "
@@ -1040,17 +1038,20 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT) * "
         f"CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT))"
     ).alias("orig_norm_sq")
-    p = emb.select("vec_id", proj, orig)
-    pn = F.expr(
-        "aggregate(proj, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    p = emb.select("vec_id", proj, orig).select(
+        "vec_id",
+        "proj",
+        "orig_norm_sq",
+        F.expr(
+            "aggregate(proj, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("proj_norm_sq"),
     )
     return p.select(
         "vec_id",
         "proj",
-        pn.alias("proj_norm_sq"),
+        "proj_norm_sq",
         F.expr(
-            f"aggregate(proj, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) "
-            f"* 1000000 DIV NULLIF({RP_DIM} * orig_norm_sq, 0)"
+            f"proj_norm_sq * 1000000 DIV NULLIF({RP_DIM} * orig_norm_sq, 0)"
         )
         .cast("bigint")
         .alias("norm_ratio_ppm"),

@@ -61,16 +61,19 @@ def screen_and_index_span_batch(
         idx = None
 
     if idx is not None:
-        # effective owner = indexed owner if the gram is old, else the
-        # batch's min id; identity re-arrival (same doc re-ingested)
-        # keeps owner == doc and stays unflagged, as in the LSH twin
-        owners = (
-            own_b.join(idx.withColumnRenamed("owner", "prev"), "h", "left")
-            .select("h", F.coalesce("prev", "owner").alias("owner"))
+        # ONE index scan per batch: the left join gives both the
+        # effective owner (indexed owner if the gram is old, else the
+        # batch's min id — identity re-arrival keeps owner == doc and
+        # stays unflagged, as in the LSH twin) AND the new-gram set
+        # (prev IS NULL), instead of a join + a second anti-join scan
+        joined = own_b.join(
+            idx.withColumnRenamed("owner", "prev"), "h", "left"
+        ).localCheckpoint(eager=True)
+        owners = joined.select(
+            "h", F.coalesce("prev", "owner").alias("owner")
         )
-        new_grams = (
-            own_b.join(idx.select("h"), "h", "left_anti")
-            .select("h", "owner")
+        new_grams = joined.where(F.col("prev").isNull()).select(
+            "h", "owner"
         )
     else:
         owners = own_b

@@ -23,11 +23,13 @@ from .conftest import SF_SMOKE
 
 
 def test_substring_spans_are_real_duplicates(spark):
-    """The span contract, checked against the raw corpus independently
-    of the operator's gram/hash machinery: EVERY length-G token window
-    inside a reported span occurs verbatim in >= 2 documents. (The span
-    as a whole need not — chained overlaps may owe different windows to
-    different partner docs; see the operator's contract note.)"""
+    """The coverage-span contract, checked against the raw corpus
+    independently of the operator's gram/hash machinery: a span's
+    duplicated windows (recomputed here from raw gram document
+    frequency) must cover EVERY token in the span, its first and last
+    windows must be duplicated, and n_grams counts exactly the
+    duplicated windows inside it. (The span text as a whole need not
+    recur — chained overlaps; see the operator's contract note.)"""
     spans = dedup_substring_spans(spark, SF_SMOKE).collect()
     assert spans, "corpus with exact dup docs must yield spans"
     con = duckdb.connect()
@@ -40,21 +42,42 @@ def test_substring_spans_are_real_duplicates(spark):
         ).fetchall()
     }
     con.close()
-    joined = {d: " ".join(t) for d, t in toks.items()}
+    # gram -> set of owner docs, recomputed straight off the corpus
+    owners: dict[str, set] = {}
+    for d, t in toks.items():
+        for p in range(len(t) - SPAN_GRAM + 1):
+            owners.setdefault(
+                " ".join(t[p : p + SPAN_GRAM]), set()
+            ).add(d)
+
+    def dup(doc, p):  # p is 1-based gram start
+        frag = " ".join(toks[doc][p - 1 : p - 1 + SPAN_GRAM])
+        return len(owners.get(frag, ())) >= 2
+
     for r in spans:
         assert r.span_tokens == r.end_tok - r.start_tok + 1
         assert r.span_tokens >= SPAN_GRAM
-        assert r.n_grams == r.span_tokens - SPAN_GRAM + 1
         assert r.max_df >= 2
-        for p in range(r.start_tok, r.end_tok - SPAN_GRAM + 2):
-            frag = " ".join(toks[r.doc_id][p - 1 : p + SPAN_GRAM - 1])
-            owners = [d for d, s in joined.items() if frag in s]
-            assert len(owners) >= 2, (r.doc_id, p, frag[:80])
+        flagged = [
+            p
+            for p in range(r.start_tok, r.end_tok - SPAN_GRAM + 2)
+            if dup(r.doc_id, p)
+        ]
+        assert r.n_grams == len(flagged), (r.doc_id, r.start_tok)
+        assert flagged[0] == r.start_tok
+        assert flagged[-1] == r.end_tok - SPAN_GRAM + 1
+        covered = set()
+        for p in flagged:
+            covered.update(range(p, p + SPAN_GRAM))
+        assert covered == set(range(r.start_tok, r.end_tok + 1)), (
+            r.doc_id, r.start_tok,
+        )
 
 
 def test_substring_spans_are_maximal(spark):
-    """Spans in one doc never touch: merging is maximal, so consecutive
-    spans' duplicated gram-start runs are separated by a gap >= 2."""
+    """Spans in one doc have disjoint, non-touching coverage: merging
+    breaks only when the gram gap exceeds G, so consecutive spans'
+    last/first duplicated gram starts are separated by > G."""
     spans = sorted(
         dedup_substring_spans(spark, SF_SMOKE).collect(),
         key=lambda r: (r.doc_id, r.start_tok),
@@ -63,7 +86,33 @@ def test_substring_spans_are_maximal(spark):
         if a.doc_id != b.doc_id:
             continue
         prev_last_gram = a.end_tok - SPAN_GRAM + 1
-        assert b.start_tok - prev_last_gram >= 2
+        assert b.start_tok - prev_last_gram > SPAN_GRAM
+        assert b.start_tok > a.end_tok + 1  # coverage never touches
+
+
+def test_span_islands_merge_overlapping_coverage(spark):
+    """The round-5 review scenario: flagged positions p and p+2 (gap 2
+    <= G) have OVERLAPPING G-token coverage and must merge into ONE
+    span of G+2 tokens / 2 grams — two overlapping spans would
+    double-count the removal budget. A gap > G must split."""
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        merge_span_islands,
+    )
+
+    flagged = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 5), (2, 5 + SPAN_GRAM + 1)],
+        "doc_id INT, pos INT",
+    )
+    rows = {
+        (r.doc_id, r.start_tok): r
+        for r in merge_span_islands(flagged).collect()
+    }
+    merged = rows[(1, 5)]
+    assert merged.end_tok == 7 + SPAN_GRAM - 1
+    assert merged.span_tokens == SPAN_GRAM + 2
+    assert merged.n_grams == 2
+    assert (2, 5) in rows and (2, 5 + SPAN_GRAM + 1) in rows
+    assert rows[(2, 5)].span_tokens == SPAN_GRAM
 
 
 def test_rrf_fusion_arithmetic(spark):
