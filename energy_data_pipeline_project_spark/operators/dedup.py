@@ -1587,6 +1587,63 @@ def merge_span_islands(flagged: DataFrame, *extra_aggs) -> DataFrame:
     )
 
 
+def substring_spans_frame(docs: DataFrame) -> DataFrame:
+    """Frame-based core of ``dedup_substring_spans`` (composable from
+    examples / other pipelines over any documents-shaped frame)."""
+    g = span_gram_frame(docs)
+    dfq = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+    )
+    d = g.join(dfq, "h").select("doc_id", "pos", "df")
+    return merge_span_islands(d, F.max("df").alias("max_df"))
+
+
+def span_removal_frame(docs: DataFrame) -> DataFrame:
+    """Frame-based core of ``dedup_span_removal``."""
+    spans = substring_spans_frame(docs)
+    ivl = (
+        spans.select(
+            "doc_id",
+            F.struct(
+                F.col("start_tok").alias("s"), F.col("end_tok").alias("e")
+            ).alias("iv"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("iv").alias("ivs"))
+    )
+    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    cut = t.join(ivl, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        # Spark's sequence(1, 0) counts DOWN to [1, 0] (step defaults
+        # to -1), so a zero-token doc must short-circuit to array() —
+        # DuckDB's generate_series(1, 0) is already empty
+        F.expr(
+            "IF(size(toks) = 0, array(), "
+            "filter(sequence(1, size(toks)), i -> ivs IS NULL OR "
+            "NOT exists(ivs, v -> i >= v.s AND i <= v.e)))"
+        ).alias("keep_pos"),
+        "toks",
+    )
+    return cut.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.size("keep_pos"))
+        .cast("bigint")
+        .alias("cut_tokens"),
+        F.size("keep_pos").cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.expr(
+                "array_join(transform(keep_pos, p -> element_at(toks, p)), ' ')"
+            )
+        ).alias("kept_md5"),
+    )
+
+
 def _span_frame_ctes() -> str:
     """The dedup_substring_spans CTE chain (shared text, both oracles
     stay in lockstep by construction)."""
@@ -1651,16 +1708,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands window merge. No doc pairs are ever formed, so a
     boilerplate gram shared by a million docs costs a million posting
     rows — not a trillion pairs."""
-    g = span_gram_frame(load_table(spark, sf_dir, "documents"))
-    dfq = (
-        g.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= 2)
-    )
-    d = g.join(dfq, "h").select("doc_id", "pos", "df")
-    return merge_span_islands(d, F.max("df").alias("max_df"))
+    return substring_spans_frame(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1701,42 +1749,4 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving token stream. Interval lists are per-doc bounded, so
     the cut is a broadcast-joinable array-lambda pass — linear, no
     token-level shuffle beyond the span frame itself."""
-    docs = load_table(spark, sf_dir, "documents")
-    spans = dedup_substring_spans(spark, sf_dir)
-    ivl = (
-        spans.select(
-            "doc_id",
-            F.struct(
-                F.col("start_tok").alias("s"), F.col("end_tok").alias("e")
-            ).alias("iv"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_list("iv").alias("ivs"))
-    )
-    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    cut = t.join(ivl, "doc_id", "left").select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        # Spark's sequence(1, 0) counts DOWN to [1, 0] (step defaults
-        # to -1), so a zero-token doc must short-circuit to array() —
-        # DuckDB's generate_series(1, 0) is already empty
-        F.expr(
-            "IF(size(toks) = 0, array(), "
-            "filter(sequence(1, size(toks)), i -> ivs IS NULL OR "
-            "NOT exists(ivs, v -> i >= v.s AND i <= v.e)))"
-        ).alias("keep_pos"),
-        "toks",
-    )
-    return cut.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        (F.col("n_tokens") - F.size("keep_pos"))
-        .cast("bigint")
-        .alias("cut_tokens"),
-        F.size("keep_pos").cast("bigint").alias("kept_tokens"),
-        F.md5(
-            F.expr(
-                "array_join(transform(keep_pos, p -> element_at(toks, p)), ' ')"
-            )
-        ).alias("kept_md5"),
-    )
+    return span_removal_frame(load_table(spark, sf_dir, "documents"))

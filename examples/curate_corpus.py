@@ -12,13 +12,17 @@ Stages (each an oracle-checked query from the engine surface):
                       SURVIVORS → connected components → keep the
                       best-scoring doc per duplicate family
                       (curation.keep_best_per_component)
-3. decontamination  — drop docs sharing >= 2 five-gram shingles with
+3. span screen      — drop docs more than half covered by
+                      cross-doc duplicated substring spans
+                      (span_removal_frame — catches chained-template
+                      docs that never pair doc-to-doc)
+4. decontamination  — drop docs sharing >= 2 five-gram shingles with
                       the benchmark carve (dedup_contamination_bloom,
                       the broadcast-Bloom formulation) AND the
                       benchmark members themselves
-4. split assignment — deterministic 90/5/5 hash split
+5. split assignment — deterministic 90/5/5 hash split
                       (data_split_hash machinery)
-5. sequence packing — greedy first-fit chunk packing into
+6. sequence packing — greedy first-fit chunk packing into
                       fixed-token-budget training sequences
                       (chunk_pack_sequences)
 
@@ -68,7 +72,20 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     ).select(F.col("kept_doc_id").alias("doc_id"))
     n2 = keep_best.count()
 
-    # 3. decontamination: docs sharing benchmark shingles are dropped,
+    # 3. substring-span screen OVER THE DEDUP SURVIVORS: doc-level
+    # keep-best removes whole near-duplicate docs, but a doc can still
+    # be MOSTLY duplicated coverage (chained template partners) while
+    # never pairing with any single doc — the Lee-et-al case. Drop
+    # docs where duplicated spans cover more than half the tokens.
+    span_rep = dedup.span_removal_frame(
+        docs.join(keep_best, "doc_id")
+    )
+    span_ok = span_rep.where(
+        F.col("cut_tokens") * 2 <= F.col("n_tokens")
+    ).select("doc_id")
+    n2s = span_ok.count()
+
+    # 4. decontamination: docs sharing benchmark shingles are dropped,
     # AND so are the benchmark members themselves (the carve excludes
     # them from the flagging side precisely because they ARE the
     # benchmark — a training corpus must not contain them either)
@@ -77,18 +94,18 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     ).select("doc_id")
     bench_members = dedup.benchmark_keyed_docs(docs)
     survivors = (
-        keep_best.join(flagged, "doc_id", "left_anti")
+        span_ok.join(flagged, "doc_id", "left_anti")
         .join(bench_members, "doc_id", "left_anti")
     )
     n3 = survivors.count()
 
-    # 4. split assignment (deterministic hash buckets)
+    # 5. split assignment (deterministic hash buckets)
     curated = survivors.join(docs, "doc_id").withColumn(
         "split", F.expr(text.split_label_sql())
     )
     curated.write.mode("overwrite").parquet(f"{out_dir}/curated/documents")
 
-    # 5. sequence packing over the CURATED documents only: the packed
+    # 6. sequence packing over the CURATED documents only: the packed
     # sequences are the artifact a training job consumes, so dropped
     # duplicates / contaminated docs must not reappear here. The
     # curated rows are laid out as a documents table and the packing
@@ -106,6 +123,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
             ("0_raw", n0),
             ("1_quality", n1),
             ("2_dedup", n2),
+            ("2s_span_clean", n2s),
             ("3_decontaminated", n3),
             ("4_sequences", n_seq),
         ],

@@ -617,7 +617,8 @@ def test_curate_corpus_example_runs(spark, tmp_path):
     out = str(tmp_path / "lake")
     counts = mod.curate(spark, SF_SMOKE, out)
     assert counts["0_raw"] >= counts["1_quality"] >= counts["2_dedup"]
-    assert counts["2_dedup"] >= counts["3_decontaminated"] > 0
+    assert counts["2_dedup"] >= counts["2s_span_clean"]
+    assert counts["2s_span_clean"] >= counts["3_decontaminated"] > 0
     curated = spark.read.parquet(f"{out}/curated/documents")
     assert curated.count() == counts["3_decontaminated"]
     splits = {r["split"] for r in curated.select("split").distinct().collect()}
