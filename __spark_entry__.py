@@ -3,11 +3,11 @@
 ``entry(spark)`` runs the flagship query (the reference's gold
 daily-join shape, SURVEY.md §3.3, mapped onto the star schema) on
 sf0.001. ``queries()`` exposes the full operator surface from
-SURVEY.md §2 (+ §2.10 extensions); ``oracle_sql()`` gives each one's
-DuckDB twin where ANSI-SQL-expressible (the handful of rows-only
-exemptions — engine-specific sketches/estimates and the Arrow/numpy
-fast path — are enumerated and error-gated; see
-tests/test_entry_rotation.py).
+SURVEY.md §2 (+ §2.10 extensions) — 208 queries as of round 5, 201
+DuckDB-oracled; ``oracle_sql()`` gives each one's twin where
+ANSI-SQL-expressible (the handful of rows-only exemptions —
+engine-specific sketches/estimates and the Arrow/numpy fast path —
+are enumerated and error-gated; see tests/test_entry_rotation.py).
 
 The driver's correctness gate stamps at most ~50 queries per round
 (CORRECTNESS_r01/r02 both cut off at exactly 50 entries), so
