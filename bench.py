@@ -53,6 +53,7 @@ EXTRA = [
     "text_lm_backoff_score",
     "embedding_random_projection",
     "events_attribution",
+    "dq_referential_integrity",
     "q6_discount_revenue",
     "q7_nation_trade_volume",
     "events_conversion_join",

@@ -1305,3 +1305,68 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'view_click_purchase', n3, (n3 * 1000L) div NULLIF(n2, 0)"
         ") AS (stage, n_users, conv_permille)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+# The warehouse health check every load pipeline runs before promoting
+# a batch: for each foreign-key edge, how many child rows point at a
+# missing parent, and what share of the child is covered. Each edge is
+# one LEFT ANTI join on the key (at 100 TB: co-partitioned or
+# runtime-bloom-pruned; the dim-side edges broadcast) plus a COUNT —
+# no row data moves, only keys. Shares are exact integer per-mille.
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def _ri_oracle() -> str:
+    arms = []
+    for child, fk, parent, pk in _RI_EDGES:
+        arms.append(f"""
+    SELECT '{child}.{fk}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS orphan_permille
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+           ON c.{fk} = p.{pk}""")
+    return "\n    UNION ALL\n".join(arms)
+
+
+@query("dq_referential_integrity", _ri_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts + exact per-mille share for every FK edge of the
+    star schema — the pre-promotion warehouse health report."""
+    out = None
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        arm = (
+            c.join(p, c[fk] == p[pk], "left")
+            .agg(
+                F.count("*").alias("n_child"),
+                F.sum(
+                    F.when(F.col(pk).isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                "n_orphans",
+                F.expr("n_orphans * 1000 DIV n_child")
+                .cast("bigint")
+                .alias("orphan_permille"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
