@@ -54,6 +54,8 @@ EXTRA = [
     "embedding_random_projection",
     "events_attribution",
     "dq_referential_integrity",
+    "orders_cohort_ltv",
+    "embedding_power_iteration",
     "q6_discount_revenue",
     "q7_nation_trade_volume",
     "events_conversion_join",

@@ -1370,3 +1370,86 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (cumulative revenue per acquired customer)
+# ---------------------------------------------------------------------------
+# The revenue companion to orders_retention_cohorts: for each
+# first-order-month cohort, cumulative order revenue by months-since,
+# divided by cohort size — the LTV curve growth teams actually read.
+# Months are exact integer year*12+month (the retention idiom — no
+# months_between interval semantics); revenue is integer cents and the
+# per-user LTV is floor division, so the whole curve is engine-exact.
+# Plan: one cohort-anchor aggregate (shuffle on customer), one
+# (cohort, month) revenue aggregate, then a cumulative window
+# partitioned by cohort — frames bounded by the calendar, never by
+# order volume.
+@query(
+    "orders_cohort_ltv",
+    f"""
+    WITH first AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_ym
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_ym, COUNT(*) AS n_customers
+      FROM first GROUP BY cohort_ym
+    ),
+    rev AS (
+      SELECT f.cohort_ym,
+             year(o.o_orderdate) * 12 + month(o.o_orderdate)
+               - f.cohort_ym AS months_since,
+             CAST(SUM({_CENTS.format("o.o_totalprice")}) AS BIGINT)
+               AS month_cents
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_ym, months_since, month_cents,
+             CAST(SUM(month_cents) OVER (PARTITION BY cohort_ym
+                  ORDER BY months_since
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort_ym, c.months_since, s.n_customers,
+           c.month_cents, c.cum_cents,
+           c.cum_cents // s.n_customers AS ltv_cents_per_user
+    FROM cum c JOIN sizes s ON c.cohort_ym = s.cohort_ym
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user revenue by cohort and month offset."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(
+        F.count("*").alias("n_customers")
+    )
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym",
+            (ym - F.col("cohort_ym")).alias("months_since"),
+        )
+        .agg(
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("month_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn(
+        "cum_cents", F.sum("month_cents").over(w).cast("bigint")
+    )
+    return cum.join(sizes, "cohort_ym").select(
+        "cohort_ym",
+        "months_since",
+        "n_customers",
+        "month_cents",
+        "cum_cents",
+        F.expr("cum_cents DIV n_customers").alias("ltv_cents_per_user"),
+    )

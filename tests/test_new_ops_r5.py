@@ -247,3 +247,42 @@ def test_attribution_conserves_revenue(spark):
     )
     expected = touched.agg(F.sum("cents")).collect()[0][0]
     assert total_attr == expected, (total_attr, expected)
+
+
+def test_power_iteration_rayleigh_quality(spark):
+    """The in-plan power iteration must lift the Rayleigh quotient to
+    >= 0.85 of the exact top eigenvalue (numpy eigh on the identical
+    integer-grid mean Gram). Direction alignment is NOT gated: the
+    corpus spectrum is near-degenerate (lambda2/lambda1 ~ 0.93), so
+    any vector in the top subspace is a correct answer."""
+    import numpy as np
+
+    from energy_data_pipeline_project_spark.operators.similarity import (
+        RP_QUANT,
+        embedding_power_iteration,
+    )
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(
+                f"{SF_SMOKE}/embeddings.parquet"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    g = np.floor(emb * RP_QUANT)
+    A = (g.T @ g) / len(g)
+    lam1 = np.linalg.eigh(A)[0][-1]
+    v = np.array(
+        [
+            r.v
+            for r in sorted(
+                embedding_power_iteration(spark, SF_SMOKE).collect(),
+                key=lambda r: r.dim,
+            )
+        ],
+        dtype=np.float64,
+    )
+    rayleigh = (v @ A @ v) / (v @ v)
+    assert rayleigh / lam1 >= 0.85, rayleigh / lam1
