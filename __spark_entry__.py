@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query (the reference's gold
 daily-join shape, SURVEY.md §3.3, mapped onto the star schema) on
 sf0.001. ``queries()`` exposes the full operator surface from
-SURVEY.md §2 (+ §2.10 extensions) — 208 queries as of round 5, 201
+SURVEY.md §2 (+ §2.10 extensions) — 211 queries as of round 5, 204
 DuckDB-oracled; ``oracle_sql()`` gives each one's twin where
 ANSI-SQL-expressible (the handful of rows-only exemptions —
 engine-specific sketches/estimates and the Arrow/numpy fast path —
@@ -77,7 +77,29 @@ def _passing_stamp_counts() -> dict[str, int]:
 # (events_ab_lift fixed-point rewrite) and new additions. Simpler
 # never-stamped SQL shapes follow in registration order behind them.
 _PRIORITY = (
-    # round-3 red row, rewritten to integer fixed-point this round
+    # round-5 red re-checks first (HUGEINT oracle typing, fixed r05),
+    # then the latent same-class fixes
+    "pagerank_dup_graph",
+    "agg_trimmed_mean_pandas",
+    "kmeans_embeddings",
+    "chunk_pack_sequences",
+    "embedding_quantize_int8",
+    "text_quality_classifier",
+    "events_conversion_latency",
+    "events_outlier_iqr",
+    "events_quantile_histogram",
+    # round-5 additions: the algorithmically riskiest new oracles
+    # (iterative PI, span gaps-and-islands, RRF fusion, LM backoff)
+    "embedding_power_iteration",
+    "dedup_substring_spans",
+    "dedup_span_removal",
+    "retrieval_rrf_hybrid",
+    "text_lm_backoff_score",
+    "embedding_random_projection",
+    "events_attribution",
+    "dq_referential_integrity",
+    "orders_cohort_ltv",
+    # round-3 red row, rewritten to integer fixed-point r04
     "events_ab_lift",
     # round-4 additions
     "events_dau_mau_sketch",
@@ -138,7 +160,11 @@ _PRIORITY = (
     "cdc_snapshot_diff",
     "events_seasonal_decompose",
 )
-_PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
+# first occurrence wins: re-check entries deliberately repeat names
+# that also sit in older tiers further down the list
+_PRIORITY_RANK: dict[str, int] = {}
+for _i, _name in enumerate(_PRIORITY):
+    _PRIORITY_RANK.setdefault(_name, _i)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
