@@ -1130,58 +1130,75 @@ def _pi_oracle() -> str:
 
 @query("embedding_power_iteration", _pi_oracle())
 def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus: exact-integer
-    mean Gram + 8 power-iteration rounds, entirely as Catalyst plans
-    (the Gram aggregate is the only corpus-sized stage; every round is
-    a broadcast join over d^2 + d rows)."""
+    """Top principal direction of the embedding corpus.
+
+    The Gram aggregate is the only corpus-sized stage and runs fully
+    distributed (per-vector outer-product explode, map-side combined
+    to d^2 partials per partition). The 8 power rounds then operate on
+    a d x d matrix — dimension-bounded METADATA, not data — so they
+    iterate driver-side with exact Python integers (the same
+    bounded-collect carve as the layout bounds row / query-vector
+    set): 16+ Spark jobs over 4 KB frames collapse to one collect.
+    Division is truncated toward zero to match Spark DIV / DuckDB //
+    exactly (Python // floors — different on negatives)."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     q, d = RP_QUANT, LSH_DIM
     n = emb.count()
-    pairs = emb.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    f"transform(sequence(1, {d}), d1 -> "
-                    f"transform(sequence(1, {d}), d2 -> "
-                    f"named_struct('d1', d1, 'd2', d2, "
-                    f"'p', CAST(FLOOR(CAST(element_at(embedding, d1) AS DOUBLE)"
-                    f" * {q}) AS BIGINT)"
-                    f" * CAST(FLOOR(CAST(element_at(embedding, d2) AS DOUBLE)"
-                    f" * {q}) AS BIGINT))))"
-                )
+
+    # Partial Grams per Arrow batch: g^T g in int64 BLAS — the exact
+    # SAME integer sums the per-pair explode computes (grid values are
+    # int64, per-batch partials bounded by batch_rows * grid^2), at
+    # matrix-multiply speed. The oracle replays the pair-explode
+    # formulation; totals are identical by associativity of + .
+    def partial_grams(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            g = np.floor(
+                np.array(list(pdf["embedding"]), dtype=np.float64) * q
+            ).astype(np.int64)
+            m = g.T @ g
+            d1, d2 = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "d1": d1.ravel() + 1,
+                    "d2": d2.ravel() + 1,
+                    "p": m.ravel(),
+                }
             )
-        ).alias("u")
+
+    pairs = emb.select("embedding").mapInPandas(
+        partial_grams, "d1 INT, d2 INT, p LONG"
     )
-    gram = (
-        pairs.groupBy(
-            F.col("u.d1").alias("d1"), F.col("u.d2").alias("d2")
-        )
+    gram_rows = (
+        pairs.groupBy("d1", "d2")
         .agg(
-            F.floor(F.sum("u.p").cast("double") / n)
+            F.floor(F.sum("p").cast("double") / n)
             .cast("bigint")
             .alias("a")
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    v = spark.range(1, d + 1).select(
-        F.col("id").alias("dim"), F.lit(1).cast("bigint").alias("v")
-    )
+    A: dict[tuple[int, int], int] = {
+        (r["d1"], r["d2"]): r["a"] for r in gram_rows
+    }
+
+    def trunc_div(a: int, b: int) -> int:
+        qq = abs(a) // abs(b)
+        return qq if (a >= 0) == (b >= 0) else -qq
+
+    v = [1] * d
     for _ in range(PI_ROUNDS):
-        av = (
-            gram.join(
-                F.broadcast(v.select(F.col("dim").alias("d2"), "v")), "d2"
-            )
-            .groupBy(F.col("d1").alias("dim"))
-            .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("av"))
-        )
-        mx = av.agg(F.max(F.abs("av")).alias("mx"))
-        v = (
-            av.crossJoin(F.broadcast(mx))
-            .select(
-                "dim",
-                F.expr(f"CAST(av DIV (mx DIV {PI_VSCALE} + 1) AS BIGINT)")
-                .alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return v
+        av = [
+            sum(A.get((d1, d2), 0) * v[d2 - 1] for d2 in range(1, d + 1))
+            for d1 in range(1, d + 1)
+        ]
+        mx = max(abs(x) for x in av)
+        div = trunc_div(mx, PI_VSCALE) + 1
+        v = [trunc_div(x, div) for x in av]
+    return spark.createDataFrame(
+        [(dim, v[dim - 1]) for dim in range(1, d + 1)],
+        "dim BIGINT, v BIGINT",
+    )
