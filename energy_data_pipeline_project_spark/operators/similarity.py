@@ -1079,7 +1079,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer means (bounded by grid^2 = 1e8 INDEPENDENT of corpus size,
 # so A*v sums stay far inside int64 at any scale); the rescale divisor
 # (max|A v| DIV 2^16 + 1) is itself an exact integer statistic — the
-# whole 3-round chain replays bitwise in DuckDB. Direction quality vs
+# whole PI_ROUNDS-round chain replays bitwise in DuckDB. Direction quality vs
 # numpy's exact eigendecomposition is gated in tests.
 PI_ROUNDS = 8
 PI_VSCALE = 1 << 16
@@ -1138,7 +1138,7 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a d x d matrix — dimension-bounded METADATA, not data — so they
     iterate driver-side with exact Python integers (the same
     bounded-collect carve as the layout bounds row / query-vector
-    set): 16+ Spark jobs over 4 KB frames collapse to one collect.
+    set) instead of PI_ROUNDS sets of Spark jobs over 4 KB frames.
     Division is truncated toward zero to match Spark DIV / DuckDB //
     exactly (Python // floors — different on negatives)."""
     import numpy as np

@@ -19,10 +19,13 @@ the same honest-divergence style as the LSH/span index twins.
 
 Replay idempotence: the click log AND the split sink are partitioned
 by ``batch_id`` with dynamic partition overwrite, and the attribution
-join reads the log with ``batch_id != current`` — a re-delivered
-batch replaces its own partitions and never double-joins its own
-first-attempt clicks (the idempotence carve shared with
-streaming/dedup_index.py / span_index.py / trend.py).
+join reads the log with ``batch_id < current`` (strictly earlier) — a
+re-delivered batch replaces its own partitions, never double-joins
+its own first-attempt clicks, and never sees clicks that arrived
+AFTER its first attempt (which would retro-attribute and break
+idempotence). The carve is shared with streaming/dedup_index.py /
+span_index.py / trend.py; the strict inequality is what the
+at-arrival contract adds.
 
 State growth: the click log only ever matters within ATTR_WINDOW_DAYS
 of incoming purchases, so the read prunes to the batch's window
@@ -68,8 +71,14 @@ def attribute_batch(
         if log is None:
             prior = None
         else:
+            # STRICTLY-EARLIER batches only: on the live path the
+            # current batch has the max id so < and != agree, but a
+            # REPLAY of an old batch must not see clicks that arrived
+            # after its first attempt — batch_id != current would let
+            # a later-delivered out-of-order click retro-attribute the
+            # replayed purchases and break idempotence (review pass 4)
             prior = log.where(
-                F.col("batch_id") != int(batch_id)
+                F.col("batch_id") < int(batch_id)
             ).drop("batch_id")
         if prior is not None:
             # window prune: clicks older than any possible touch are
@@ -108,7 +117,12 @@ def stream_attribution(
         if batch.isEmpty():
             return
         split = attribute_batch(batch, clicks_path, batch_id)
-        _write_batch_partition(split, splits_path, batch_id)
+        # clicks-only batches (normal at stream start) attribute
+        # nothing; writing an empty frame would leave a schema-less
+        # splits_path that breaks the rollup read — same guard as the
+        # click-log write
+        if not split.isEmpty():
+            _write_batch_partition(split, splits_path, batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(handle)

@@ -77,12 +77,29 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     # be MOSTLY duplicated coverage (chained template partners) while
     # never pairing with any single doc — the Lee-et-al case. Drop
     # docs where duplicated spans cover more than half the tokens.
-    span_rep = dedup.span_removal_frame(
-        docs.join(keep_best, "doc_id")
+    # the screen needs only the cut BUDGET per doc — span coverage is
+    # disjoint (merge_span_islands' conservation invariant), so
+    # sum(span_tokens) per doc equals the removal pass's cut_tokens
+    # without paying the token-level rebuild + md5 of the full
+    # span_removal_frame
+    survivors_docs = docs.join(keep_best, "doc_id")
+    cut = (
+        dedup.substring_spans_frame(survivors_docs)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("cut_tokens"))
     )
-    span_ok = span_rep.where(
-        F.col("cut_tokens") * 2 <= F.col("n_tokens")
-    ).select("doc_id")
+    sizes = survivors_docs.selectExpr(
+        "doc_id",
+        "size(filter(split(text, ' '), x -> x != '')) AS n_tokens",
+    )
+    span_ok = (
+        sizes.join(cut, "doc_id", "left")
+        .where(
+            F.coalesce(F.col("cut_tokens"), F.lit(0)) * 2
+            <= F.col("n_tokens")
+        )
+        .select("doc_id")
+    )
     n2s = span_ok.count()
 
     # 4. decontamination: docs sharing benchmark shingles are dropped,

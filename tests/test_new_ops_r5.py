@@ -272,7 +272,7 @@ def test_power_iteration_rayleigh_quality(spark):
         dtype=np.float64,
     )
     g = np.floor(emb * RP_QUANT)
-    A = (g.T @ g) / len(g)
+    A = np.floor((g.T @ g) / len(g))  # the operator's exact floored mean
     lam1 = np.linalg.eigh(A)[0][-1]
     v = np.array(
         [

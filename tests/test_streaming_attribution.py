@@ -89,3 +89,37 @@ def test_attribution_is_at_arrival(spark, tmp_path_factory):
     # contains no purchases to attribute
     sp1 = attribute_batch(click_rows, clicks, 1)
     assert sp1.count() == 0
+
+
+def test_replay_ignores_later_arrived_clicks(spark, tmp_path_factory):
+    """The review-pass-4 scenario: a late click delivered in a LATER
+    batch must not retro-attribute when an earlier batch is replayed —
+    the replay joins strictly-earlier batches only, so its verdicts
+    are bit-identical to the first attempt."""
+    clicks = str(tmp_path_factory.mktemp("click-log3")) + "/c"
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.where("event_type = 'purchase'")
+    click_rows = ev.where("event_type = 'click'")
+
+    # batch 0: a few clicks; batch 1: ALL purchases (attributed against
+    # batch 0 only); batch 2: the remaining clicks arrive late
+    early = click_rows.where("event_id % 3 = 0")
+    late = click_rows.where("event_id % 3 != 0")
+    attribute_batch(early, clicks, 0)
+    first = {
+        (r.channel, r.purchase_id, r.attr_cents)
+        for r in attribute_batch(purchases, clicks, 1).collect()
+    }
+    attribute_batch(late, clicks, 2)
+    replay = {
+        (r.channel, r.purchase_id, r.attr_cents)
+        for r in attribute_batch(purchases, clicks, 1).collect()
+    }
+    assert replay == first
+    # sanity: the late clicks WOULD have changed the attribution had
+    # the replay been allowed to see them
+    full = {
+        (r.channel, r.purchase_id, r.attr_cents)
+        for r in attribute_batch(purchases, clicks, 3).collect()
+    }
+    assert full != first
