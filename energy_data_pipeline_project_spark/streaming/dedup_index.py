@@ -12,9 +12,10 @@ Replay idempotence (at-least-once sources re-deliver batches): both
 the signature index AND the verdict sink are partitioned by
 ``batch_id`` and written with dynamic partition overwrite — a
 re-delivered batch REPLACES its own partitions instead of appending,
-and the cross-screen reads the index with ``batch_id != current``
-so a retry never matches a document against its own first-attempt
-signatures. This is the same idempotence carve as
+and the cross-screen reads the index with ``batch_id < current``
+(strictly earlier) so a retry never matches a document against its
+own first-attempt signatures, nor against batches that arrived after
+its first attempt. This is the same idempotence carve as
 ``streaming/trend.py``; contrast ``streaming/funnel.py``, whose MIN
 state needs none.
 
@@ -65,11 +66,14 @@ def screen_and_index_batch(
         "est_jaccard",
     )
     if os.path.exists(index_path):
-        # exclude this batch's own partition: on a replay the first
-        # attempt's signatures are already there and would otherwise
-        # self-match every document
+        # STRICTLY-EARLIER partitions only: a replay must neither
+        # self-match its first-attempt signatures nor see batches that
+        # arrived after its first attempt — the latter would emit
+        # (this-batch, later-batch) pairs the later batch already
+        # emitted, changing this partition's contents (review pass 4;
+        # on the live path current == max id, so < and != agree)
         sig_i = spark.read.parquet(index_path).where(
-            F.col("batch_id") != int(batch_id)
+            F.col("batch_id") < int(batch_id)
         ).drop("batch_id")
         # a re-ingested doc_id meets its own earlier signature in the
         # index — that is id-level re-arrival (the exact-dedup tier's
@@ -105,7 +109,10 @@ def stream_dedup_index(
         verdicts = screen_and_index_batch(
             batch, index_path, batch_id, bucket_cap=bucket_cap
         )
-        _write_batch_partition(verdicts, verdicts_path, batch_id)
+        # a duplicate-free batch emits no verdicts; an empty write
+        # would leave a schema-less sink until a duplicate appears
+        if not verdicts.isEmpty():
+            _write_batch_partition(verdicts, verdicts_path, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -18,9 +18,12 @@ divergence documented for the LSH index twin.
 
 Replay idempotence: the gram index and the span sink are partitioned
 by ``batch_id`` with dynamic partition overwrite, and the screen reads
-the index with ``batch_id != current`` — a re-delivered batch replaces
-its own partitions and never matches its first-attempt grams (the
-idempotence carve shared with ``streaming/dedup_index.py``).
+the index with ``batch_id < current`` (STRICTLY earlier) — a
+re-delivered batch replaces its own partitions, never matches its
+first-attempt grams, and never sees grams that arrived after its
+first attempt (which would flag different spans and break
+idempotence; review pass 4). The carve is shared with
+``streaming/dedup_index.py``.
 
 Index state: one row per DISTINCT gram hash (h, owner) — smaller than
 the postings frame, and bounded by corpus vocabulary of G-grams. At
@@ -54,7 +57,7 @@ def screen_and_index_span_batch(
     if os.path.exists(index_path):
         idx = (
             spark.read.parquet(index_path)
-            .where(F.col("batch_id") != int(batch_id))
+            .where(F.col("batch_id") < int(batch_id))
             .select("h", "owner")
         )
     else:
@@ -103,7 +106,10 @@ def stream_span_index(
         if batch.isEmpty():
             return
         spans = screen_and_index_span_batch(batch, index_path, batch_id)
-        _write_batch_partition(spans, spans_path, batch_id)
+        # a duplicate-free batch emits no spans; writing the empty
+        # frame would leave a schema-less sink until a span appears
+        if not spans.isEmpty():
+            _write_batch_partition(spans, spans_path, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
