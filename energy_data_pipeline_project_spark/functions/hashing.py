@@ -40,6 +40,15 @@ _brng = random.Random(7)
 BLOOM_A = [_brng.randrange(1, P31) for _ in range(BLOOM_K)]
 BLOOM_B = [_brng.randrange(0, P31) for _ in range(BLOOM_K)]
 
+# Count-min sketch rehash family: depth independent arithmetic
+# rehashes map an md5-derived base hash to a column in [0, width).
+# Seeded separately from the minhash and bloom families.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+_crng = random.Random(11)
+CMS_A = [_crng.randrange(1, P31) for _ in range(CMS_DEPTH)]
+CMS_B = [_crng.randrange(0, P31) for _ in range(CMS_DEPTH)]
+
 # Positional fingerprint (rolling-hash style): fp = sum(h(tok)*(pos+1)) % P31
 FINGERPRINT_MOD = P31
 
@@ -85,6 +94,13 @@ def bloom_pos_expr(j: int, h_sql: str, m_bits: int) -> str:
     """
     a, b = BLOOM_A[j], BLOOM_B[j]
     return f"((({a} * ({h_sql} % {P31}) + {b}) % {P31}) % {m_bits})"
+
+
+def cms_pos_expr(i: int, h_sql: str, width: int = CMS_WIDTH) -> str:
+    """SQL for count-min row i's column of a base-hash column (both
+    engines). Same overflow-safe shape as :func:`minhash_expr`."""
+    a, b = CMS_A[i], CMS_B[i]
+    return f"((({a} * ({h_sql} % {P31}) + {b}) % {P31}) % {width})"
 
 
 def tokens_sql(text_col: str, *, duck: bool) -> str:

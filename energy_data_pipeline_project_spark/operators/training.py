@@ -513,3 +513,121 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "token")
         .limit(HH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct feature backfill
+# ---------------------------------------------------------------------------
+# The training-pipeline staple that prevents label leakage: every
+# feature attached to a label row may only read events STRICTLY
+# earlier than the label's own timestamp. All features are value-based
+# (RANGE) window frames ending at 1 PRECEDING on the epoch-microsecond
+# axis, so even events sharing the label's exact instant are excluded
+# — the strict-past guarantee is a property of the frame, not of tie
+# ordering, which is what makes it deterministic cross-engine.
+PIT_WINDOW_US = 7 * 86_400_000_000  # 7-day trailing feature window
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "training_feature_backfill",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    feat AS (
+      SELECT event_id, event_type, cents,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT)
+               AS clicks_7d,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT)
+               AS views_7d,
+             (MAX(CASE WHEN event_type = 'cart'
+                       THEN {{'u': us, 'e': event_id, 'c': cents}}
+                  END) OVER wall).c AS last_cart_cents,
+             (us - MIN(us) OVER wall) // {_US_PER_DAY} AS days_since_first
+      FROM ev
+      WINDOW
+        w7 AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {PIT_WINDOW_US} PRECEDING AND 1 PRECEDING),
+        wall AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS label_id, cents AS label_cents,
+           clicks_7d, views_7d, last_cart_cents, days_since_first
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def training_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill leakage-safe features onto purchase labels: 7-day
+    trailing click/view counts, the most recent cart value, and days
+    since the user's first PRIOR event — each computed over a RANGE
+    frame ending at 1 microsecond PRECEDING, so no feature can ever
+    see the label instant or anything after it.
+
+    Scale: one shuffle on user_id; all four features share the same
+    sort order so Catalyst evaluates them in a single Window exec pair
+    (7-day frame + unbounded frame) — no self-joins, no per-label
+    range explosion. This is the scalable alternative to the
+    point-in-time JOIN formulation, whose naive theta-join is O(n*m)
+    per user.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-PIT_WINDOW_US, -1)
+    )
+    wall = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    # Order-insensitive "latest prior cart": MAX over a (us, event_id,
+    # cents) struct is lexicographic on the unique (us, event_id) key,
+    # so ties at the same microsecond can never make the result depend
+    # on physical row order (LAST_VALUE over a RANGE frame would).
+    cart_struct = F.when(
+        F.col("event_type") == "cart",
+        F.struct(
+            F.col("us").alias("u"),
+            F.col("event_id").alias("e"),
+            F.col("cents").alias("c"),
+        ),
+    )
+    feat = ev.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.coalesce(F.sum(is_click).over(w7), F.lit(0))
+        .cast("bigint")
+        .alias("clicks_7d"),
+        F.coalesce(F.sum(is_view).over(w7), F.lit(0))
+        .cast("bigint")
+        .alias("views_7d"),
+        F.max(cart_struct).over(wall).getField("c").alias(
+            "last_cart_cents"
+        ),
+        (F.col("us") - F.min("us").over(wall)).alias("prior_gap_us"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        F.col("cents").alias("label_cents"),
+        "clicks_7d",
+        "views_7d",
+        "last_cart_cents",
+        F.expr(f"prior_gap_us div {_US_PER_DAY}").alias(
+            "days_since_first"
+        ),
+    )

@@ -1453,3 +1453,123 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_cents",
         F.expr("cum_cents DIV n_customers").alias("ltv_cents_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file-skipping effectiveness by physical layout
+# ---------------------------------------------------------------------------
+# The 100 TB knob this measures: a scan with a range predicate prunes
+# a shard iff the shard's min/max zone map misses the range, so the
+# fraction of data a query touches is a property of the LAYOUT, not
+# the predicate. Scatter (hash-clustered) layouts keep every shard's
+# zone wide open; range-clustered layouts shrink zones to the bucket
+# width and let the scan skip everything else. Both layouts here are
+# pure map-side shard assignments (no global sort, unlike ntile-style
+# OPTIMIZE) so the measurement itself scales.
+from ..functions.hashing import md5_int64  # noqa: E402
+
+ZONE_HASH_SHARDS = 16
+ZONE_RANGE_BUCKET_DAYS = 128
+_ZONE_ANCHOR = "1992-01-01"
+# Fixed 30-day shipdate window: days 1155..1184 since the anchor
+# (1995-03-01 .. 1995-03-30).
+ZONE_PRED_LO = 1155
+ZONE_PRED_HI = 1184
+
+
+@query(
+    "layout_zonemap_skipping",
+    f"""
+    WITH base AS (
+      SELECT l_orderkey,
+             date_diff('day', DATE '{_ZONE_ANCHOR}',
+                       CAST(l_shipdate AS DATE)) AS day_no
+      FROM lineitem
+    ),
+    placed AS (
+      SELECT 'hash' AS layout,
+             {md5_int64("CAST(l_orderkey AS VARCHAR)", duck=True)}
+               % {ZONE_HASH_SHARDS} AS shard,
+             day_no
+      FROM base
+      UNION ALL
+      SELECT 'range' AS layout,
+             day_no // {ZONE_RANGE_BUCKET_DAYS} AS shard,
+             day_no
+      FROM base
+    ),
+    zones AS (
+      SELECT layout, shard, MIN(day_no) AS mn, MAX(day_no) AS mx,
+             COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE day_no BETWEEN {ZONE_PRED_LO}
+                              AND {ZONE_PRED_HI}) AS match_rows
+      FROM placed GROUP BY layout, shard
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(COUNT(*) FILTER (WHERE mx >= {ZONE_PRED_LO}
+                                 AND mn <= {ZONE_PRED_HI}) AS BIGINT)
+             AS shards_scanned,
+           CAST(COALESCE(SUM(n_rows) FILTER (WHERE mx >= {ZONE_PRED_LO}
+                                   AND mn <= {ZONE_PRED_HI}), 0) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(match_rows) AS BIGINT) AS rows_matching,
+           CAST((1000 * (COUNT(*) - COUNT(*) FILTER (
+                  WHERE mx >= {ZONE_PRED_LO} AND mn <= {ZONE_PRED_HI})))
+                // COUNT(*) AS BIGINT) AS skip_permille
+    FROM zones GROUP BY layout
+    """,
+)
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure zone-map (min/max) file-skipping effectiveness of two
+    physical layouts of lineitem under the same fixed 30-day shipdate
+    range predicate: a hash-scattered layout (shard = md5(l_orderkey)
+    mod 16) vs a range-clustered layout (shard = shipdate-day div 128).
+
+    Per layout: shard count, shards whose [min, max] zone overlaps the
+    predicate (must be scanned), rows inside those shards (scan
+    amplification), true matching rows (identical across layouts), and
+    the per-mille of shards skipped. Two group-bys, no windows, no
+    sort: the shard assignment is a map-side expression, so this audit
+    runs as a single pass even where re-clustering itself would not.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit(_ZONE_ANCHOR).cast("date")
+        ).alias("day_no"),
+    )
+    h = md5_int64("CAST(l_orderkey AS STRING)", duck=False)
+    placed = base.selectExpr(
+        "'hash' AS layout",
+        f"{h} % {ZONE_HASH_SHARDS} AS shard",
+        "day_no",
+    ).unionAll(
+        base.selectExpr(
+            "'range' AS layout",
+            f"day_no div {ZONE_RANGE_BUCKET_DAYS} AS shard",
+            "day_no",
+        )
+    )
+    in_pred = F.col("day_no").between(ZONE_PRED_LO, ZONE_PRED_HI)
+    zones = placed.groupBy("layout", "shard").agg(
+        F.min("day_no").alias("mn"),
+        F.max("day_no").alias("mx"),
+        F.count("*").alias("n_rows"),
+        F.sum(in_pred.cast("long")).alias("match_rows"),
+    )
+    overlaps = (F.col("mx") >= ZONE_PRED_LO) & (F.col("mn") <= ZONE_PRED_HI)
+    return zones.groupBy("layout").agg(
+        F.count("*").alias("n_shards"),
+        F.sum(overlaps.cast("long")).alias("shards_scanned"),
+        F.coalesce(
+            F.sum(F.when(overlaps, F.col("n_rows"))), F.lit(0)
+        ).cast("bigint").alias("rows_scanned"),
+        F.sum("match_rows").cast("bigint").alias("rows_matching"),
+        F.expr(
+            "CAST((1000 * (COUNT(*) - SUM(CAST(mx >= "
+            f"{ZONE_PRED_LO} AND mn <= {ZONE_PRED_HI} AS LONG)))) "
+            "div COUNT(*) AS BIGINT)"
+        ).alias("skip_permille"),
+    )

@@ -1,0 +1,196 @@
+"""Round-5 late additions: behavioral invariants beyond the
+oracle-parity sweep (which already pins cross-engine equality) for the
+sweep-line concurrency operator, the count-min sketch, the zone-map
+skipping audit, and the point-in-time feature backfill."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from energy_data_pipeline_project_spark.operators.timeseries import (
+    SWEEP_GAP_US,
+    cms_grid,
+    cms_hashed,
+    events_concurrency_sweep,
+    events_countmin_heavy,
+)
+from energy_data_pipeline_project_spark.operators.training import (
+    PIT_WINDOW_US,
+    training_feature_backfill,
+)
+from energy_data_pipeline_project_spark.operators.warehouse import (
+    layout_zonemap_skipping,
+)
+from energy_data_pipeline_project_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: independent Python replay
+# ---------------------------------------------------------------------------
+def _python_sweep(events):
+    """Reference sessionize + sweep in plain Python over collected rows."""
+    per_user: dict[int, list[int]] = {}
+    for us, uid, eid in events:
+        per_user.setdefault(uid, []).append((us, eid))
+    sessions = []
+    for uid, rows in per_user.items():
+        rows.sort()
+        lo = prev = rows[0][0]
+        for us, _ in rows[1:]:
+            if us - prev > SWEEP_GAP_US:
+                sessions.append((lo, prev + SWEEP_GAP_US))
+                lo = us
+            prev = us
+        sessions.append((lo, prev + SWEEP_GAP_US))
+    day_us = 86_400_000_000
+    per_day: dict[int, list[tuple[int, int]]] = {}
+    for lo, hi in sessions:
+        for day in range(lo // day_us, (hi - 1) // day_us + 1):
+            seg = (max(lo, day * day_us), min(hi, (day + 1) * day_us))
+            per_day.setdefault(day, []).append(seg)
+    out = {}
+    for day, segs in per_day.items():
+        deltas: dict[int, int] = {}
+        for lo, hi in segs:
+            deltas[lo] = deltas.get(lo, 0) + 1
+            deltas[hi] = deltas.get(hi, 0) - 1
+        running = peak = covered = 0
+        instants = sorted(deltas)
+        for ts, nxt in zip(instants, instants[1:] + [None]):
+            running += deltas[ts]
+            peak = max(peak, running)
+            if running > 0:
+                covered += nxt - ts
+        out[day] = (len(segs), peak, covered // 1_000_000)
+    return out
+
+
+def test_concurrency_sweep_matches_python_replay(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = [
+        (r.us, r.user_id, r.event_id)
+        for r in ev.selectExpr(
+            "unix_micros(ts) AS us", "user_id", "event_id"
+        ).collect()
+    ]
+    expected = _python_sweep(rows)
+    got = {
+        (r.d.toordinal() - 719163): (
+            r.n_segments,
+            r.peak_concurrent,
+            r.covered_seconds,
+        )
+        for r in events_concurrency_sweep(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_concurrency_sweep_day_invariants(spark):
+    for r in events_concurrency_sweep(spark, SF_SMOKE).collect():
+        assert 1 <= r.peak_concurrent <= r.n_segments
+        assert 0 < r.covered_seconds <= 86_400
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: one-sided error + mergeability
+# ---------------------------------------------------------------------------
+def test_cms_estimates_are_one_sided_and_bounded(spark):
+    res = events_countmin_heavy(spark, SF_SMOKE).collect()
+    assert res
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    from energy_data_pipeline_project_spark.functions.hashing import CMS_WIDTH
+
+    for r in res:
+        assert r.est_count >= r.exact_count
+        # e*N/w is the probabilistic bound; 4N/w is ample slack and
+        # deterministic on this fixed corpus + fixed hash family.
+        assert r.est_count - r.exact_count <= 4 * n_total // CMS_WIDTH
+
+
+def test_cms_grid_merges_cellwise(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    full = cms_grid(cms_hashed(ev))
+    odd = cms_grid(cms_hashed(ev.where(F.col("event_id") % 2 == 1)))
+    even = cms_grid(cms_hashed(ev.where(F.col("event_id") % 2 == 0)))
+    merged = (
+        odd.unionAll(even)
+        .groupBy("i", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map skipping: scatter scans everything, clustering prunes
+# ---------------------------------------------------------------------------
+def test_zonemap_layouts_agree_on_truth_but_not_on_scan(spark):
+    rows = {r.layout: r for r in layout_zonemap_skipping(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"hash", "range"}
+    h, rg = rows["hash"], rows["range"]
+    assert h.rows_matching == rg.rows_matching > 0
+    # Scatter layout: every shard's zone spans the predicate.
+    assert h.shards_scanned == h.n_shards
+    assert h.skip_permille == 0
+    # Range-clustered layout prunes most shards; scan amplification
+    # collapses toward the true matching rows.
+    assert rg.shards_scanned < rg.n_shards
+    assert rg.skip_permille > 500
+    assert rg.rows_scanned < h.rows_scanned
+    assert rg.rows_scanned >= rg.rows_matching
+
+
+# ---------------------------------------------------------------------------
+# Feature backfill: strict-past guarantee via Python replay
+# ---------------------------------------------------------------------------
+def test_feature_backfill_matches_strict_past_replay(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ev.selectExpr(
+        "event_id",
+        "user_id",
+        "event_type",
+        "unix_micros(ts) AS us",
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents",
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.us)
+        for r in rs:
+            if r.event_type != "purchase":
+                continue
+            past = [p for p in rs if p.us < r.us]
+            clicks = sum(
+                1
+                for p in past
+                if p.event_type == "click" and p.us >= r.us - PIT_WINDOW_US
+            )
+            views = sum(
+                1
+                for p in past
+                if p.event_type == "view" and p.us >= r.us - PIT_WINDOW_US
+            )
+            carts = [p for p in past if p.event_type == "cart"]
+            last_cart = (
+                max(carts, key=lambda p: (p.us, p.event_id)).cents
+                if carts
+                else None
+            )
+            days = (r.us - past[0].us) // 86_400_000_000 if past else None
+            expected[r.event_id] = (r.cents, clicks, views, last_cart, days)
+    got = {
+        r.label_id: (
+            r.label_cents,
+            r.clicks_7d,
+            r.views_7d,
+            r.last_cart_cents,
+            r.days_since_first,
+        )
+        for r in training_feature_backfill(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
