@@ -56,6 +56,11 @@ EXTRA = [
     "dq_referential_integrity",
     "orders_cohort_ltv",
     "embedding_power_iteration",
+    "events_concurrency_sweep",
+    "cdc_merge_apply",
+    "events_countmin_heavy",
+    "layout_zonemap_skipping",
+    "training_feature_backfill",
     "q6_discount_revenue",
     "q7_nation_trade_volume",
     "events_conversion_join",

@@ -45,6 +45,21 @@ _CENTS = "CAST(ROUND(({}) * 100, 0) AS BIGINT)"
 # are partitioned/bucketed by key so the join is co-partitioned, and
 # the output is just the changeset (unchanged rows dropped before any
 # further processing).
+def cdc_snapshots(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (old, new) snapshot pair carved from orders."""
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        (
+            _cents("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, 500).otherwise(0)
+        ).alias("cents"),
+    )
+    return old, new
+
+
 @query(
     "cdc_snapshot_diff",
     f"""
@@ -71,16 +86,7 @@ _CENTS = "CAST(ROUND(({}) * 100, 0) AS BIGINT)"
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify per-key changes between two table snapshots."""
     orders = load_table(spark, sf_dir, "orders")
-    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey", _cents("o_totalprice").alias("cents")
-    )
-    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
-        "o_orderkey",
-        (
-            _cents("o_totalprice")
-            + F.when(F.col("o_orderkey") % 7 == 0, 500).otherwise(0)
-        ).alias("cents"),
-    )
+    old, new = cdc_snapshots(orders)
     o, n = old.alias("o"), new.alias("n")
     j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
     change = (
@@ -99,6 +105,124 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         change.alias("change_type"),
         F.col("o.cents").alias("old_cents"),
         F.col("n.cents").alias("new_cents"),
+    )
+
+
+# MERGE INTO, Spark-first: the changefeed from ``cdc_snapshot_diff``
+# is applied to the base snapshot as (base ANTI-JOIN touched-keys)
+# UNION ALL (changefeed inserts+updates) — one co-partitioned shuffle
+# per side, and at 100 TB the changefeed side is typically small
+# enough to broadcast, making the apply a scan-plus-broadcast rather
+# than a full-table rewrite. The query proves round-trip correctness
+# IN-PLAN: the reconstructed snapshot is full-outer-joined against the
+# true new snapshot and any divergence is counted (must be 0).
+_CDC_DIFF_SQL = """
+      SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+             CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                  WHEN new.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             new.cents AS new_cents
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+      WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+         OR old.cents != new.cents
+"""
+
+
+@query(
+    "cdc_merge_apply",
+    f"""
+    WITH old AS (
+      SELECT o_orderkey, {_CENTS.format("o_totalprice")} AS cents
+      FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             {_CENTS.format("o_totalprice")}
+               + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 89 != 0
+    ),
+    diff AS ({_CDC_DIFF_SQL}),
+    merged AS (
+      SELECT o.o_orderkey, o.cents FROM old o
+      WHERE NOT EXISTS (SELECT 1 FROM diff d
+                        WHERE d.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, new_cents AS cents FROM diff
+      WHERE change_type != 'delete'
+    ),
+    mismatch AS (
+      SELECT COUNT(*) AS n FROM merged m
+      FULL OUTER JOIN new n ON m.o_orderkey = n.o_orderkey
+      WHERE m.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR m.cents != n.cents
+    )
+    SELECT
+      (SELECT COUNT(*) FILTER (WHERE change_type = 'insert') FROM diff)
+        AS n_inserts,
+      (SELECT COUNT(*) FILTER (WHERE change_type = 'update') FROM diff)
+        AS n_updates,
+      (SELECT COUNT(*) FILTER (WHERE change_type = 'delete') FROM diff)
+        AS n_deletes,
+      (SELECT COUNT(*) FROM old) AS n_base,
+      (SELECT COUNT(*) FROM merged) AS n_merged,
+      (SELECT COUNT(*) FROM new) AS n_target,
+      (SELECT n FROM mismatch) AS n_mismatch
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changefeed to the base snapshot (MERGE semantics:
+    delete touched keys, re-insert inserts+updates) and prove in-plan
+    that the reconstruction equals the true new snapshot.
+
+    One row: change counts by type, base/merged/target cardinalities,
+    and the mismatch count from a full-outer equality join (always 0
+    — the merge algebra is exact, not approximate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old, new = cdc_snapshots(orders)
+    diff = cdc_snapshot_diff(spark, sf_dir).select(
+        "o_orderkey", "change_type", "new_cents"
+    )
+    merged = old.join(
+        diff.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionAll(
+        diff.where(F.col("change_type") != "delete").select(
+            "o_orderkey", F.col("new_cents").alias("cents")
+        )
+    )
+    m, n = merged.alias("m"), new.alias("n")
+    mismatch = (
+        m.join(n, F.col("m.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .where(
+            F.col("m.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("m.cents") != F.col("n.cents"))
+        )
+        .agg(F.count("*").alias("n_mismatch"))
+    )
+    counts = diff.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("change_type") == t).cast("long")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"n_{t}s")
+            for t in ("insert", "update", "delete")
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(old.agg(F.count("*").alias("n_base"))))
+        .crossJoin(F.broadcast(merged.agg(F.count("*").alias("n_merged"))))
+        .crossJoin(F.broadcast(new.agg(F.count("*").alias("n_target"))))
+        .crossJoin(F.broadcast(mismatch))
+        .select(
+            "n_inserts",
+            "n_updates",
+            "n_deletes",
+            "n_base",
+            "n_merged",
+            "n_target",
+            "n_mismatch",
+        )
     )
 
 

@@ -97,3 +97,79 @@ def heavy_hitters_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (exact-grid fold)
+# ---------------------------------------------------------------------------
+# The streaming twin of ``operators/timeseries.py::cms_grid``. Unlike
+# MG, the CMS grid itself is EXACT per cell (the approximation only
+# appears at probe time, as the min over rehash rows), and cell counts
+# are a commutative monoid — so folding micro-batch grids into keyed
+# state reproduces the batch grid bit-for-bit for any arrival order or
+# batch slicing, which the test asserts as full equality rather than
+# an error bound. State: one counts[width] array per grid row
+# (depth x width longs total — fixed by configuration), keyed by grid
+# row. Depth bounds parallelism here; a wider deployment would key by
+# (i, col block) to scale out without changing the fold.
+from ..functions.hashing import CMS_DEPTH, CMS_WIDTH, cms_pos_expr, md5_int64
+
+CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("col", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _cms_fn(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (i,) = key
+    if state.exists:
+        counts, n_seen = state.get
+        counts = list(counts)
+    else:
+        counts, n_seen = [0] * CMS_WIDTH, 0
+    for pdf in batches:
+        n_seen += len(pdf)
+        for col, c in pdf["col"].value_counts().items():
+            counts[int(col)] += int(c)
+    state.update((counts, n_seen))
+    nonzero = [(c, cnt) for c, cnt in enumerate(counts) if cnt]
+    yield pd.DataFrame(
+        {
+            "i": int(i),
+            "col": [c for c, _ in nonzero],
+            "cnt": [cnt for _, cnt in nonzero],
+            "n_seen": n_seen,
+        }
+    )
+
+
+def cms_stream(events: DataFrame, key_sql: str = "CAST(user_id AS STRING)") -> DataFrame:
+    """Streaming events frame → per-grid-row CMS cell counts,
+    re-emitted each micro-batch with the row's running item count."""
+    h = md5_int64(key_sql, duck=False)
+    cols = ", ".join(cms_pos_expr(i, "h") for i in range(CMS_DEPTH))
+    cells = events.selectExpr(f"{h} AS h").selectExpr(
+        f"posexplode(array({cols})) AS (i, col)"
+    )
+    return cells.groupBy("i").applyInPandasWithState(
+        _cms_fn,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -194,3 +194,19 @@ def test_feature_backfill_matches_strict_past_replay(spark):
         for r in training_feature_backfill(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# CDC merge apply: reconstruction algebra
+# ---------------------------------------------------------------------------
+def test_cdc_merge_apply_reconstructs_target(spark):
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        cdc_merge_apply,
+    )
+
+    row = cdc_merge_apply(spark, SF_SMOKE).collect()[0]
+    assert row.n_mismatch == 0
+    assert row.n_merged == row.n_target
+    # cardinality algebra of MERGE: base - deletes + inserts = target
+    assert row.n_base - row.n_deletes + row.n_inserts == row.n_target
+    assert row.n_inserts > 0 and row.n_updates > 0 and row.n_deletes > 0

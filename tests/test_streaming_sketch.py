@@ -75,3 +75,49 @@ def test_streaming_mg_contract(spark, tmp_path_factory):
         assert c <= true[tok], f"{tok}: est {c} > true {true[tok]}"
         assert c >= true[tok] - bound, f"{tok}: error above n_shard/(k+1)"
     assert all(v <= HH_K for v in per_shard_counters.values())
+
+
+def test_streaming_cms_equals_batch_grid(spark, tmp_path_factory):
+    """CMS cells are exact counts (a commutative monoid), so the
+    streamed fold must equal the batch grid bit-for-bit regardless of
+    how the file replay slices micro-batches."""
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        cms_grid,
+        cms_hashed,
+    )
+    from energy_data_pipeline_project_spark.streaming.sketches import cms_stream
+
+    src = str(tmp_path_factory.mktemp("events-stream"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        cms_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.sql("SELECT * FROM cms_stream").collect()
+    assert emitted
+    latest_seen = defaultdict(int)
+    for r in emitted:
+        latest_seen[r["i"]] = max(latest_seen[r["i"]], r["n_seen"])
+    streamed = {
+        (r["i"], r["col"]): r["cnt"]
+        for r in emitted
+        if r["n_seen"] == latest_seen[r["i"]]
+    }
+    batch = {
+        (r["i"], r["col"]): r["cnt"]
+        for r in cms_grid(cms_hashed(ev)).collect()
+    }
+    assert streamed == batch
