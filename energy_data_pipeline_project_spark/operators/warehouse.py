@@ -190,39 +190,40 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m, n = merged.alias("m"), new.alias("n")
-    mismatch = (
-        m.join(n, F.col("m.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
-        .where(
-            F.col("m.o_orderkey").isNull()
-            | F.col("n.o_orderkey").isNull()
-            | (F.col("m.cents") != F.col("n.cents"))
-        )
-        .agg(F.count("*").alias("n_mismatch"))
+    mismatch_rows = m.join(
+        n, F.col("m.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    ).where(
+        F.col("m.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("m.cents") != F.col("n.cents"))
     )
-    counts = diff.agg(
-        *[
-            F.coalesce(
-                F.sum((F.col("change_type") == t).cast("long")), F.lit(0)
-            )
+    # One tagged union + ONE aggregate instead of five scalar frames
+    # cross-joined together: every count becomes a conditional sum over
+    # the same map-side-combined pass, so the final plan has no
+    # 1-row-scalar joins at all.
+    tagged = (
+        diff.select(F.concat(F.lit("chg_"), "change_type").alias("tag"))
+        .unionAll(old.select(F.lit("base").alias("tag")))
+        .unionAll(merged.select(F.lit("merged").alias("tag")))
+        .unionAll(new.select(F.lit("target").alias("tag")))
+        .unionAll(mismatch_rows.select(F.lit("mismatch").alias("tag")))
+    )
+
+    def _n(tag: str, name: str) -> F.Column:
+        return (
+            F.coalesce(F.sum((F.col("tag") == tag).cast("long")), F.lit(0))
             .cast("bigint")
-            .alias(f"n_{t}s")
-            for t in ("insert", "update", "delete")
-        ]
-    )
-    return (
-        counts.crossJoin(F.broadcast(old.agg(F.count("*").alias("n_base"))))
-        .crossJoin(F.broadcast(merged.agg(F.count("*").alias("n_merged"))))
-        .crossJoin(F.broadcast(new.agg(F.count("*").alias("n_target"))))
-        .crossJoin(F.broadcast(mismatch))
-        .select(
-            "n_inserts",
-            "n_updates",
-            "n_deletes",
-            "n_base",
-            "n_merged",
-            "n_target",
-            "n_mismatch",
+            .alias(name)
         )
+
+    return tagged.agg(
+        _n("chg_insert", "n_inserts"),
+        _n("chg_update", "n_updates"),
+        _n("chg_delete", "n_deletes"),
+        _n("base", "n_base"),
+        _n("merged", "n_merged"),
+        _n("target", "n_target"),
+        _n("mismatch", "n_mismatch"),
     )
 
 

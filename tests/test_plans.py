@@ -453,3 +453,45 @@ def test_quantile_histogram_shape_pinned(spark):
     # no global funnel: every window/sort runs hash-partitioned
     assert rep.single_partition_exchanges == 0, rep.plan
     assert rep.exchanges <= 3
+
+
+def test_cdc_merge_apply_shape_pinned(spark):
+    """MERGE apply + in-plan proof: anti-join/full-outer on the key
+    only, counts via ONE tagged-union aggregate — no 1-row-scalar
+    cross joins (BNLJ), no cartesian, no windows."""
+    from energy_data_pipeline_project_spark.operators import warehouse
+
+    rep = plan_report(warehouse.QUERIES["cdc_merge_apply"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+    assert "Window" not in rep.plan
+
+
+def test_new_r5b_ops_have_distributed_windows(spark):
+    """The sweep/backfill windows must be partitioned (user/day), and
+    the CMS probe join must broadcast the bounded grid."""
+    from energy_data_pipeline_project_spark.operators import timeseries, training
+
+    rep = plan_report(
+        timeseries.QUERIES["events_concurrency_sweep"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+    # every Window names a partition spec (user_id or day_no)
+    import re
+
+    for line in re.findall(r"Arguments: .*windowspecdefinition\(.*", rep.plan):
+        assert "windowspecdefinition(user_id" in line or (
+            "windowspecdefinition(day_no" in line
+        ), line
+
+    rep = plan_report(
+        training.QUERIES["training_feature_backfill"](spark, SF_SMOKE)
+    )
+    for line in re.findall(r"Arguments: .*windowspecdefinition\(.*", rep.plan):
+        assert "windowspecdefinition(user_id" in line, line
+
+    rep = plan_report(
+        timeseries.QUERIES["events_countmin_heavy"](spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in rep.plan
