@@ -58,6 +58,7 @@ EXTRA = [
     "embedding_power_iteration",
     "events_concurrency_sweep",
     "cdc_merge_apply",
+    "dq_distribution_drift",
     "events_countmin_heavy",
     "layout_zonemap_skipping",
     "training_feature_backfill",

@@ -1698,3 +1698,120 @@ def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div COUNT(*) AS BIGINT)"
         ).alias("skip_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (Population Stability Index)
+# ---------------------------------------------------------------------------
+# The train/serve drift monitor: compare a feature's distribution
+# across two populations (here: order totals before vs from the split
+# date) over a FIXED bucket grid with Laplace +1 smoothing, and report
+# each bucket's PSI contribution. All counts are exact integers; the
+# only floats are plain divisions of exact ints and ln of their
+# ratios, with ROUND absorbing summation-order jitter (the entropy-op
+# precedent). Two filtered aggregates + a 16-row bucket-grid join —
+# the heavy input passes are pushed-filter scans, map-side combined.
+PSI_BUCKETS = 16
+PSI_BUCKET_CENTS = 3_200_000  # 32k-unit buckets over the ~500k range
+PSI_SPLIT_DATE = "1998-01-01"
+
+
+@query(
+    "dq_distribution_drift",
+    f"""
+    WITH olds AS (
+      SELECT LEAST({PSI_BUCKETS - 1},
+                   {_CENTS.format("o_totalprice")} // {PSI_BUCKET_CENTS})
+               AS bucket, COUNT(*) AS c
+      FROM orders WHERE o_orderdate < DATE '{PSI_SPLIT_DATE}'
+      GROUP BY 1
+    ),
+    news AS (
+      SELECT LEAST({PSI_BUCKETS - 1},
+                   {_CENTS.format("o_totalprice")} // {PSI_BUCKET_CENTS})
+               AS bucket, COUNT(*) AS c
+      FROM orders WHERE o_orderdate >= DATE '{PSI_SPLIT_DATE}'
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS bucket
+    ),
+    j AS (
+      SELECT g.bucket,
+             COALESCE(o.c, 0) AS c_old, COALESCE(n.c, 0) AS c_new
+      FROM grid g
+      LEFT JOIN olds o ON g.bucket = o.bucket
+      LEFT JOIN news n ON g.bucket = n.bucket
+    ),
+    t AS (
+      SELECT bucket, c_old, c_new,
+             SUM(c_old) OVER () AS n_old, SUM(c_new) OVER () AS n_new
+      FROM j
+    )
+    SELECT bucket, CAST(c_old AS BIGINT) AS c_old,
+           CAST(c_new AS BIGINT) AS c_new,
+           ROUND(
+             ((c_old + 1) / (n_old + {PSI_BUCKETS})
+               - (c_new + 1) / (n_new + {PSI_BUCKETS}))
+             * ln(((c_old + 1) * (n_new + {PSI_BUCKETS}))
+                  / ((c_new + 1) * (n_old + {PSI_BUCKETS}))), 6)
+             AS psi_term
+    FROM t
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket Population Stability Index between order-total
+    distributions before vs from the split date, on a fixed 16-bucket
+    cent grid with Laplace +1 smoothing (every bucket defined even
+    when empty on one side).
+
+    psi_term = (p_i - q_i) * ln(p_i / q_i); the total PSI is the sum
+    of the 16 rows. Exact integer counts feed plain divisions and one
+    ln of an integer ratio — ROUND(6) absorbs float jitter. Scale: two
+    pushed-filter scans with map-side-combined 16-cell aggregates; the
+    grid join and global-sum window run on 16 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
+    ).alias("bucket")
+    split = F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("timestamp")
+    olds = orders.where(split).groupBy(bucket).agg(F.count("*").alias("c_old"))
+    news = (
+        orders.where(~split).groupBy(bucket).agg(F.count("*").alias("c_new"))
+    )
+    grid = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    j = (
+        grid.join(olds, "bucket", "left")
+        .join(news, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    w = Window.partitionBy()
+    t = j.select(
+        "bucket",
+        "c_old",
+        "c_new",
+        F.sum("c_old").over(w).alias("n_old"),
+        F.sum("c_new").over(w).alias("n_new"),
+    )
+    b = PSI_BUCKETS
+    return t.select(
+        "bucket",
+        F.col("c_old").cast("bigint").alias("c_old"),
+        F.col("c_new").cast("bigint").alias("c_new"),
+        F.round(
+            (
+                (F.col("c_old") + 1) / (F.col("n_old") + b)
+                - (F.col("c_new") + 1) / (F.col("n_new") + b)
+            )
+            * F.log(
+                ((F.col("c_old") + 1) * (F.col("n_new") + b))
+                / ((F.col("c_new") + 1) * (F.col("n_old") + b))
+            ),
+            6,
+        ).alias("psi_term"),
+    )

@@ -210,3 +210,20 @@ def test_cdc_merge_apply_reconstructs_target(spark):
     # cardinality algebra of MERGE: base - deletes + inserts = target
     assert row.n_base - row.n_deletes + row.n_inserts == row.n_target
     assert row.n_inserts > 0 and row.n_updates > 0 and row.n_deletes > 0
+
+
+# ---------------------------------------------------------------------------
+# PSI drift: per-term non-negativity and count conservation
+# ---------------------------------------------------------------------------
+def test_psi_terms_nonnegative_and_counts_conserve(spark):
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        PSI_BUCKETS,
+        dq_distribution_drift,
+    )
+
+    rows = dq_distribution_drift(spark, SF_SMOKE).collect()
+    assert len(rows) == PSI_BUCKETS
+    # (p-q) and ln(p/q) always share a sign, so every term is >= 0.
+    assert all(r.psi_term >= 0 for r in rows)
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.c_old + r.c_new for r in rows) == n_orders
