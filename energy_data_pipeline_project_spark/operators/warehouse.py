@@ -1753,8 +1753,8 @@ PSI_SPLIT_DATE = "1998-01-01"
            ROUND(
              ((c_old + 1) / (n_old + {PSI_BUCKETS})
                - (c_new + 1) / (n_new + {PSI_BUCKETS}))
-             * ln(((c_old + 1) * (n_new + {PSI_BUCKETS}))
-                  / ((c_new + 1) * (n_old + {PSI_BUCKETS}))), 6)
+             * (ln((c_old + 1) / (n_old + {PSI_BUCKETS}))
+                - ln((c_new + 1) / (n_new + {PSI_BUCKETS}))), 6)
              AS psi_term
     FROM t
     """,
@@ -1765,9 +1765,9 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent grid with Laplace +1 smoothing (every bucket defined even
     when empty on one side).
 
-    psi_term = (p_i - q_i) * ln(p_i / q_i); the total PSI is the sum
-    of the 16 rows. Exact integer counts feed plain divisions and one
-    ln of an integer ratio — ROUND(6) absorbs float jitter. Scale: two
+    psi_term = (p_i - q_i) * (ln(p_i) - ln(q_i)); the total PSI is
+    the sum of the 16 rows. Exact integer counts feed plain divisions
+    before any ln — ROUND(6) absorbs float jitter. Scale: two
     pushed-filter scans with map-side-combined 16-cell aggregates; the
     grid join and global-sum window run on 16 rows."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1808,9 +1808,13 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("c_old") + 1) / (F.col("n_old") + b)
                 - (F.col("c_new") + 1) / (F.col("n_new") + b)
             )
-            * F.log(
-                ((F.col("c_old") + 1) * (F.col("n_new") + b))
-                / ((F.col("c_new") + 1) * (F.col("n_old") + b))
+            # ln(p) - ln(q) over the already-double smoothed ratios:
+            # an integer cross-product spelling would overflow int64
+            # once a population passes ~3e9 rows, exactly the scale
+            # this monitor targets.
+            * (
+                F.log((F.col("c_old") + 1) / (F.col("n_old") + b))
+                - F.log((F.col("c_new") + 1) / (F.col("n_new") + b))
             ),
             6,
         ).alias("psi_term"),

@@ -112,7 +112,8 @@ def heavy_hitters_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # (depth x width longs total — fixed by configuration), keyed by grid
 # row. Depth bounds parallelism here; a wider deployment would key by
 # (i, col block) to scale out without changing the fold.
-from ..functions.hashing import CMS_DEPTH, CMS_WIDTH, cms_pos_expr, md5_int64
+from ..functions.hashing import CMS_WIDTH
+from ..operators.timeseries import cms_cells, cms_hashed
 
 CMS_STATE_SCHEMA = T.StructType(
     [
@@ -160,12 +161,12 @@ def _cms_fn(
 
 def cms_stream(events: DataFrame, key_sql: str = "CAST(user_id AS STRING)") -> DataFrame:
     """Streaming events frame → per-grid-row CMS cell counts,
-    re-emitted each micro-batch with the row's running item count."""
-    h = md5_int64(key_sql, duck=False)
-    cols = ", ".join(cms_pos_expr(i, "h") for i in range(CMS_DEPTH))
-    cells = events.selectExpr(f"{h} AS h").selectExpr(
-        f"posexplode(array({cols})) AS (i, col)"
-    )
+    re-emitted each micro-batch with the row's running item count.
+
+    The cell projection is shared with the batch operator
+    (``operators/timeseries.py::cms_cells``) so the hash family and
+    rehash layout cannot drift between the twins."""
+    cells = cms_cells(cms_hashed(events, key_sql))
     return cells.groupBy("i").applyInPandasWithState(
         _cms_fn,
         outputStructType=CMS_OUTPUT_SCHEMA,

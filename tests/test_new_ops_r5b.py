@@ -90,7 +90,9 @@ def test_concurrency_sweep_matches_python_replay(spark):
 def test_concurrency_sweep_day_invariants(spark):
     for r in events_concurrency_sweep(spark, SF_SMOKE).collect():
         assert 1 <= r.peak_concurrent <= r.n_segments
-        assert 0 < r.covered_seconds <= 86_400
+        # 0 is legitimate: a day whose only activity is a sub-second
+        # session tail spilling over midnight floors to 0 seconds.
+        assert 0 <= r.covered_seconds <= 86_400
 
 
 # ---------------------------------------------------------------------------
