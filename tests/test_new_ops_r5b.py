@@ -229,3 +229,59 @@ def test_psi_terms_nonnegative_and_counts_conserve(spark):
     assert all(r.psi_term >= 0 for r in rows)
     n_orders = load_table(spark, SF_SMOKE, "orders").count()
     assert sum(r.c_old + r.c_new for r in rows) == n_orders
+
+
+def _sweep_rows(spark, rows):
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        concurrency_sweep_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(uid, eid, ts) for uid, eid, ts in rows],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return {
+        str(r.d): (r.n_segments, r.peak_concurrent, r.covered_seconds)
+        for r in concurrency_sweep_frame(df).collect()
+    }
+
+
+def test_sweep_session_crossing_midnight_splits_cleanly(spark):
+    # One user active 23:50-00:10: one session, two day segments.
+    got = _sweep_rows(
+        spark,
+        [
+            (1, 1, "1995-06-01 23:50:00"),
+            (1, 2, "1995-06-02 00:10:00"),
+        ],
+    )
+    # Session = [23:50, 00:40) (gap extension): 600s on day 1,
+    # 2400s on day 2.
+    assert got == {
+        "1995-06-01": (1, 1, 600),
+        "1995-06-02": (1, 1, 2400),
+    }
+
+
+def test_sweep_subsecond_tail_day_floors_to_zero(spark):
+    # Event at 23:30:00.7 -> session [23:30:00.7, 00:00:00.7): day one
+    # covers 1799.3s (floors to 1799), and the 0.7s spill-over day
+    # legitimately reports covered_seconds == 0.
+    got = _sweep_rows(spark, [(1, 1, "1995-06-01 23:30:00.700")])
+    assert got == {"1995-06-01": (1, 1, 1799), "1995-06-02": (1, 1, 0)}
+
+
+def test_sweep_overlap_and_gap_counted_exactly(spark):
+    # Two users overlap 10 minutes; a third is disjoint. Peak 2,
+    # covered = union length, not the sum.
+    got = _sweep_rows(
+        spark,
+        [
+            (1, 1, "1995-06-01 01:00:00"),  # session [01:00, 01:50)
+            (1, 2, "1995-06-01 01:20:00"),
+            (2, 3, "1995-06-01 01:40:00"),  # session [01:40, 02:10)
+            (3, 4, "1995-06-01 05:00:00"),  # session [05:00, 05:30)
+        ],
+    )
+    # union = [01:00, 02:10) + [05:00, 05:30) = 4200 + 1800
+    assert got == {"1995-06-01": (3, 2, 6000)}
