@@ -59,6 +59,7 @@ EXTRA = [
     "events_concurrency_sweep",
     "cdc_merge_apply",
     "dq_distribution_drift",
+    "join_incremental_maintenance",
     "events_countmin_heavy",
     "layout_zonemap_skipping",
     "training_feature_backfill",

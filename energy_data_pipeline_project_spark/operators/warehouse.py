@@ -1819,3 +1819,64 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+# The join companion of ``agg_incremental_maintenance``: a materialized
+# join view V = O JOIN L is maintained under appends by the identity
+#   (O0 + dO) JOIN (L0 + dL)
+#     = O0 JOIN L0  (the stored view)
+#     + O0 JOIN dL  + dO JOIN L0 + dO JOIN dL   (delta terms)
+# — each delta term touches one delta-sized input, so at 100 TB the
+# refresh cost scales with the day's append, not the table; the delta
+# sides are broadcastable and every join is key-equi on o_orderkey.
+# The oracle recomputes the view from scratch: hash equality IS the
+# proof of the algebra.
+@query(
+    "join_incremental_maintenance",
+    f"""
+    SELECT CAST(l.l_shipdate AS DATE) AS ship_date,
+           COUNT(*) AS n_pairs,
+           CAST(SUM({_CENTS.format("l.l_extendedprice * (1 - l.l_discount)")})
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a join view under appends via the 4-term delta
+    algebra, then aggregate per ship day; the oracle's from-scratch
+    recompute must hash-match, proving the incremental refresh exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_MAINT_CUTOFF)
+    # The old/new split must be a TOTAL partition (a NULL date falling
+    # out of both sides would silently drop its join pairs), so the
+    # "new" side is the negation of the "old" predicate, not >=.
+    o_old = orders.where(F.col("o_orderdate") < cutoff)
+    o_new = orders.where(~(F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull())
+    l_old = li.where(F.col("l_shipdate") < cutoff)
+    l_new = li.where(~(F.col("l_shipdate") < cutoff) | F.col("l_shipdate").isNull())
+
+    def term(o: DataFrame, l: DataFrame) -> DataFrame:
+        return o.select("o_orderkey").join(
+            l.select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.to_date("l_shipdate").alias("ship_date"),
+                _cents("l_extendedprice * (1 - l_discount)").alias("cents"),
+            ),
+            "o_orderkey",
+        )
+
+    view = (
+        term(o_old, l_old)  # the stored view (recomputed here once)
+        .unionByName(term(o_old, l_new))
+        .unionByName(term(o_new, l_old))
+        .unionByName(term(o_new, l_new))
+    )
+    return view.groupBy("ship_date").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

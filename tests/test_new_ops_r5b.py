@@ -285,3 +285,31 @@ def test_sweep_overlap_and_gap_counted_exactly(spark):
     )
     # union = [01:00, 02:10) + [05:00, 05:30) = 4200 + 1800
     assert got == {"1995-06-01": (3, 2, 6000)}
+
+
+# ---------------------------------------------------------------------------
+# Join maintenance: delta algebra equals direct recompute (Spark-side)
+# ---------------------------------------------------------------------------
+def test_join_maintenance_algebra_equals_direct_join(spark):
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        join_incremental_maintenance,
+        _cents,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    direct = (
+        orders.select("o_orderkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(_cents("l_extendedprice * (1 - l_discount)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    inc = join_incremental_maintenance(spark, SF_SMOKE)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
