@@ -313,3 +313,38 @@ def test_join_maintenance_algebra_equals_direct_join(spark):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store refresh example: end-to-end composition
+# ---------------------------------------------------------------------------
+def test_feature_store_refresh_example_runs(spark, tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "feature_store_refresh",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "feature_store_refresh.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "store")
+    report = mod.refresh(spark, SF_SMOKE, out)
+    assert report["1_cdc_mismatch"] == 0
+    assert report["status"] in ("published", "drift_alert")
+    assert report["2_view_days"] > 0
+    assert report["4_psi_total"] >= 0
+    feats = spark.read.parquet(f"{out}/store/features")
+    assert feats.count() == report["3_features_rows"] > 0
+    # every published feature row is a purchase label
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = {
+        r.event_id
+        for r in ev.where(F.col("event_type") == "purchase").collect()
+    }
+    assert {r.label_id for r in feats.collect()} <= purchases
