@@ -349,3 +349,80 @@ def test_substring_spans_on_replicated_corpus(spark, big_dir):
         assert len(rs) == 1, (doc_id, rs)
         assert rs[0]["start_tok"] == 1 and rs[0]["end_tok"] == n
         assert rs[0]["max_df"] >= N_COPIES
+
+
+def test_concurrency_sweep_replication_identity(spark, big_dir):
+    """Disjoint user cohorts replicate every session interval 20x, so
+    per day: segments and peak concurrency scale by exactly N_COPIES
+    while the covered union length is UNCHANGED (identical intervals
+    add no new covered time). A super-linear pair space or a broken
+    midnight split would break one of the three identities."""
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        events_concurrency_sweep,
+    )
+
+    base = {
+        r.d: (r.n_segments, r.peak_concurrent, r.covered_seconds)
+        for r in events_concurrency_sweep(spark, SF_CORRECT).collect()
+    }
+    big = {
+        r.d: (r.n_segments, r.peak_concurrent, r.covered_seconds)
+        for r in events_concurrency_sweep(spark, big_dir).collect()
+    }
+    assert set(big) == set(base)
+    for d, (n, peak, cov) in base.items():
+        bn, bpeak, bcov = big[d]
+        assert bn == N_COPIES * n
+        assert bpeak == N_COPIES * peak
+        assert bcov == cov
+
+
+def test_countmin_one_sided_on_200k_events(spark, big_dir):
+    """The sketch contract survives 20x volume in bounded time: grid
+    size stays depth x width, estimates stay one-sided."""
+    from energy_data_pipeline_project_spark.functions.hashing import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+    from energy_data_pipeline_project_spark.operators.timeseries import (
+        cms_grid,
+        cms_hashed,
+        events_countmin_heavy,
+    )
+
+    ev = load_table(spark, big_dir, "events")
+    grid = cms_grid(cms_hashed(ev))
+    assert grid.count() <= CMS_DEPTH * CMS_WIDTH
+    total = grid.where(F.col("i") == 0).agg(F.sum("cnt")).collect()[0][0]
+    assert total == ev.count()  # every row lands in every grid row once
+    for r in events_countmin_heavy(spark, big_dir).collect():
+        assert r.est_count >= r.exact_count
+
+
+def test_feature_backfill_replicas_get_identical_features(spark, big_dir):
+    """Every user cohort replays the same history, so each base
+    label's 20 replicas must backfill bit-identical features — the
+    point-in-time frames cannot leak across cohorts."""
+    from energy_data_pipeline_project_spark.operators.training import (
+        training_feature_backfill,
+    )
+
+    feats = training_feature_backfill(spark, big_dir)
+    distinct_per_base = (
+        feats.groupBy((F.col("label_id") % 10_000_000).alias("base_id"))
+        .agg(
+            F.countDistinct(
+                "label_cents",
+                "clicks_7d",
+                "views_7d",
+                F.coalesce("last_cart_cents", F.lit(-1)),
+                F.coalesce("days_since_first", F.lit(-1)),
+            ).alias("variants"),
+            F.count("*").alias("replicas"),
+        )
+        .collect()
+    )
+    assert distinct_per_base
+    for r in distinct_per_base:
+        assert r.variants == 1
+        assert r.replicas == N_COPIES
