@@ -1759,6 +1759,30 @@ PSI_SPLIT_DATE = "1998-01-01"
     FROM t
     """,
 )
+def psi_bucket_col() -> F.Column:
+    """The fixed PSI bucket of an order row — shared by the batch
+    monitor and the streaming drift screen so the grids never drift."""
+    return F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
+    ).alias("bucket")
+
+
+def psi_from_counts(c_old: list[int], c_new: list[int]) -> float:
+    """Total PSI of two raw count vectors under the operator's
+    Laplace +1 smoothing — the driver-side twin of the per-bucket
+    terms, used by the streaming screen's alert decision."""
+    n_old = sum(c_old) + PSI_BUCKETS
+    n_new = sum(c_new) + PSI_BUCKETS
+    total = 0.0
+    import math
+
+    for o, n in zip(c_old, c_new):
+        p, q = (o + 1) / n_old, (n + 1) / n_new
+        total += (p - q) * (math.log(p) - math.log(q))
+    return total
+
+
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket Population Stability Index between order-total
     distributions before vs from the split date, on a fixed 16-bucket
@@ -1771,10 +1795,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed-filter scans with map-side-combined 16-cell aggregates; the
     grid join and global-sum window run on 16 rows."""
     orders = load_table(spark, sf_dir, "orders")
-    bucket = F.least(
-        F.lit(PSI_BUCKETS - 1),
-        F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
-    ).alias("bucket")
+    bucket = psi_bucket_col()
     split = F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("timestamp")
     olds = orders.where(split).groupBy(bucket).agg(F.count("*").alias("c_old"))
     news = (

@@ -1,0 +1,101 @@
+"""Streaming drift screen: fold arriving orders into the PSI bucket
+grid and score each micro-batch against a pinned reference
+distribution.
+
+The streaming twin of ``operators/warehouse.py::dq_distribution_drift``
+for the serve path: the reference (pre-split) bucket counts are
+computed ONCE batch-side and pinned into the job; the stream folds the
+arriving (post-split) population's bucket counts into keyed state —
+exact integer counts, a commutative monoid like the CMS grid, so the
+fold equals the batch counts bit-for-bit for any batch slicing (the
+test asserts full equality). Each micro-batch re-emits the grid with
+the running total PSI and the 0.25 action-threshold alert flag.
+
+State is one counts[PSI_BUCKETS] vector (16 longs) in a single state
+group — fixed by configuration; a wider grid would shard the state by
+bucket block exactly like the CMS twin notes. The PSI float rides the
+output for operators to alert on; the deterministic contract is the
+integer grid, not the float.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.warehouse import (
+    PSI_BUCKETS,
+    psi_bucket_col,
+    psi_from_counts,
+)
+
+PSI_ALERT_THRESHOLD = 0.25
+
+DRIFT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+DRIFT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("c_new", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("psi", T.DoubleType()),
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+
+
+def _drift_fn(reference_counts: list[int]):
+    ref = [int(c) for c in reference_counts]
+
+    def fn(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counts, n_seen = state.get
+            counts = list(counts)
+        else:
+            counts, n_seen = [0] * PSI_BUCKETS, 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            for b, c in pdf["bucket"].value_counts().items():
+                counts[int(b)] += int(c)
+        state.update((counts, n_seen))
+        psi = psi_from_counts(ref, counts)
+        yield pd.DataFrame(
+            {
+                "bucket": range(PSI_BUCKETS),
+                "c_new": counts,
+                "n_seen": n_seen,
+                "psi": psi,
+                "alert": psi > PSI_ALERT_THRESHOLD,
+            }
+        )
+
+    return fn
+
+
+def drift_stream(orders: DataFrame, reference_counts: list[int]) -> DataFrame:
+    """Streaming orders frame → running PSI bucket grid vs the pinned
+    reference counts, re-emitted each micro-batch."""
+    buckets = orders.select(psi_bucket_col()).withColumn(
+        "g", F.lit(0)
+    )
+    return buckets.groupBy("g").applyInPandasWithState(
+        _drift_fn(reference_counts),
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
