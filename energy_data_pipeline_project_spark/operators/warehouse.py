@@ -1716,6 +1716,30 @@ PSI_BUCKET_CENTS = 3_200_000  # 32k-unit buckets over the ~500k range
 PSI_SPLIT_DATE = "1998-01-01"
 
 
+def psi_bucket_col() -> F.Column:
+    """The fixed PSI bucket of an order row — shared by the batch
+    monitor and the streaming drift screen so the grids never drift."""
+    return F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
+    ).alias("bucket")
+
+
+def psi_from_counts(c_old: list[int], c_new: list[int]) -> float:
+    """Total PSI of two raw count vectors under the operator's
+    Laplace +1 smoothing — the driver-side twin of the per-bucket
+    terms, used by the streaming screen's alert decision."""
+    n_old = sum(c_old) + PSI_BUCKETS
+    n_new = sum(c_new) + PSI_BUCKETS
+    total = 0.0
+    import math
+
+    for o, n in zip(c_old, c_new):
+        p, q = (o + 1) / n_old, (n + 1) / n_new
+        total += (p - q) * (math.log(p) - math.log(q))
+    return total
+
+
 @query(
     "dq_distribution_drift",
     f"""
@@ -1759,30 +1783,6 @@ PSI_SPLIT_DATE = "1998-01-01"
     FROM t
     """,
 )
-def psi_bucket_col() -> F.Column:
-    """The fixed PSI bucket of an order row — shared by the batch
-    monitor and the streaming drift screen so the grids never drift."""
-    return F.least(
-        F.lit(PSI_BUCKETS - 1),
-        F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
-    ).alias("bucket")
-
-
-def psi_from_counts(c_old: list[int], c_new: list[int]) -> float:
-    """Total PSI of two raw count vectors under the operator's
-    Laplace +1 smoothing — the driver-side twin of the per-bucket
-    terms, used by the streaming screen's alert decision."""
-    n_old = sum(c_old) + PSI_BUCKETS
-    n_new = sum(c_new) + PSI_BUCKETS
-    total = 0.0
-    import math
-
-    for o, n in zip(c_old, c_new):
-        p, q = (o + 1) / n_old, (n + 1) / n_new
-        total += (p - q) * (math.log(p) - math.log(q))
-    return total
-
-
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket Population Stability Index between order-total
     distributions before vs from the split date, on a fixed 16-bucket

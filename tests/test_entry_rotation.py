@@ -60,3 +60,19 @@ def test_every_query_has_oracle_or_documented_exemption():
         "events_dau_mau_sketch",  # HLL estimates are engine-specific;
         # within-5%-of-exact gate in test_approx_estimators
     }, rows_only
+
+
+def test_registered_query_names_match_function_names():
+    """A helper inserted between a @query decorator and its def gets
+    silently registered AS the query (bit twice in round 5). Pin:
+    every registered callable's __name__ equals its registration key,
+    so the class of mistake fails loudly here instead of at the
+    driver."""
+    from energy_data_pipeline_project_spark.operators import all_queries
+
+    mismatched = {
+        name: fn.__name__
+        for name, fn in all_queries().items()
+        if fn.__name__ != name
+    }
+    assert not mismatched, mismatched
