@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query (the reference's gold
 daily-join shape, SURVEY.md §3.3, mapped onto the star schema) on
 sf0.001. ``queries()`` exposes the full operator surface from
-SURVEY.md §2 (+ §2.10 extensions) — 218 queries as of round 5, 211
+SURVEY.md §2 (+ §2.10 extensions) — 220 queries as of round 5, 213
 DuckDB-oracled; ``oracle_sql()`` gives each one's twin where
 ANSI-SQL-expressible (the handful of rows-only exemptions —
 engine-specific sketches/estimates and the Arrow/numpy fast path —

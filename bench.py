@@ -60,6 +60,8 @@ EXTRA = [
     "cdc_merge_apply",
     "dq_distribution_drift",
     "join_incremental_maintenance",
+    "dedup_sorted_neighborhood",
+    "dq_benford_audit",
     "events_countmin_heavy",
     "layout_zonemap_skipping",
     "training_feature_backfill",

@@ -1750,3 +1750,134 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut is a broadcast-joinable array-lambda pass — linear, no
     token-level shuffle beyond the span frame itself."""
     return span_removal_frame(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (the record-linkage blocking family)
+# ---------------------------------------------------------------------------
+# The sixth candidate-generation family, complementing LSH banding /
+# SimHash pigeonholing / prefix filtering: sort each language block by
+# a normalized text prefix and compare every doc ONLY with its next
+# SN_WINDOW-1 neighbors in that order — O(w*n) candidate pairs by
+# construction, no pair-space blowup possible. At 100 TB the sort is a
+# range-partitioned shuffle (Spark's sort machinery), the neighbor
+# window is partitioned by block, and the verify stage touches only
+# the w*n candidates. Classic trade-off vs LSH: cheaper and fully
+# deterministic, but only finds duplicates whose normalized prefixes
+# land them near each other — the planted-duplicate recall test and
+# the LSH comparison document exactly that.
+SN_WINDOW = 3  # compare with the next 2 neighbors in sort order
+SN_KEY_LEN = 24  # normalized-prefix sort key length
+SN_THRESHOLD_PERMILLE = 400  # token-set Jaccard >= 0.4
+
+
+def _sn_oracle() -> str:
+    h = H.md5_int64("tok", duck=True)
+    leads = ",\n             ".join(
+        f"LEAD(doc_id, {i}) OVER w AS n{i}" for i in range(1, SN_WINDOW)
+    )
+    pair_sel = "\n      UNION ALL\n".join(
+        f"      SELECT LEAST(doc_id, n{i}) AS a, GREATEST(doc_id, n{i}) AS b"
+        f" FROM nb WHERE n{i} IS NOT NULL"
+        for i in range(1, SN_WINDOW)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, substr(lower(text), 1, {SN_KEY_LEN}) AS k
+      FROM documents
+    ),
+    nb AS (
+      SELECT doc_id,
+             {leads}
+      FROM t WINDOW w AS (PARTITION BY lang ORDER BY k, doc_id)
+    ),
+    pairs AS (
+{pair_sel}
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, {h} AS h
+      FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT p.a, p.b, COUNT(*) AS c
+      FROM pairs p
+      JOIN tok x ON x.doc_id = p.a
+      JOIN tok y ON y.doc_id = p.b AND y.h = x.h
+      GROUP BY p.a, p.b
+    )
+    SELECT a AS doc_a, b AS doc_b,
+           CAST((1000 * c) // (sa.n + sb.n - c) AS BIGINT)
+             AS jaccard_permille
+    FROM common
+    JOIN sz sa ON a = sa.doc_id
+    JOIN sz sb ON b = sb.doc_id
+    WHERE (1000 * c) // (sa.n + sb.n - c) >= {SN_THRESHOLD_PERMILLE}
+    """
+
+
+@query("dedup_sorted_neighborhood", _sn_oracle())
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: per language block, sort by
+    the 24-char normalized text prefix, pair each doc with its next 2
+    neighbors, verify with exact token-set Jaccard (integer permille),
+    keep pairs >= 0.4.
+
+    Candidate generation is O(w*n) with a range-partitionable sort —
+    the deterministic, blowup-proof counterpoint to probabilistic LSH
+    banding; recall is limited to prefix-adjacent duplicates by
+    design (pinned against planted duplicates in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"substr(lower(text), 1, {SN_KEY_LEN})").alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    nb = t.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", i).over(w).alias(f"n{i}")
+            for i in range(1, SN_WINDOW)
+        ],
+    )
+    pairs = None
+    for i in range(1, SN_WINDOW):
+        p = nb.where(F.col(f"n{i}").isNotNull()).select(
+            F.least("doc_id", f"n{i}").alias("a"),
+            F.greatest("doc_id", f"n{i}").alias("b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    h = H.md5_int64("tok", duck=False)
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok")
+        )
+        .selectExpr("doc_id", f"{h} AS h")
+        .distinct()
+    )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        pairs.join(tok.alias("x"), F.col("a") == F.col("x.doc_id"))
+        .join(
+            tok.alias("y"),
+            (F.col("b") == F.col("y.doc_id"))
+            & (F.col("y.h") == F.col("x.h")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    res = (
+        common.join(sz.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.expr("CAST((1000 * c) div (sa.n + sb.n - c) AS BIGINT)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )
+    return res.where(
+        F.col("jaccard_permille") >= SN_THRESHOLD_PERMILLE
+    )

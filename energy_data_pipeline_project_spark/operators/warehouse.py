@@ -1901,3 +1901,68 @@ def join_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+# Fraud/quality screen for amount columns: natural multi-magnitude
+# amounts follow Benford's law (P(d) = log10(1 + 1/d)); fabricated or
+# truncated data does not. Everything here is integer: exact digit
+# counts (first digit via decimal string, no float log10 edge cases),
+# observed shares as per-mille floor division, and the published
+# Benford per-mille constants — so the audit is bit-deterministic
+# cross-engine. One aggregate over a pushed-projection scan; the
+# 9-row share window is constant-size.
+BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PERMILLE.items()
+) + " END"
+
+
+@query(
+    "dq_benford_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST({_CENTS.format("o_totalprice")} AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, SUM(n) OVER () AS total FROM g)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST((1000 * n) // total AS BIGINT) AS observed_permille,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_permille,
+           CAST(ABS((1000 * n) // total - {_BENFORD_CASE}) AS BIGINT)
+             AS abs_dev_permille
+    FROM t
+    """,
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law:
+    per digit, the exact count, observed per-mille share, the Benford
+    expectation, and the absolute deviation — the data-quality screen
+    for fabricated or range-clipped amount columns.
+
+    All integer arithmetic (digit from the decimal string, shares by
+    floor division, fixed expectation constants): no float anywhere,
+    so the audit hashes identically cross-engine and merges trivially
+    across shards (counts are the only state)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.selectExpr(
+        f"CAST(substr(CAST({_CENTS.format('o_totalprice')} AS STRING),"
+        " 1, 1) AS INT) AS digit"
+    )
+    g = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = g.select(
+        "digit", "n", F.sum("n").over(Window.partitionBy()).alias("total")
+    )
+    return t.selectExpr(
+        "digit",
+        "CAST(n AS BIGINT) AS n",
+        "CAST((1000 * n) div total AS BIGINT) AS observed_permille",
+        f"CAST({_BENFORD_CASE} AS BIGINT) AS benford_permille",
+        f"CAST(ABS((1000 * n) div total - {_BENFORD_CASE}) AS BIGINT)"
+        " AS abs_dev_permille",
+    )

@@ -348,3 +348,57 @@ def test_feature_store_refresh_example_runs(spark, tmp_path):
         for r in ev.where(F.col("event_type") == "purchase").collect()
     }
     assert {r.label_id for r in feats.collect()} <= purchases
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup: candidate bound + verify threshold
+# ---------------------------------------------------------------------------
+def test_sorted_neighborhood_bounds_and_threshold(spark):
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        SN_THRESHOLD_PERMILLE,
+        SN_WINDOW,
+        dedup_sorted_neighborhood,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    rows = dedup_sorted_neighborhood(spark, SF_SMOKE).collect()
+    # candidate space is O(w*n) BY CONSTRUCTION — the emitted subset
+    # can never exceed it
+    assert len(rows) <= (SN_WINDOW - 1) * n
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard_permille >= SN_THRESHOLD_PERMILLE
+        assert r.jaccard_permille <= 1000
+
+
+def test_sorted_neighborhood_pairs_are_deterministic(spark):
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+    )
+
+    a = sorted(map(tuple, dedup_sorted_neighborhood(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, dedup_sorted_neighborhood(spark, SF_SMOKE).collect()))
+    assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# Benford audit: conservation and fixed expectation
+# ---------------------------------------------------------------------------
+def test_benford_audit_conserves_counts(spark):
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        BENFORD_PERMILLE,
+        dq_benford_audit,
+    )
+
+    rows = dq_benford_audit(spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    total_share = sum(r.observed_permille for r in rows)
+    assert 1000 - len(rows) <= total_share <= 1000  # floor-division slack
+    for r in rows:
+        assert r.benford_permille == BENFORD_PERMILLE[r.digit]
+        assert r.abs_dev_permille == abs(
+            r.observed_permille - r.benford_permille
+        )
