@@ -1789,7 +1789,7 @@ def _sn_oracle() -> str:
     nb AS (
       SELECT doc_id,
              {leads}
-      FROM t WINDOW w AS (PARTITION BY lang ORDER BY k, doc_id)
+      FROM t WINDOW w AS (PARTITION BY lang ORDER BY k NULLS LAST, doc_id)
     ),
     pairs AS (
 {pair_sel}
@@ -1836,7 +1836,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(f"substr(lower(text), 1, {SN_KEY_LEN})").alias("k"),
     )
-    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc_nulls_last("k"), "doc_id"
+    )
     nb = t.select(
         "doc_id",
         *[

@@ -1719,9 +1719,12 @@ PSI_SPLIT_DATE = "1998-01-01"
 def psi_bucket_col() -> F.Column:
     """The fixed PSI bucket of an order row — shared by the batch
     monitor and the streaming drift screen so the grids never drift."""
-    return F.least(
-        F.lit(PSI_BUCKETS - 1),
-        F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
+    return F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(PSI_BUCKETS - 1),
+            F.expr(f"{_CENTS.format('o_totalprice')} div {PSI_BUCKET_CENTS}"),
+        ),
     ).alias("bucket")
 
 
@@ -1744,15 +1747,15 @@ def psi_from_counts(c_old: list[int], c_new: list[int]) -> float:
     "dq_distribution_drift",
     f"""
     WITH olds AS (
-      SELECT LEAST({PSI_BUCKETS - 1},
-                   {_CENTS.format("o_totalprice")} // {PSI_BUCKET_CENTS})
+      SELECT GREATEST(0, LEAST({PSI_BUCKETS - 1},
+                   {_CENTS.format("o_totalprice")} // {PSI_BUCKET_CENTS}))
                AS bucket, COUNT(*) AS c
       FROM orders WHERE o_orderdate < DATE '{PSI_SPLIT_DATE}'
       GROUP BY 1
     ),
     news AS (
-      SELECT LEAST({PSI_BUCKETS - 1},
-                   {_CENTS.format("o_totalprice")} // {PSI_BUCKET_CENTS})
+      SELECT GREATEST(0, LEAST({PSI_BUCKETS - 1},
+                   {_CENTS.format("o_totalprice")} // {PSI_BUCKET_CENTS}))
                AS bucket, COUNT(*) AS c
       FROM orders WHERE o_orderdate >= DATE '{PSI_SPLIT_DATE}'
       GROUP BY 1
@@ -1925,9 +1928,9 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     "dq_benford_audit",
     f"""
     WITH d AS (
-      SELECT CAST(substr(CAST({_CENTS.format("o_totalprice")} AS VARCHAR),
-                         1, 1) AS INTEGER) AS digit
-      FROM orders
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM (SELECT {_CENTS.format("o_totalprice")} AS cents FROM orders)
+      WHERE cents > 0
     ),
     g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
     t AS (SELECT digit, n, SUM(n) OVER () AS total FROM g)
@@ -1945,14 +1948,21 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation, and the absolute deviation — the data-quality screen
     for fabricated or range-clipped amount columns.
 
+    Only POSITIVE amounts are audited (Benford is undefined at zero
+    and sign-dependent below it; non-positive rows belong to the
+    dq_expectations screen, not this one) — the guard is mirrored in
+    plan and oracle so a refund row can never diverge the engines.
     All integer arithmetic (digit from the decimal string, shares by
     floor division, fixed expectation constants): no float anywhere,
     so the audit hashes identically cross-engine and merges trivially
     across shards (counts are the only state)."""
     orders = load_table(spark, sf_dir, "orders")
-    d = orders.selectExpr(
-        f"CAST(substr(CAST({_CENTS.format('o_totalprice')} AS STRING),"
-        " 1, 1) AS INT) AS digit"
+    d = (
+        orders.selectExpr(
+            f"{_CENTS.format('o_totalprice')} AS cents"
+        )
+        .where(F.col("cents") > 0)
+        .selectExpr("CAST(substr(CAST(cents AS STRING), 1, 1) AS INT) AS digit")
     )
     g = d.groupBy("digit").agg(F.count("*").alias("n"))
     t = g.select(

@@ -393,8 +393,12 @@ def test_benford_audit_conserves_counts(spark):
 
     rows = dq_benford_audit(spark, SF_SMOKE).collect()
     assert {r.digit for r in rows} <= set(range(1, 10))
-    n_orders = load_table(spark, SF_SMOKE, "orders").count()
-    assert sum(r.n for r in rows) == n_orders
+    n_audited = (
+        load_table(spark, SF_SMOKE, "orders")
+        .where(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 0"))
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_audited
     total_share = sum(r.observed_permille for r in rows)
     assert 1000 - len(rows) <= total_share <= 1000  # floor-division slack
     for r in rows:

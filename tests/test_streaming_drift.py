@@ -71,3 +71,19 @@ def test_streaming_drift_counts_equal_batch_monitor(spark, tmp_path_factory):
     # the final counts (counts only grow)
     for r in emitted:
         assert r["c_new"] <= final[r["bucket"]]
+
+
+def test_bucket_clamp_handles_out_of_range_amounts(spark):
+    """Refund-like (negative) and giant amounts clamp into the grid at
+    both ends, so the streamed fold can never wrap a negative index
+    while the batch grid silently drops the row (review-pass catch)."""
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        psi_bucket_col,
+    )
+
+    df = spark.createDataFrame(
+        [(-32000.0,), (-0.01,), (0.0,), (1.0,), (10**9 * 1.0,)],
+        "o_totalprice double",
+    )
+    got = [r.bucket for r in df.select(psi_bucket_col()).collect()]
+    assert got == [0, 0, 0, 0, PSI_BUCKETS - 1]
