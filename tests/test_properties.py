@@ -367,3 +367,22 @@ def test_anomaly_zsq_matches_fraction_ground_truth(xs, x):
     num = n * x - s
     emitted = (num * num * 10000) // den
     assert emitted == (z_sq * 10000).__floor__()
+
+
+# ---------------------------------------------------------------------------
+# PSI arithmetic (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=16, max_size=16),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=16, max_size=16),
+)
+def test_psi_nonnegative_and_zero_on_identity(c_old, c_new):
+    from energy_data_pipeline_project_spark.operators.warehouse import (
+        psi_from_counts,
+    )
+
+    assert psi_from_counts(c_old, c_old) == 0.0
+    psi = psi_from_counts(c_old, c_new)
+    assert psi >= 0.0  # (p-q) and ln(p/q) always share a sign
+    # symmetry: PSI is symmetric in its arguments
+    assert abs(psi - psi_from_counts(c_new, c_old)) < 1e-12
