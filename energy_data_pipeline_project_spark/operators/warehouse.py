@@ -1692,11 +1692,12 @@ def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(overlaps, F.col("n_rows"))), F.lit(0)
         ).cast("bigint").alias("rows_scanned"),
         F.sum("match_rows").cast("bigint").alias("rows_matching"),
+    ).withColumn(
+        "skip_permille",
         F.expr(
-            "CAST((1000 * (COUNT(*) - SUM(CAST(mx >= "
-            f"{ZONE_PRED_LO} AND mn <= {ZONE_PRED_HI} AS LONG)))) "
-            "div COUNT(*) AS BIGINT)"
-        ).alias("skip_permille"),
+            "CAST((1000 * (n_shards - shards_scanned)) div n_shards"
+            " AS BIGINT)"
+        ),
     )
 
 
