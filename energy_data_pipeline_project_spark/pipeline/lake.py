@@ -160,6 +160,13 @@ def write_batch_partition(df: "DataFrame", path: str, batch_id: int) -> None:
     import pyspark.sql.functions as F
 
     _adopt_legacy_flat(path)
+    if df.isEmpty():
+        # Writing an empty frame would still create the directory with
+        # only _SUCCESS — a schema-less sink that breaks every later
+        # read. An empty batch is deterministic on redelivery (same
+        # input rows -> same empty output), so there is no stale
+        # partition to replace either; skipping is the idempotent act.
+        return
     (
         df.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")

@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 
 from ..operators.timeseries import (
@@ -65,8 +66,12 @@ def attribute_batch(
     if os.path.exists(clicks_path):
         try:
             log = spark.read.parquet(clicks_path)
-        except Exception:
-            # a click-less first batch leaves a schema-less directory
+        except AnalysisException:
+            # legacy schema-less directory (empty writes are skipped
+            # since the lake-level guard, so only pre-existing dirs
+            # can hit this). Anything else — IO errors, corrupt
+            # footers — must PROPAGATE: silently attributing against
+            # an empty log would persist wrong splits.
             log = None
         if log is None:
             prior = None

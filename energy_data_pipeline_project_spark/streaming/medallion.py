@@ -152,7 +152,13 @@ def write_stream_merge_to_lake(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+        # Deterministic keep-latest: order_col ties (duplicate CDC
+        # records stamped in the same instant) must pick the SAME
+        # winner on every delivery of the batch, or replay is not
+        # idempotent — break ties by a hash of the whole row.
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc(F.xxhash64(*batch_df.columns))
+        )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -164,7 +170,19 @@ def write_stream_merge_to_lake(
                 spark, path, latest, key_cols=key_cols, order_col=order_col
             )
         else:
-            write_table(latest, path)
+            # Stage-then-rename even the very first write: a crash
+            # mid-write must not leave a half-written dir that every
+            # replayed attempt would then fail to READ in the upsert
+            # branch (the wedge funnel.merge_state documents). The
+            # rename is the commit point; stale staged dirs from
+            # crashed attempts are simply rewritten.
+            import shutil
+
+            staged = path.rstrip("/") + "._staged_first"
+            if os.path.exists(staged):
+                shutil.rmtree(staged)
+            write_table(latest, staged)
+            os.rename(staged, path)
 
     writer = (
         record_stream.writeStream.foreachBatch(merge)

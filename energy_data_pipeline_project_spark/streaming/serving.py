@@ -31,6 +31,7 @@ from ..operators.pq import (
     PQ_SHORTLIST,
     PQ_SUBDIM,
     _melted,
+    _n_vecs,
     _train_codes,
 )
 from ..operators.similarity import TOP_K
@@ -50,7 +51,11 @@ class PQIndex:
 
 def build_pq_index(spark: SparkSession, sf_dir: str) -> PQIndex:
     melted = _melted(spark, sf_dir)
-    codes, cent = _train_codes(melted)
+    # n_vecs engages the PQ_TRAIN_SAMPLE cap exactly like the batch
+    # twin (ann_topk_pq) — without it the online codebook would train
+    # on the full corpus above the cap and silently diverge from the
+    # offline codes the row-for-row contract pins.
+    codes, cent = _train_codes(melted, n_vecs=_n_vecs(spark, sf_dir))
     return PQIndex(
         codes=codes.localCheckpoint(eager=True),
         centroids=cent.localCheckpoint(eager=True),

@@ -79,7 +79,13 @@ def _sessionize_fn(
         if start is None:
             start = t
         n += 1
-        last = t
+        # A late-but-within-watermark event (t < last) must not move
+        # the session frontier backwards: that would fake a gap against
+        # the NEXT event and fire the event-time timeout early. The
+        # frontier is monotone; late events only extend the count and
+        # can only pull `start` earlier.
+        start = min(start, t)
+        last = t if last is None else max(last, t)
 
     state.update((n, start, last))
     # event-time timeout: close the session once the watermark passes

@@ -67,21 +67,28 @@ def stream_day_totals(
     )
 
 
-def anomaly_report(spark: SparkSession, state_path: str) -> DataFrame:
-    """Merge the per-batch partials by addition and score — same
-    output contract as the batch ``events_anomaly_zscore``."""
+_STATE_SCHEMA = (
+    "event_type string, d date, day_no int, day_cents bigint,"
+    " batch_id bigint"
+)
+
+
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged day-grain state table; cold start (no non-empty
+    batch yet) reads as an empty frame with the state schema, so both
+    readouts behave like their batch queries over an empty events
+    table."""
     import os
 
     if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
-    else:  # cold start: no non-empty batch yet → empty report, like
-        # the batch query over an empty events table
-        state = spark.createDataFrame(
-            [],
-            "event_type string, d date, day_no int, day_cents bigint,"
-            " batch_id bigint",
-        )
-    daily = state.groupBy("event_type", "d", "day_no").agg(
+        return spark.read.parquet(state_path)
+    return spark.createDataFrame([], _STATE_SCHEMA)
+
+
+def anomaly_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge the per-batch partials by addition and score — same
+    output contract as the batch ``events_anomaly_zscore``."""
+    daily = _read_state(spark, state_path).groupBy("event_type", "d", "day_no").agg(
         F.sum("day_cents").cast("bigint").alias("day_cents")
     )
     return anomaly_from_daily(daily)
@@ -93,19 +100,9 @@ def ewma_report(spark: SparkSession, state_path: str) -> DataFrame:
     keeping the smallest sufficient statistic instead of per-query
     state. Output contract matches the batch ``events_ewma_trend``
     minus the calendar-date column (state holds day numbers)."""
-    import os
-
     from ..operators.timeseries import ewma_from_daily
 
-    if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
-    else:
-        state = spark.createDataFrame(
-            [],
-            "event_type string, d date, day_no int, day_cents bigint,"
-            " batch_id bigint",
-        )
-    daily = state.groupBy("event_type", "day_no").agg(
+    daily = _read_state(spark, state_path).groupBy("event_type", "day_no").agg(
         F.sum("day_cents").cast("bigint").alias("day_cents")
     )
     return ewma_from_daily(daily).drop("d")

@@ -52,10 +52,15 @@ class RunningUserTotals(StatefulProcessor):
         n, cents = 0, 0
         for pdf in rows:
             n += len(pdf)
-            # exact: round to cents per event, sum as int64
-            cents += int(
-                (pdf["value"] * 100).round().astype("int64").sum()
-            )
+            # exact: round to cents per event, sum as int64. HALF-UP
+            # (away from zero) to match Spark's ROUND in the batch
+            # aggregate this operator is pinned against — pandas
+            # .round() is half-EVEN and diverges on exact .5 cents.
+            v = pdf["value"] * 100
+            import numpy as np
+
+            half_up = np.sign(v) * np.floor(np.abs(v) + 0.5)
+            cents += int(half_up.astype("int64").sum())
         prev = self._totals.get()
         if prev is not None:
             n += int(prev[0])

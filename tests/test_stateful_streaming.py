@@ -139,3 +139,57 @@ def test_tws_running_totals_match_batch(spark, event_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_late_event_does_not_split_session(spark, tmp_path_factory):
+    """A late-but-within-watermark event must not move the session
+    frontier backwards: with state last=10:00, delivering (9:45,
+    10:20) in a later batch must NOT close a session — the true gap
+    10:00→10:20 is 20 min < 30. The buggy frontier (last=9:45) saw a
+    fake 35-min gap and emitted a spurious split (review-pass catch).
+    Two sequential availableNow runs over one checkpoint pin the
+    batch boundary deterministically."""
+    root = tmp_path_factory.mktemp("late-ev")
+    src, ckpt, out = str(root / "src"), str(root / "ckpt"), str(root / "out")
+
+    def write_events(rows, subdir):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = jobs.read_event_stream(spark, src)
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    d = dt.datetime(1995, 6, 1)
+    write_events([(1, d.replace(hour=10), 7, "view", 1.0, "{}")], "a")
+    run_once()
+    write_events(
+        [
+            (2, d.replace(hour=9, minute=45), 7, "view", 1.0, "{}"),
+            (3, d.replace(hour=10, minute=20), 7, "view", 1.0, "{}"),
+        ],
+        "b",
+    )
+    run_once()
+
+    try:
+        closed = (
+            spark.read.parquet(out).where("user_id = 7").collect()
+        )
+    except Exception:  # zero closed sessions -> schema-less file sink
+        closed = []
+    assert closed == [], f"spurious session split: {closed}"
