@@ -135,6 +135,14 @@ def load_config(path_or_dict: "str | dict") -> PipelineConfig:
                 include_date=d.get("include_date", True),
             )
         )
+        spec = datasets[-1].extract
+        if not spec.entity_array and not spec.value_probes:
+            # Caught here rather than as F.coalesce()-with-no-args
+            # failing deep inside silver extraction.
+            raise ValueError(
+                f"dataset {d['name']!r} has no extract shape: set"
+                " extract.entity_array or extract.value_probes"
+            )
     return PipelineConfig(
         lake_root=raw.get("lake_root", "data"),
         start_date=run.get("start_date", "2025-01-01"),

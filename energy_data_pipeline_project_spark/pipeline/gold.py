@@ -23,20 +23,29 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def power_daily_by_type(silver_power: DataFrame) -> DataFrame:
+def power_daily_by_type(
+    silver_power: DataFrame,
+    entity_col: str = "production_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Input column names follow the DatasetSpec (a config may rename
+    them or fall back to the generic ``entity``); the OUTPUT schema is
+    the reference's fixed gold contract either way."""
     return (
         silver_power.groupBy(
             F.to_date("timestamp").alias("date"),
-            "production_type",
+            F.col(entity_col).alias("production_type"),
         )
-        .agg(F.sum("value").alias("daily_net_production"))
+        .agg(F.sum(value_col).alias("daily_net_production"))
     )
 
 
-def price_daily(silver_price: DataFrame) -> DataFrame:
+def price_daily(
+    silver_price: DataFrame, value_col: str = "price_eur_mwh"
+) -> DataFrame:
     return (
         silver_price.groupBy(F.to_date("timestamp").alias("date"))
-        .agg(F.avg("price_eur_mwh").alias("avg_price_eur_mwh"))
+        .agg(F.avg(value_col).alias("avg_price_eur_mwh"))
     )
 
 

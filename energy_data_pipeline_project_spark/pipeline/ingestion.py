@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from ..pipeline.config import DatasetSpec, PipelineConfig
 from ..sources.payloads import PayloadSource
-from .lake import read_table, table_path, write_table
+from .lake import read_table, resolve_table_format, table_path, write_table
 
 SOURCE_TAG = "energy-charts"
 
@@ -185,9 +185,9 @@ def ingest_dataset_incremental(
     # the table at ._pre_swap with no live dir — restore it before
     # anything else, else the run would "first-run" and lose every
     # day outside the current config range
-    pre = path.rstrip("/") + "._pre_swap"
-    if not os.path.exists(path) and os.path.exists(pre):
-        os.rename(pre, path)
+    from .lake import _recover_pre_swap
+
+    _recover_pre_swap(path)
 
     if os.path.exists(path):
         # partition-column values are type-inferred as DATE on read;
@@ -245,7 +245,7 @@ def ingest_dataset_incremental(
         staged = path.rstrip("/") + "._repartitioning"
         (
             old.unionByName(df)
-            .write.format(config.table_format)
+            .write.format(resolve_table_format(spark, config.table_format))
             .mode("overwrite")
             .partitionBy("date")
             .save(staged)
@@ -259,7 +259,7 @@ def ingest_dataset_incremental(
     # becomes at scale. Per-writer option, not a session-conf toggle —
     # conf set/restore races between concurrent writers.
     (
-        df.write.format(config.table_format)
+        df.write.format(resolve_table_format(spark, config.table_format))
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")

@@ -7,9 +7,11 @@ Writes are full overwrites — every run is an idempotent refresh
 Delta when delta-spark is on the classpath (import-gated; the
 container for this project ships parquet only).
 
-Scale posture: silver/gold writes partition by ``date`` so a 100 TB
-lake gets static + dynamic partition pruning on the day-keyed queries;
-the reference leaves its tables unpartitioned (SURVEY.md §4.2).
+Scale posture: ``partition_by`` is the opt-in day-partitioning knob
+(bronze uses it via incremental ingest's ``date=`` layout; a 100 TB
+deployment would pass ``("date",)`` for silver/gold too so day-keyed
+queries get static + dynamic partition pruning). The reference leaves
+its tables unpartitioned (SURVEY.md §4.2).
 """
 
 from __future__ import annotations
@@ -135,13 +137,58 @@ def compact_table(
     import math
 
     fmt = resolve_table_format(spark, fmt)
+    _recover_pre_swap(path)
     df = spark.read.format(fmt).load(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     staged = path.rstrip("/") + "._compacting"
-    df.repartition(n_files).write.format(fmt).mode("overwrite").save(staged)
+    writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
+    # A hive-partitioned table (e.g. bronze's date= layout from
+    # incremental ingest) must keep its layout through compaction, or
+    # partition pruning dies and the next incremental run sees a
+    # "legacy flat" table and pays a full rewrite.
+    pcols = _partition_columns(path)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.save(staged)
     _atomic_swap(path, staged)
     return n_files
+
+
+def _partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns of ``path``, outermost first, by
+    directory-name inspection (``col=value`` entries)."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        parts = [
+            e
+            for e in os.listdir(cur)
+            if "=" in e and os.path.isdir(os.path.join(cur, e))
+        ]
+        if not parts:
+            break
+        col = parts[0].split("=", 1)[0]
+        cols.append(col)
+        cur = os.path.join(cur, parts[0])
+    return cols
+
+
+def _recover_pre_swap(path: str) -> None:
+    """Self-heal a crash inside ``_atomic_swap``'s rename window: the
+    table parked at ``._pre_swap`` with no live ``path`` is restored;
+    a stale parked copy NEXT TO a live table (crash after the second
+    rename) is cleaned up. Centralized here so every swap caller
+    (compaction, upsert, incremental ingest) heals the same way."""
+    import shutil
+
+    pre = path.rstrip("/") + "._pre_swap"
+    if not os.path.exists(pre):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(pre)
+    else:
+        os.rename(pre, path)
 
 
 def write_batch_partition(df: "DataFrame", path: str, batch_id: int) -> None:
@@ -240,6 +287,7 @@ def upsert_table(
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
+    _recover_pre_swap(path)
     existing = spark.read.format(fmt).load(path)
     tagged_old = existing.withColumn("_upd", F.lit(0))
     tagged_new = updates.select(*existing.columns).withColumn(
@@ -249,7 +297,14 @@ def upsert_table(
     if partition_by:
         pcol = partition_by[0]
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
-        tagged_old = tagged_old.where(F.col(pcol).isin(touched))
+        # isin() evaluates to NULL (not True) for NULL partition rows,
+        # which would EXCLUDE the existing null-partition rows from the
+        # merge while the dynamic overwrite still rewrites that
+        # partition — silent data loss. Null-safe membership instead.
+        cond = F.col(pcol).isin([v for v in touched if v is not None])
+        if any(v is None for v in touched):
+            cond = cond | F.col(pcol).isNull()
+        tagged_old = tagged_old.where(cond)
 
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(order_col), F.desc("_upd")
@@ -340,7 +395,9 @@ def write_table_versioned(
     existing = list_table_versions(path)
     version = (max(existing) if existing else (prev or 0)) + 1
     target = _version_dir(path, version)
-    writer = df.write.format(fmt).mode("overwrite")
+    writer = df.write.format(
+        resolve_table_format(df.sparkSession, fmt)
+    ).mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(target)
@@ -373,7 +430,7 @@ def read_table_versioned(
     target = _version_dir(path, version)
     if not os.path.isdir(target):
         raise FileNotFoundError(f"version {version} not found at {path}")
-    return spark.read.format(fmt).load(target)
+    return spark.read.format(resolve_table_format(spark, fmt)).load(target)
 
 
 def vacuum_table_versions(path: str, keep_versions: int = 2) -> list[int]:

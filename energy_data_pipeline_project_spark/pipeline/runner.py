@@ -123,7 +123,11 @@ def run_pipeline(
     if power_ds is None or price_ds is None:
         return result  # nothing ingested for one of the roles → no gold
 
-    pdaily = G.power_daily_by_type(result.silver[power_ds.name])
+    pdaily = G.power_daily_by_type(
+        result.silver[power_ds.name],
+        entity_col=power_ds.entity_column or "entity",
+        value_col=power_ds.value_column,
+    )
     result.observed["gold/power_daily_by_type"] = write_table_observed(
         pdaily, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
     )
@@ -131,7 +135,9 @@ def run_pipeline(
         spark, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
     )
 
-    prdaily = G.price_daily(result.silver[price_ds.name])
+    prdaily = G.price_daily(
+        result.silver[price_ds.name], value_col=price_ds.value_column
+    )
     result.observed["gold/price_daily"] = write_table_observed(
         prdaily, table_path(config.lake_root, "gold", "price_daily"), fmt
     )

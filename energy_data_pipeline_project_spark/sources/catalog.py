@@ -8,14 +8,16 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from .tables import TABLES, load_table
+from .tables import TABLES
+from .tables import register_views as _register_views
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Create/replace one temp view per testdata table; returns names."""
-    for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    return list(TABLES)
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Create/replace one temp view per testdata table; returns names.
+    Delegates to ``tables.register_views`` — one implementation to keep
+    in sync with the events ts normalization and the TABLES list."""
+    _register_views(spark, sf_dir, *names)
+    return list(names or TABLES)
 
 
 def analyze_table(

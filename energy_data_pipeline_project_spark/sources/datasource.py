@@ -92,15 +92,23 @@ class EnergyPayloadReader(DataSourceReader):
         base = o.get("api_base_url")
         timeout = float(o.get("request_timeout_s", "30"))
         params = json.loads(o.get("params_json", "{}"))
+        # Fixture layout parity with LocalJsonSource: the CLI's
+        # --source dir is keyed by DATASET NAME (public_power_de/…),
+        # not endpoint — honor an explicit dataset_name option and
+        # fall back through both layouts so the same fixture tree
+        # serves both backends instead of silently yielding 0 rows.
+        dataset_name = o.get("dataset_name", endpoint)
         for d in partition.days:
             payload = None
             if root is not None:
                 import os
 
-                path = os.path.join(root, endpoint, f"{d}.json")
-                if os.path.exists(path):
-                    with open(path) as f:
-                        payload = json.load(f)
+                for sub in dict.fromkeys((dataset_name, endpoint)):
+                    path = os.path.join(root, sub, f"{d}.json")
+                    if os.path.exists(path):
+                        with open(path) as f:
+                            payload = json.load(f)
+                        break
             elif base is not None:
                 import requests
 

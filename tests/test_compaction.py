@@ -49,3 +49,47 @@ def test_compaction_single_file_floor(spark, tmp_path):
     assert compact_table(spark, path, target_rows_per_file=1_000_000) == 1
     assert len(_data_files(path)) == 1
     assert read_table(spark, path).count() == 10
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep its date= layout
+    (losing it kills pruning and forces the next incremental run into
+    a full legacy rewrite — review-pass catch)."""
+    import glob as _glob
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        compact_table,
+        read_table,
+    )
+
+    path = str(tmp_path / "parted")
+    spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS date"
+    ).repartition(10).write.mode("overwrite").partitionBy("date").parquet(
+        path
+    )
+    before = read_table(spark, path).groupBy("date").count().collect()
+    compact_table(spark, path, target_rows_per_file=10_000)
+    parts = _glob.glob(f"{path}/date=*")
+    assert len(parts) == 3, parts
+    after = read_table(spark, path).groupBy("date").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_compaction_recovers_crashed_swap(spark, tmp_path):
+    """A crash between _atomic_swap's two renames parks the table at
+    ._pre_swap; the next compaction must self-heal instead of dying
+    with PATH_NOT_FOUND forever (review-pass catch)."""
+    import os
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        compact_table,
+        read_table,
+    )
+
+    path = str(tmp_path / "crashy")
+    spark.range(100).write.mode("overwrite").parquet(path)
+    os.rename(path, path + "._pre_swap")  # simulate the crash window
+    compact_table(spark, path)
+    assert read_table(spark, path).count() == 100
+    assert not os.path.exists(path + "._pre_swap")

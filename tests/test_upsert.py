@@ -59,3 +59,36 @@ def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
     # d2's files were not rewritten
     assert sorted(glob.glob(os.path.join(path, "day=d2", "*.parquet"))) == untouched_files
     assert [os.path.getmtime(f) for f in untouched_files] == mtimes_before
+
+
+def test_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """isin() is NULL for NULL partition values, which used to exclude
+    existing null-partition rows from the merge while dynamic
+    overwrite rewrote their partition — silent data loss (review-pass
+    catch). Null-safe membership keeps them."""
+    import pyspark.sql.functions as F
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        read_table,
+        upsert_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, "old-a", None), (2, "old-b", None), (3, "old-c", "d1")],
+        "k int, v string, part string",
+    )
+    write_table(base, path, partition_by=("part",))
+    updates = spark.createDataFrame(
+        [(2, "new-b", None)], "k int, v string, part string"
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("k",), order_col="k",
+        partition_by=("part",),
+    )
+    got = {
+        (r.k, r.v)
+        for r in read_table(spark, path).select("k", "v").collect()
+    }
+    assert got == {(1, "old-a"), (2, "new-b"), (3, "old-c")}
