@@ -279,7 +279,9 @@ def sample_frames(
                 rows, columns=[f.name for f in FRAME_SCHEMA]
             )
 
-    return df.select(id_col, "media").mapInPandas(run, schema=FRAME_SCHEMA)
+    return spread_small_scan(df.select(id_col, "media")).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
 
 
 @query(
@@ -305,8 +307,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake container (fixed-size frames over the payload),
     sampling is pure codegen — sequence → explode (Generate) →
     substring — no Python at all. The mapInPandas path above exists
-    for real codecs; THIS shape is what sampling compiles to when the
-    'decode' is expressible as byte/char math."""
+    for real codecs.
+
+    Grain caveat: this twin frames by CHARACTERS while the decoder
+    path frames the payload by BYTES — identical on the shipped ASCII
+    corpus, divergent for multi-byte UTF-8 text. The byte-true SQL
+    formulation (encode + binary substring) is not expressible in the
+    DuckDB oracle (no BLOB substring), so the char-grain twin is the
+    checkable slice and the byte-grain contract lives in the
+    ``sample_frames`` unit tests."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= FRAME_BYTES
     )

@@ -75,7 +75,7 @@ def plan_report(df: DataFrame) -> PlanReport:
         re.search(r"BatchEvalPython(?!UDTF)", text)
     )
     rep.arrow_eval = (
-        "ArrowEvalPython" in text
+        bool(re.search(r"ArrowEvalPython(?!UDTF)", text))
         or "MapInPandas" in text
         or "FlatMapGroupsInPandas" in text
     )
@@ -83,9 +83,13 @@ def plan_report(df: DataFrame) -> PlanReport:
 
 
 def assert_scan_pruned(rep: PlanReport, must_not_contain: tuple[str, ...]) -> None:
-    """Column pruning check: no ReadSchema may include these columns."""
+    """Column pruning check: no ReadSchema may include these columns.
+
+    Matches COLUMN NAMES parsed from the struct<...> text, not raw
+    substrings — 'ts' must not false-positive against 'counts'."""
     for schema in rep.read_schemas:
+        names = set(re.findall(r"[<,]\s*(\w+):", schema))
         for col in must_not_contain:
-            assert col not in schema, (
+            assert col not in names, (
                 f"column {col!r} read but never needed: {schema}"
             )

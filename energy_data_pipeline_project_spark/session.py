@@ -63,31 +63,45 @@ def get_spark_session(
     manager config and only the SQL confs below matter.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Guarded parse: a set-but-empty/non-numeric/zero value (common CI
+    # accidents) falls back to all cores instead of building an
+    # invalid local[] / local[0] master or raising before the session
+    # even exists.
+    if cpus != "*" and not (cpus.isdigit() and int(cpus) > 0):
+        cpus = "*"
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.ui.enabled", "false")
-        # Progress bars interleave \r frames with stdout; the driver
-        # harness parses bench.py's final JSON line from a bounded tail
-        # of the output, so keep the stream clean.
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Partition sizing for large scans: 128 MB input splits is the
-        # right default for 100 TB parquet; harmless locally.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # local[32] runs every executor thread inside the driver JVM:
-        # size the heap for 32 concurrent task slots, not a lone driver
-        # (8g showed multi-second GC spikes under the bench workload).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-    )
-    for k, v in RUNTIME_CONFS.items():
-        builder = builder.config(k, v)
+    def base_builder():
+        b = (
+            SparkSession.builder.appName(app_name)
+            .master(master)
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            .config("spark.ui.enabled", "false")
+            # Progress bars interleave \r frames with stdout; the driver
+            # harness parses bench.py's final JSON line from a bounded
+            # tail of the output, so keep the stream clean.
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # Partition sizing for large scans: 128 MB input splits is
+            # the right default for 100 TB parquet; harmless locally.
+            .config("spark.sql.files.maxPartitionBytes", "134217728")
+            # local[32] runs every executor thread inside the driver
+            # JVM: size the heap for 32 concurrent task slots, not a
+            # lone driver (8g showed multi-second GC spikes under the
+            # bench workload).
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+            )
+        )
+        for k, v in RUNTIME_CONFS.items():
+            b = b.config(k, v)
+        return b
+
+    builder = base_builder()
     # Real Delta Lake wherever delta-spark is installed (the
     # reference's storage layer —
     # /root/reference/src/utils/spark_session.py:77-90 registers the
@@ -106,7 +120,17 @@ def get_spark_session(
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
         builder = configure_spark_with_delta_pip(builder)
+        delta_configured = True
     except ImportError:
-        pass
-    spark = builder.getOrCreate()
+        delta_configured = False
+    try:
+        spark = builder.getOrCreate()
+    except Exception:
+        if not delta_configured:
+            raise
+        # delta-spark is pip-installed but the jars can't resolve
+        # (offline machine, empty ivy cache): degrade to the parquet
+        # path instead of making every entry point unbootable — the
+        # same posture as the ImportError branch.
+        spark = base_builder().getOrCreate()
     return apply_runtime_confs(spark)

@@ -78,6 +78,15 @@ def forbidden_type_columns(con, oracle_sql: str) -> list[tuple[str, str]]:
 
 
 def _canon(v):
+    """Canonical string form of one cell value.
+
+    Normalizes -0.0/NaN recursively through lists (array<double>
+    oracle outputs) and bytes vs bytearray (Spark collects BinaryType
+    as bytearray, DuckDB returns bytes). Raw TIMESTAMP outputs rely on
+    the container's UTC session+system timezone — Spark localizes
+    collected datetimes while DuckDB returns UTC wall-clock, so a
+    non-UTC machine would need engine-aware normalization here (the
+    repo's oracles are exercised only in UTC containers)."""
     if isinstance(v, float):
         if v == 0.0:
             return "0.0"
@@ -86,6 +95,10 @@ def _canon(v):
         return repr(v)
     if isinstance(v, bool):
         return repr(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return repr(bytes(v))
     return repr(v)
 
 
@@ -106,14 +119,15 @@ class ParityResult:
 def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str) -> ParityResult:
     sdf = query_fn(spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_connection(sf_dir)
     try:
+        # metadata-only type gate FIRST: rejecting a HUGEINT/DECIMAL
+        # oracle must not cost a full Spark execution
         offenders = forbidden_type_columns(con, oracle)
         if offenders:
             return ParityResult(
-                name, False, len(s_rows), -1,
+                name, False, -1, -1,
                 "oracle exposes DuckDB types with no Spark twin "
                 f"(driver hasher is type-aware): {offenders}",
             )
@@ -122,6 +136,8 @@ def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str) -> Parit
         o_rows = res.fetchall()
     finally:
         con.close()
+
+    s_rows = [tuple(r) for r in sdf.collect()]
 
     if sorted(s_cols) != sorted(o_cols):
         return ParityResult(
