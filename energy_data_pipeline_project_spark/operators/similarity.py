@@ -1013,7 +1013,8 @@ def _rp_oracle() -> str:
                     * {RP_QUANT}) AS BIGINT))) AS BIGINT) AS orig_norm_sq
       FROM embeddings
     )
-    SELECT vec_id, proj,
+    SELECT vec_id,
+           array_to_string(proj, ',') AS proj_csv,
            CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT)
              AS proj_norm_sq,
            CAST(list_sum(list_transform(proj, x -> x * x)) * 1000000
@@ -1028,7 +1029,13 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL/Achlioptas +/-1 projection to RP_DIM int64 components with a
     per-vector norm-distortion report (ppm of the expected k*||x||^2).
     Pure codegen map — no shuffle, no Python; the 16 sign rows are
-    compile-time literals, so at 100 TB this is a free pre-ANN pass."""
+    compile-time literals, so at 100 TB this is a free pre-ANN pass.
+
+    The projected vector is emitted as a comma-joined string
+    (``proj_csv``) rather than ``array<bigint>``: the driver's value
+    canonicalizer hashes results through pandas, which cannot sort or
+    hash list-typed cells (r05 verdict — the only complex-typed output
+    on the surface). Scalar-output-first is the driver contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = F.array(
         *[F.expr(_rp_proj_expr(j, duck=False)) for j in range(RP_DIM)]
@@ -1048,7 +1055,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "vec_id",
-        "proj",
+        F.expr(
+            "array_join(transform(proj, x -> CAST(x AS STRING)), ',')"
+        ).alias("proj_csv"),
         "proj_norm_sq",
         F.expr(
             f"proj_norm_sq * 1000000 DIV NULLIF({RP_DIM} * orig_norm_sq, 0)"

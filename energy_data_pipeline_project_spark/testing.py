@@ -69,11 +69,21 @@ def duck_to_spark_type(duck_type: str) -> str:
     return f"?{duck_type}"
 
 
+def _is_forbidden_duck_type(duck_type: str) -> bool:
+    t = duck_type.upper()
+    if any(f in t for f in FORBIDDEN_DUCK_TYPES):
+        return True
+    # Complex-typed outputs (lists/structs/maps) crash the driver's
+    # pandas-based canonicalizer ("unhashable type: 'list'", r05
+    # verdict) — the surface must stay scalar-output-only.
+    return t.endswith("[]") or t.startswith(("STRUCT(", "MAP(", "LIST("))
+
+
 def forbidden_type_columns(con, oracle_sql: str) -> list[tuple[str, str]]:
     return [
         (c, t)
         for c, t in oracle_output_types(con, oracle_sql)
-        if any(f in t.upper() for f in FORBIDDEN_DUCK_TYPES)
+        if _is_forbidden_duck_type(t)
     ]
 
 
