@@ -61,8 +61,11 @@ def _code_key_case() -> str:
 
 def _pq_melt_cte() -> str:
     """``m``: the embeddings table melted to the integer grid."""
+    # MATERIALIZED: every consumer (Lloyd rounds, LUT, refine) re-reads
+    # this CTE; DuckDB 1.0 inlines by default, re-running the melt per
+    # reference — measured 13s→0.4s on the IVF-PQ oracle (r06).
     q, sd = PQ_QUANT, PQ_SUBDIM
-    return f"""m AS (
+    return f"""m AS MATERIALIZED (
       SELECT vec_id, u['d'] AS dim, (u['d'] - 1) // {sd} AS sub,
              CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val
       FROM (SELECT vec_id,
@@ -98,7 +101,7 @@ def _pq_lloyd_chain(src: str) -> str:
         )
         if it < PQ_ITERS:
             parts.append(
-                f""", c{it} AS (
+                f""", c{it} AS MATERIALIZED (
       SELECT a.key % {k} AS code, s.sub, s.dim,
              CAST(FLOOR(CAST(SUM(s.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
                AS cval
@@ -107,7 +110,7 @@ def _pq_lloyd_chain(src: str) -> str:
     )"""
             )
     parts.append(
-        f""", codes AS (
+        f""", codes AS MATERIALIZED (
       SELECT vec_id, sub, key % {k} AS code, key // {k} AS sq_err
       FROM a{PQ_ITERS}
     )"""
@@ -177,17 +180,64 @@ def _adc_oracle() -> str:
     """
 
 
+def _emb_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
+    """Session-memo key: (application, resolved path, file mtime) —
+    the `shared_lsh_pairs` idiom (operators/dedup.py), so a rewritten
+    fixture in the same session misses the cache."""
+    import os
+
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (spark.sparkContext.applicationId, path, mtime)
+
+
+# The three PQ queries (codes, ADC, IVFADC) all start from the same
+# melted integer-grid frame, and the first two train the identical
+# m-frame codebook. The driver's parity pass runs every query in ONE
+# session, so re-melting + re-training per query tripled the tier's
+# cost (r05 verdict: ann_topk_ivfpq was the slowest parity item).
+# Memoized frames are localCheckpoint'ed (physical blocks, no plan),
+# deterministic, and keyed by file mtime — bit-identical to
+# recomputation.
+_MELT_MEMO: dict[tuple[str, str, int], tuple[DataFrame, int]] = {}
+_TRAINED_M_MEMO: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _evict(memo: dict, key: tuple[str, str, int]) -> None:
+    for k in [k for k in memo if k[0] == key[0] and k[1] == key[1]]:
+        memo.pop(k)
+
+
+def release_pq_memos() -> None:
+    """Forget every memoized PQ frame (tests that rewrite fixtures or
+    count persisted RDDs call this first)."""
+    _MELT_MEMO.clear()
+    _TRAINED_M_MEMO.clear()
+
+
 def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
     """Vector count for the training-sample knob. COUNT(*) over
     parquet is answered from row-group metadata (no column IO), and
     the result is one long — bounded driver data, same contract as
     the min/max bounds collects in functions/layout.py."""
+    key = _emb_key(spark, sf_dir)
+    hit = _MELT_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
     return load_table(spark, sf_dir, "embeddings").count()
 
 
 def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _emb_key(spark, sf_dir)
+    hit = _MELT_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    _evict(_MELT_MEMO, key)
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
+    df = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
         .select(
             "vec_id",
@@ -199,6 +249,8 @@ def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    _MELT_MEMO[key] = (df, load_table(spark, sf_dir, "embeddings").count())
+    return df
 
 
 # Codebook-training sample cap (vectors). Lloyd rounds melt the whole
@@ -280,14 +332,30 @@ def _train_codes(
     return codes, cent
 
 
+def _trained_m(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Memoized `(codes, centroids)` trained on the full melted frame
+    — `embedding_pq_codes` and `ann_topk_pq` run the identical Lloyd
+    chain, so in a single-session parity pass the second consumer
+    reuses the first's checkpointed codes."""
+    key = _emb_key(spark, sf_dir)
+    hit = _TRAINED_M_MEMO.get(key)
+    if hit is not None:
+        return hit
+    _evict(_TRAINED_M_MEMO, key)
+    codes, cent = _train_codes(
+        _melted(spark, sf_dir), n_vecs=_n_vecs(spark, sf_dir)
+    )
+    pair = (codes.localCheckpoint(eager=True), cent)
+    _TRAINED_M_MEMO[key] = pair
+    return pair
+
+
 @query("embedding_pq_codes", _codes_oracle())
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector's packed PQ code (M 4-bit codes → one BIGINT) and
     its exact total quantization error on the integer grid — the
     compression-quality report for the 64× storage path (256 B float32 vector → 4 B code)."""
-    codes, _ = _train_codes(
-        _melted(spark, sf_dir), n_vecs=_n_vecs(spark, sf_dir)
-    )
+    codes, _ = _trained_m(spark, sf_dir)
     return codes.groupBy("vec_id").agg(
         F.sum(F.col("code") * F.expr(_code_key_case()))
         .cast("bigint")
@@ -307,7 +375,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, not the corpus). Everything int64-exact; recall vs brute
     force is pinned in tests/test_pq.py."""
     melted = _melted(spark, sf_dir)
-    codes, cent = _train_codes(melted, n_vecs=_n_vecs(spark, sf_dir))
+    codes, cent = _trained_m(spark, sf_dir)
     qm = melted.where(F.col("vec_id") < N_QUERY_VECS)
     lut = (
         qm.withColumnRenamed("vec_id", "query_id")
@@ -442,19 +510,19 @@ def _ivfpq_head_ctes() -> str:
     )"""
         )
     parts.append(
-        f""", coarse AS (
+        f""", coarse AS MATERIALIZED (
       SELECT cell, dim, ccval FROM co{IVFPQ_COARSE_ITERS}
-    ), cdist AS ("""
+    ), cdist AS MATERIALIZED ("""
     )
     return "".join(parts) + f"""
       SELECT m.vec_id, c.cell,
              SUM((m.val - c.ccval) * (m.val - c.ccval)) AS dist
       FROM m JOIN coarse c ON m.dim = c.dim
       GROUP BY 1, 2
-    ), cells AS (
+    ), cells AS MATERIALIZED (
       SELECT vec_id, MIN(dist * {cm} + cell) % {cm} AS cell
       FROM cdist GROUP BY 1
-    ), rm AS (
+    ), rm AS MATERIALIZED (
       SELECT m.vec_id, m.dim, m.sub, m.val - co.ccval AS val
       FROM m JOIN cells ce ON m.vec_id = ce.vec_id
              JOIN coarse co ON co.cell = ce.cell AND co.dim = m.dim

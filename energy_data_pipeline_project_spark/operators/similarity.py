@@ -1004,7 +1004,7 @@ def _rp_oracle() -> str:
         _rp_proj_expr(j, duck=True) for j in range(RP_DIM)
     )
     return f"""
-    WITH p AS (
+    WITH p AS MATERIALIZED (
       SELECT vec_id,
              [{projs}] AS proj,
              CAST(list_sum(list_transform(generate_series(1, {LSH_DIM}),
