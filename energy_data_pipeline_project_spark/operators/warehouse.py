@@ -1461,7 +1461,7 @@ def _ri_oracle() -> str:
            CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_orphans,
            CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) * 1000
-                // COUNT(*) AS BIGINT) AS orphan_permille
+                // NULLIF(COUNT(*), 0) AS BIGINT) AS orphan_permille
     FROM {child} c
     LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
            ON c.{fk} = p.{pk}""")
@@ -1488,7 +1488,10 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{child}.{fk}").alias("fk_edge"),
                 F.col("n_child").cast("bigint").alias("n_child"),
                 "n_orphans",
-                F.expr("n_orphans * 1000 DIV n_child")
+                # NULLIF on BOTH sides: on an empty child table Spark
+                # DIV yields NULL while DuckDB // raises div-by-zero —
+                # the NULLIF keeps the engines' behavior identical
+                F.expr("n_orphans * 1000 DIV NULLIF(n_child, 0)")
                 .cast("bigint")
                 .alias("orphan_permille"),
             )

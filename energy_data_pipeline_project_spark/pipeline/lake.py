@@ -142,14 +142,27 @@ def compact_table(
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     staged = path.rstrip("/") + "._compacting"
-    writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
     # A hive-partitioned table (e.g. bronze's date= layout from
     # incremental ingest) must keep its layout through compaction, or
     # partition pruning dies and the next incremental run sees a
     # "legacy flat" table and pays a full rewrite.
     pcols = _partition_columns(path)
     if pcols:
-        writer = writer.partitionBy(*pcols)
+        import pyspark.sql.functions as F
+
+        # Hash-partition on the layout columns: each hive partition is
+        # then written by exactly one task (one file per partition
+        # dir). Round-robin repartition(n) here would spread EVERY
+        # partition's rows across all n tasks, so output could grow to
+        # n_files × n_partitions files — compaction that adds files.
+        # A partition hotter than target_rows_per_file still compacts
+        # to a single file: the target is a goal, not a bound.
+        shaped = df.repartition(n_files, *[F.col(c) for c in pcols])
+        writer = (
+            shaped.write.format(fmt).mode("overwrite").partitionBy(*pcols)
+        )
+    else:
+        writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
     writer.save(staged)
     _atomic_swap(path, staged)
     return n_files

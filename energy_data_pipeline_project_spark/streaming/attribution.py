@@ -66,12 +66,18 @@ def attribute_batch(
     if os.path.exists(clicks_path):
         try:
             log = spark.read.parquet(clicks_path)
-        except AnalysisException:
-            # legacy schema-less directory (empty writes are skipped
-            # since the lake-level guard, so only pre-existing dirs
-            # can hit this). Anything else — IO errors, corrupt
-            # footers — must PROPAGATE: silently attributing against
-            # an empty log would persist wrong splits.
+        except AnalysisException as e:
+            # ONLY the legacy schema-less-directory case is a cold
+            # start (empty writes are skipped since the lake-level
+            # guard, so only pre-existing dirs can hit this). Any
+            # other analysis failure — renamed/missing columns,
+            # schema drift — must PROPAGATE: silently attributing
+            # against an empty log would persist wrong splits.
+            infer = getattr(e, "getErrorClass", lambda: None)()
+            if infer != "UNABLE_TO_INFER_SCHEMA" and (
+                "UNABLE_TO_INFER_SCHEMA" not in str(e)
+            ):
+                raise
             log = None
         if log is None:
             prior = None

@@ -166,7 +166,12 @@ def cms_stream(events: DataFrame, key_sql: str = "CAST(user_id AS STRING)") -> D
     The cell projection is shared with the batch operator
     (``operators/timeseries.py::cms_cells``) so the hash family and
     rehash layout cannot drift between the twins."""
-    cells = cms_cells(cms_hashed(events, key_sql))
+    # NULL keys hash to a NULL cell; drop them BEFORE the stateful fold
+    # so n_seen matches what value_counts keeps (it skips NaN) and the
+    # batch twin's bookkeeping (which excludes NULL keys from both).
+    cells = cms_cells(cms_hashed(events, key_sql)).where(
+        F.col("col").isNotNull()
+    )
     return cells.groupBy("i").applyInPandasWithState(
         _cms_fn,
         outputStructType=CMS_OUTPUT_SCHEMA,

@@ -76,6 +76,32 @@ def test_compaction_preserves_partition_layout(spark, tmp_path):
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
 
 
+def test_partitioned_compaction_does_not_multiply_files(spark, tmp_path):
+    """With n_files > 1, round-robin repartition before partitionBy
+    would spread every hive partition across all tasks (up to
+    n_files × n_partitions output files — compaction that ADDS files,
+    r05 advice). Hash-partitioning on the layout columns writes each
+    partition from exactly one task: one data file per partition dir."""
+    import glob as _glob
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        compact_table,
+        read_table,
+    )
+
+    path = str(tmp_path / "parted_many")
+    spark.range(0, 900).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS date"
+    ).repartition(10).write.mode("overwrite").partitionBy("date").parquet(
+        path
+    )
+    # target forces n_files = 9 > n_partitions = 3
+    compact_table(spark, path, target_rows_per_file=100)
+    files = _glob.glob(f"{path}/date=*/part-*.parquet")
+    assert len(files) == 3, files
+    assert read_table(spark, path).count() == 900
+
+
 def test_compaction_recovers_crashed_swap(spark, tmp_path):
     """A crash between _atomic_swap's two renames parks the table at
     ._pre_swap; the next compaction must self-heal instead of dying
