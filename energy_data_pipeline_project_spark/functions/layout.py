@@ -28,11 +28,20 @@ MORTON_BITS = 16  # per column; 2 cols × 16 bits = 32-bit key
 
 
 def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
-    """Scale [lo, hi] linearly onto [0, 2^bits - 1] as a BIGINT."""
+    """Scale [lo, hi] linearly onto [0, 2^bits - 1] as a BIGINT.
+
+    The result is clamped to [0, 2^bits - 1]: the bounds are BIGINT-
+    truncated, so a fractional column value above the truncated hi
+    (e.g. 999.9 with hi=999) would otherwise normalize past the top
+    and ``morton_key`` — which reads only the low ``bits`` bits —
+    would silently wrap it into a LOW tile, giving that file a
+    full-range zone map and defeating the skipping this module exists
+    for (r06 review catch, confirmed empirically)."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
     return F.expr(
-        f"CAST(((CAST({col} AS DOUBLE) - {lo}) / {span}) * {top} AS BIGINT)"
+        f"GREATEST(0, LEAST({top}, "
+        f"CAST(((CAST({col} AS DOUBLE) - {lo}) / {span}) * {top} AS BIGINT)))"
     )
 
 
@@ -77,6 +86,14 @@ def cluster_write(
         *[F.min(c).cast("bigint").alias(f"lo_{c}") for c in cluster_cols],
         *[F.max(c).cast("bigint").alias(f"hi_{c}") for c in cluster_cols],
     ).collect()[0]
+    if any(
+        bounds[f"lo_{c}"] is None or bounds[f"hi_{c}"] is None
+        for c in cluster_cols
+    ):
+        # empty frame or all-NULL cluster column: there is nothing to
+        # tile — write as-is instead of crashing on None arithmetic
+        df.write.format(fmt).mode("overwrite").save(path)
+        return
     norm = [
         _normalize(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits)
         for c in cluster_cols

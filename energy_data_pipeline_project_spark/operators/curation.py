@@ -871,7 +871,12 @@ def join_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = docs.select(
         "doc_id",
         F.expr(f"substr(text, 1, {FUZZY_PREFIX_CHARS})").alias("pfx"),
-        F.expr(f"element_at({_TOKS_SPARK}, 1)").alias("t1"),
+        # try_element_at: under Spark 4 ANSI mode (default on, and the
+        # driver's vanilla session never disables it) element_at([],1)
+        # THROWS for an empty/whitespace-only document; the oracle's
+        # list[1] yields NULL and simply drops the row from the
+        # equi-join. NULL t1 rows fall out of the join on both engines.
+        F.expr(f"try_element_at({_TOKS_SPARK}, 1)").alias("t1"),
         F.expr(f"length(text) DIV {FUZZY_BAND_CHARS}").alias("band"),
     )
     a = p.select(

@@ -179,15 +179,24 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the merge algebra is exact, not approximate)."""
     orders = load_table(spark, sf_dir, "orders")
     old, new = cdc_snapshots(orders)
-    diff = cdc_snapshot_diff(spark, sf_dir).select(
-        "o_orderkey", "change_type", "new_cents"
+    # localCheckpoint: diff (a full-outer snapshot join) feeds three
+    # consumers and merged feeds two more — without materializing,
+    # each reference re-runs the orders scan + full-outer shuffle
+    # (r06 review catch; the single-pass-aggregate comment below is
+    # only true of the COUNTING, not of un-persisted inputs).
+    diff = (
+        cdc_snapshot_diff(spark, sf_dir)
+        .select("o_orderkey", "change_type", "new_cents")
+        .localCheckpoint(eager=True)
     )
-    merged = old.join(
-        diff.select("o_orderkey"), "o_orderkey", "left_anti"
-    ).unionAll(
-        diff.where(F.col("change_type") != "delete").select(
-            "o_orderkey", F.col("new_cents").alias("cents")
+    merged = (
+        old.join(diff.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionAll(
+            diff.where(F.col("change_type") != "delete").select(
+                "o_orderkey", F.col("new_cents").alias("cents")
+            )
         )
+        .localCheckpoint(eager=True)
     )
     m, n = merged.alias("m"), new.alias("n")
     mismatch_rows = m.join(
@@ -273,8 +282,16 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("c"),
         )
 
+    # TOTAL partition: a NULL ship_date (unparseable date) satisfies
+    # neither `< cutoff` nor `>= cutoff` and would silently vanish
+    # from the merge while the oracle keeps its NULL group — the same
+    # hazard join_incremental_maintenance guards (r06 review catch).
     base = partial(rev.where(F.col("ship_date") < cutoff))
-    delta = partial(rev.where(F.col("ship_date") >= cutoff))
+    delta = partial(
+        rev.where(
+            ~(F.col("ship_date") < cutoff) | F.col("ship_date").isNull()
+        )
+    )
     merged = (
         base.unionByName(delta)
         .groupBy("ship_date")
@@ -1331,8 +1348,6 @@ def _skew_sql(*, duck: bool) -> str:
     """,
 )
 def lineitem_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import hashing as H  # noqa: F401 (fragment builder)
-
     li = load_table(spark, sf_dir, "lineitem")
     b = li.groupBy(
         F.expr(_skew_sql(duck=False)).alias("bucket")

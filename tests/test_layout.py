@@ -64,3 +64,43 @@ def test_zorder_tightens_stats_on_both_columns(spark, tmp_path):
     assert back.agg(F.sum("a"), F.sum("b")).collect() == df.agg(
         F.sum("a"), F.sum("b")
     ).collect()
+
+
+def test_normalize_clamps_fractional_overflow(spark):
+    """BIGINT-truncated bounds + fractional values: 999.9 with hi=999
+    normalizes past 2^bits-1, and morton_key (low bits only) would
+    wrap the MAX-valued row into a LOW tile, giving its file a
+    full-range zone map (r06 review catch, confirmed empirically).
+    The clamp must pin every normalized value inside [0, 2^bits-1]."""
+    from energy_data_pipeline_project_spark.functions.layout import (
+        _normalize,
+    )
+
+    df = spark.range(2_000).select(
+        (900.0 + (F.hash("id") % 1000) / 10.01).alias("a")
+    )
+    lo, hi = df.agg(
+        F.min("a").cast("bigint"), F.max("a").cast("bigint")
+    ).collect()[0]
+    norm = df.select(_normalize("a", lo, hi, 16).alias("n"))
+    mn, mx = norm.agg(F.min("n"), F.max("n")).collect()[0]
+    assert 0 <= mn and mx == (1 << 16) - 1, (mn, mx)
+
+
+def test_cluster_write_empty_and_all_null_frames(spark, tmp_path):
+    """Empty input (or an all-NULL cluster column) has no bounds;
+    cluster_write must degrade to a plain write, not crash on None
+    arithmetic (r06 review catch)."""
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    p1 = str(tmp_path / "empty")
+    cluster_write(empty, p1, ["a", "b"], n_files=4)
+    assert spark.read.parquet(p1).count() == 0
+
+    nulls = spark.range(10).select(
+        F.lit(None).cast("bigint").alias("a"), F.col("id").alias("b")
+    )
+    p2 = str(tmp_path / "nulls")
+    cluster_write(nulls, p2, ["a", "b"], n_files=4)
+    assert spark.read.parquet(p2).count() == 10
