@@ -395,7 +395,18 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(cand_ids) == 0:
                     continue
                 k = min(TOP_K, len(cand_ids))
-                idx = np.argpartition(-cand_cos, k - 1)[:k]
+                # Deterministic local cut (r06 review catch): a bare
+                # argpartition keeps an ARBITRARY side of a cosine tie
+                # at the k-th boundary, so the emitted top-k depended
+                # on Arrow batch boundaries. Widen to every candidate
+                # tied with the boundary value, then order by the SAME
+                # (cos DESC, neighbor_id ASC) key the global window
+                # uses — local cut and global rank can never disagree.
+                part = np.argpartition(-cand_cos, k - 1)[:k]
+                bound = cand_cos[part].min()
+                tied = np.flatnonzero(cand_cos >= bound)
+                order = np.lexsort((cand_ids[tied], -cand_cos[tied]))[:k]
+                idx = tied[order]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -460,12 +471,12 @@ HOF_Q_SCALE = 10000
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-           CAST(list_aggregate(list_transform(embedding,
+           CAST(COALESCE(list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
-                'sum') AS BIGINT) AS q_sum,
-           CAST(list_aggregate(list_transform(embedding,
+                'sum'), 0) AS BIGINT) AS q_sum,
+           CAST(COALESCE(list_aggregate(list_transform(embedding,
                   x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT))),
-                'sum') AS BIGINT) AS q_l1,
+                'sum'), 0) AS BIGINT) AS q_l1,
            CAST(list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
                 'max') AS BIGINT) AS q_max
@@ -482,7 +493,12 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side scan, zero shuffles).
 
     Cross-engine exactness: per-component quantization to BIGINT at
-    HOF_Q_SCALE (see module note), then integer folds.
+    HOF_Q_SCALE (see module note), then integer folds. The oracle
+    COALESCEs the sum folds to 0: DuckDB `list_aggregate([], 'sum')`
+    is NULL while Spark's `aggregate(..., 0, +)` returns the init
+    value for an empty array (the round-5 `array_to_string` lesson,
+    r06 review catch). `q_max` stays NULL/NULL — both engines agree
+    there.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.transform(
@@ -699,7 +715,7 @@ OUTLIER_TOP_K = 5
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
     ),
     stats AS (
-      SELECT label, pos, SUM(q) AS s, COUNT(DISTINCT vec_id) AS n
+      SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
       FROM e GROUP BY label, pos
     ),
     d2 AS (
@@ -732,8 +748,21 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.expr(_drift_q("v", duck=False)).alias("q"),
     )
+    # COUNT(*), not COUNT(DISTINCT vec_id): the melted frame has
+    # exactly one row per (vec_id, pos) by construction, so they are
+    # provably equal — and the distinct form added a per-group dedup
+    # pass over the 64×-melted hot path (r06 review catch).
+    #
+    # Overflow headroom: |q| <= DRIFT_Q, so |q*n - s| <= 2*DRIFT_Q*n
+    # and d2n2 <= 64 * 4 * DRIFT_Q^2 * n^2 — int64-exact through
+    # ~1.9e4 vectors per label at DRIFT_Q=1e4. Beyond that (the same
+    # knob as embedding_centroid_drift's documented bound), shrink
+    # DRIFT_Q (1e2 ⇒ ~1.9e6 per label) or replace the n-scaled form
+    # with a floored centroid s DIV n; DuckDB RAISES on the overflow
+    # while Spark's non-ANSI bigint wraps, so the bound is load-bearing
+    # for cross-engine parity.
     stats = e.groupBy("label", "pos").agg(
-        F.sum("q").alias("s"), F.countDistinct("vec_id").alias("n")
+        F.sum("q").alias("s"), F.count("*").alias("n")
     )
     diff = F.col("q") * F.col("n") - F.col("s")
     d2 = (

@@ -311,7 +311,8 @@ def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w
             FROM t)
     SELECT doc_id,
-           CAST(SUM(({H.md5_int64("w", duck=True)} % {H.FINGERPRINT_MOD}) * i)
+           CAST(SUM((({H.md5_int64("w", duck=True)} % {H.FINGERPRINT_MOD})
+                     * i) % {H.FINGERPRINT_MOD})
                 % {H.FINGERPRINT_MOD} AS BIGINT) AS fingerprint
     FROM pos GROUP BY doc_id
     """,
@@ -320,6 +321,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Positional rolling-hash-style fingerprint: order-sensitive (the
     # same bag of words in a different order fingerprints differently),
     # cheap, and pure integer math → exact in both engines.
+    #
+    # Overflow headroom (r06 review): the per-term mod bounds each
+    # addend below P31 < 2^31 BEFORE the sum, so the int64 running sum
+    # stays exact through ~2^32 tokens per document (the unreduced
+    # form wrapped Spark's non-ANSI bigint at ~93k tokens while DuckDB
+    # promoted to HUGEINT — silent cross-engine divergence). The
+    # per-term product (h % P31) * i is < 2^52 even at the 2M-token
+    # document bound budgeted by _SEGDEDUP_POS_FACTOR.
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     pos = t.select(
@@ -327,7 +336,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "w")
     h = F.expr(H.md5_int64("w", duck=False))
     return pos.groupBy("doc_id").agg(
-        (F.sum((h % H.FINGERPRINT_MOD) * F.col("i")) % H.FINGERPRINT_MOD)
+        (
+            F.sum(((h % H.FINGERPRINT_MOD) * F.col("i")) % H.FINGERPRINT_MOD)
+            % H.FINGERPRINT_MOD
+        )
         .cast("bigint")
         .alias("fingerprint")
     )
@@ -438,7 +450,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~{100 // SAMPLE_MOD}% corpus sample by content-free
+    """Deterministic ~(100/SAMPLE_MOD)% corpus sample by content-free
     key hash: reproducible across runs, engines, and partitionings —
     the property random() sampling lacks. Pure map-side filter (no
     shuffle); the same idiom drives data_split_hash's 90/5/5 split."""
@@ -1366,13 +1378,17 @@ def _dechunk_recursive_sql(
     ),
 )
 def text_dechunk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-CTE document reconstruction (see block comment)."""
-    QUERIES["text_chunk"](spark, sf_dir).createOrReplaceTempView(
-        "dechunk_chunks_v"
-    )
-    return spark.sql(
-        _dechunk_recursive_sql("dechunk_chunks_v", _REBUILD_TAIL_SPARK)
-    )
+    """Recursive-CTE document reconstruction (see block comment).
+
+    The chunk frame is registered under a per-invocation unique view
+    name: a fixed session-global name let two concurrent invocations
+    in one SparkSession swap the view out from under each other's
+    not-yet-executed plans (r06 review catch)."""
+    import uuid
+
+    view = f"dechunk_chunks_{uuid.uuid4().hex}"
+    QUERIES["text_chunk"](spark, sf_dir).createOrReplaceTempView(view)
+    return spark.sql(_dechunk_recursive_sql(view, _REBUILD_TAIL_SPARK))
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ from ..sources.tables import load_table
 from ._registry import make_registry
 from .dedup import _minhash_oracle, shared_lsh_pairs
 from .text import _SPLIT_BUCKET_DUCK, _SPLIT_BUCKET_SPARK
+from .timeseries import _CENTS_DUCK, _cents
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -299,9 +300,14 @@ def _probe_oracle() -> str:
     """
 
 
-def _probe_features(docs: DataFrame) -> DataFrame:
+def _probe_features(docs: DataFrame, *carry: str) -> DataFrame:
+    """Probe feature projection — defined ONCE so the trainer
+    (`train_linear_probe`) and the filter (`corpus_probe_filter`)
+    cannot drift (r06 review: the filter had its own inline copy).
+    ``carry`` names extra passthrough columns (e.g. ``source``)."""
     toks = F.expr(_TOKS_SPARK)
     return docs.select(
+        *carry,
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("y"),
         F.least(F.size(toks), F.lit(FEATURE_CAP)).cast("bigint").alias("x1"),
         F.least(F.size(F.array_distinct(toks)), F.lit(FEATURE_CAP))
@@ -397,15 +403,7 @@ def corpus_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as one job — weights never leave the cluster, and the whole
     chain (training included) stays under the exact hash gate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(_TOKS_SPARK)
-    feats = docs.select(
-        "source",
-        F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("y"),
-        F.least(F.size(toks), F.lit(FEATURE_CAP)).cast("bigint").alias("x1"),
-        F.least(F.size(F.array_distinct(toks)), F.lit(FEATURE_CAP))
-        .cast("bigint")
-        .alias("x2"),
-    )
+    feats = _probe_features(docs, "source")
     w1 = _probe_step(feats.drop("source"), _zero_weights(spark))
     w2 = _probe_step(feats.drop("source"), w1)
     scored = feats.crossJoin(F.broadcast(w2.drop("loss"))).withColumn(
@@ -534,7 +532,7 @@ _US_PER_DAY = 86_400_000_000
     f"""
     WITH ev AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             {_CENTS_DUCK} AS cents
       FROM events
     ),
     feat AS (
@@ -580,7 +578,9 @@ def training_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.expr("unix_micros(ts)").alias("us"),
-        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        # shared cents definition (operators/timeseries.py), the same
+        # single source the streaming twin imports — never re-spelled
+        _cents("value").alias("cents"),
     )
     w7 = (
         Window.partitionBy("user_id")
