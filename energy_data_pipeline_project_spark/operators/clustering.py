@@ -209,9 +209,15 @@ def label_spectrum(emb: DataFrame) -> DataFrame:
         c = np.cov(m, rowvar=False)
         ev = float(np.linalg.eigvalsh(c)[-1])
         tr = float(np.trace(c))
+        # tr == 0 when every vector in the label is identical (dup
+        # docs sharing one embedding): the spectrum is degenerate and
+        # the share is 0 by the same convention as the n < 2 branch —
+        # a bare ev/tr would raise ZeroDivisionError and abort the
+        # whole job (r06 review catch)
+        share = round(ev / tr, 6) if tr != 0.0 else 0.0
         return pd.DataFrame(
             [[int(pdf["label"].iloc[0]), n, d, round(tr, 6),
-              round(ev, 6), round(ev / tr, 6)]],
+              round(ev, 6), share]],
             columns=[
                 "label", "n_vectors", "dim",
                 "cov_trace", "top_eigenvalue", "top_eig_share",

@@ -35,6 +35,7 @@ MINHASH_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.3  # calibrated: testdata embeddings max out ~0.4
 COSINE_SUBSET = 200  # bound the O(n²) pair space for the oracle query
+COSINE_QUANT = 10_000  # integer grid for exact dp/n2 sums (house idiom)
 
 # Hot-bucket skew caps (DESIGN.md "Known costs"). One boilerplate-heavy
 # band value / shingle otherwise creates a quadratic candidate bucket:
@@ -100,14 +101,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → k minhash columns m0..m{k-1} (shingle-based)."""
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """``(doc_id, shingle-hash)`` postings — the shared first stage of
+    shingle-Jaccard, MinHash signatures, and the LSH quality audit.
+    The tokenize→shingle→md5 explode is the dominant scan of every
+    consumer, so callers that need both views pass ONE persisted copy
+    (r06 review: the quality audit ran it twice)."""
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    shingles = toks.select(
+    sh = toks.select(
         "doc_id",
         F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
     )
-    hx = shingles.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+    return sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+
+
+def _minhash_signatures(
+    docs: DataFrame, hx: DataFrame | None = None
+) -> DataFrame:
+    """doc_id → k minhash columns m0..m{k-1} (shingle-based).
+    ``hx`` optionally supplies a precomputed (ideally persisted)
+    ``_shingle_hashes`` frame."""
+    if hx is None:
+        hx = _shingle_hashes(docs)
     return hx.groupBy("doc_id").agg(
         *[
             F.min(F.expr(H.minhash_expr(i, "h"))).alias(f"m{i}")
@@ -201,14 +216,12 @@ def _melt_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
-) -> DataFrame:
-    """Distinct (doc_a < doc_b) LSH candidate pairs from a signature
-    frame — the pre-verification stage, exposed separately so its
-    recall/precision can be measured against exact ground truth
-    (``dedup_lsh_quality_eval``)."""
-    bands = _melt_bands(sig)
+def capped_bucket_pairs(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from a
+    ``(doc_id, band_id, band_val)`` postings frame, with the
+    hot-bucket skew cap. Shared by MinHash-LSH and SimHash-Hamming
+    banding (r06 review: the expansion was previously copy-pasted,
+    so a cap-semantics fix could silently miss one caller)."""
     # doc_ids are unique per bucket, so COUNT(*) is the bucket's doc
     # count; only buckets in [2, cap] can produce candidate pairs.
     bcnt = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bcnt"))
@@ -223,6 +236,30 @@ def lsh_candidate_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """A distinct ``(doc_a < doc_b)`` pair frame → undirected
+    ``(src, dst)`` edge list. Distinct by construction (a<b rows
+    cannot collide with a>b rows), so no dedup shuffle is needed —
+    the invariant lives HERE, next to the pair generators that
+    establish it, instead of being re-stated at five call sites
+    (r06 review)."""
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) LSH candidate pairs from a signature
+    frame — the pre-verification stage, exposed separately so its
+    recall/precision can be measured against exact ground truth
+    (``dedup_lsh_quality_eval``)."""
+    return capped_bucket_pairs(_melt_bands(sig), bucket_cap)
 
 
 def minhash_lsh_pairs(
@@ -693,18 +730,7 @@ def hamming_pairs_from_signature(
     bands = sig.select(
         "doc_id", F.posexplode(quarters).alias("band_id", "band_val")
     )
-    bcnt = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("bcnt"))
-    ok = bcnt.where(
-        (F.col("bcnt") >= 2) & (F.col("bcnt") <= bucket_cap)
-    ).select("band_id", "band_val")
-    cand = (
-        bands.join(ok, ["band_id", "band_val"])
-        .groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = capped_bucket_pairs(bands, bucket_cap)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sim_hi").alias("ha"),
@@ -733,7 +759,10 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram (shingle) Jaccard via inverted index
 # ---------------------------------------------------------------------------
 def shingle_jaccard_pairs(
-    docs: DataFrame, *, shingle_cap: int = SHINGLE_DOC_CAP
+    docs: DataFrame,
+    *,
+    shingle_cap: int = SHINGLE_DOC_CAP,
+    hx: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over an inverted index, skew-capped.
 
@@ -748,14 +777,8 @@ def shingle_jaccard_pairs(
     shape wins. Call release_cached_frames() once the result is
     consumed.
     """
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
-    )
-    hx = _cached(
-        sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
-    )
+    if hx is None:
+        hx = _cached(_shingle_hashes(docs))
     # Cap pass: map-side combined count per shingle, then an equi-join
     # that drops hot postings BEFORE any list is collected — no
     # collect_list buffer can exceed cap ids even under adversarial
@@ -1002,15 +1025,7 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     ``spark.sparkContext.setCheckpointDir`` at reliable storage and use
     ``checkpoint()`` instead (survives executor loss).
     """
-    # pairs arrive distinct with doc_a < doc_b, so the symmetric union
-    # is distinct by construction (a<b rows can't collide with a>b
-    # rows) — no dedup shuffle needed before the iteration.
-    edges = _cached(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-    )
+    edges = _cached(symmetric_edges(pairs))
 
     # Star-contraction seed: initialize every node's label with the min
     # of its CLOSED neighborhood (self ∪ neighbors) — exactly what the
@@ -1120,13 +1135,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     f"""
     WITH e AS (
-      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      SELECT vec_id, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {COSINE_QUANT}, 0)
+                  AS BIGINT) AS q
       FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {COSINE_SUBSET}),
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
     ),
-    nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM e GROUP BY vec_id),
+    nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+            FROM e GROUP BY vec_id),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dp
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS dp
       FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     )
@@ -1139,6 +1158,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine over the bounded subset, on the INTEGER grid.
+
+    r06 review catch: the original summed raw float products, whose
+    addition order is partition/engine-dependent — a pair near a 4-dp
+    rounding boundary (or at the threshold) could flip under the
+    bit-exact oracle gate. Components quantize to BIGINT at
+    COSINE_QUANT first (the module's standard idiom), so dp/n2 are
+    exact integers and the only float ops (sqrt, one divide) run on
+    identical inputs in both engines — bit-identical results.
+    Overflow headroom: |q| <= 1e4 so dp <= 64 * 1e8 << 2^63."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < COSINE_SUBSET
     )
@@ -1147,16 +1176,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos0") + 1).alias("pos"),
-        F.col("vf").cast("double").alias("v"),
+        F.round(F.col("vf").cast("double") * COSINE_QUANT, 0)
+        .cast("bigint")
+        .alias("q"),
     )
-    nrm = e.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
-    a = e.select(F.col("vec_id").alias("vec_a"), "pos", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "pos", F.col("v").alias("vb"))
+    nrm = e.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("n2")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "pos", F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "pos", F.col("q").alias("qb"))
     dots = (
         a.join(b, ["pos"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dp"))
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dp"))
     )
     na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
     nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
@@ -1455,10 +1488,14 @@ def _lsh_eval_oracle() -> str:
 @query("dedup_lsh_quality_eval", _lsh_eval_oracle())
 def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    truth = shingle_jaccard_pairs(docs).select(
+    # ONE persisted postings frame feeds both the exact-Jaccard truth
+    # and the MinHash signatures — the shingle explode + md5 is this
+    # audit's dominant stage, previously run twice (r06 review).
+    hx = _cached(_shingle_hashes(docs))
+    truth = shingle_jaccard_pairs(docs, hx=hx).select(
         "doc_a", "doc_b", F.lit(1).alias("in_truth")
     )
-    sig = _cached(_minhash_signatures(docs))
+    sig = _cached(_minhash_signatures(docs, hx=hx))
     cand = lsh_candidate_pairs(sig).select(
         "doc_a", "doc_b", F.lit(1).alias("in_cand")
     )
@@ -1615,7 +1652,14 @@ def span_removal_frame(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("iv").alias("ivs"))
     )
-    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    # NULL text coalesces to an EMPTY token list (mirrored in the
+    # oracle's cut CTE): otherwise Spark's size(NULL) = -1 feeds
+    # sequence(1, -1) = [1, 0, -1] and md5(NULL) while DuckDB yields
+    # NULL n_tokens and md5('') — full-row divergence on any corpus
+    # with a NULL-text document (r06 review catch).
+    t = docs.select(
+        "doc_id", F.expr(f"coalesce({_TOKS_SPARK}, array())").alias("toks")
+    )
     cut = t.join(ivl, "doc_id", "left").select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -1727,13 +1771,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_span_frame_ctes()},
     cut AS (
-      SELECT t.doc_id, len(t.toks) AS n_tokens,
+      -- COALESCE to the empty list mirrors the Spark frame's NULL-text
+      -- handling (see span_removal_frame)
+      SELECT t.doc_id, len(COALESCE(t.toks, [])) AS n_tokens,
              list_filter(
-               generate_series(1, len(t.toks)),
+               generate_series(1, len(COALESCE(t.toks, []))),
                p -> iv.ivs IS NULL OR len(list_filter(iv.ivs,
                       v -> p >= v['s'] AND p <= v['e'])) = 0
              ) AS keep_pos,
-             t.toks AS toks
+             COALESCE(t.toks, []) AS toks
       FROM t LEFT JOIN ivl iv USING (doc_id)
     )
     SELECT doc_id, n_tokens,

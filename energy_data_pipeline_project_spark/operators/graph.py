@@ -31,9 +31,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.tables import load_table
 from ._registry import make_registry
-from .dedup import _minhash_oracle, release_cached_frames, shared_lsh_pairs
+from .dedup import _minhash_oracle, shared_lsh_pairs, symmetric_edges
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -48,13 +47,7 @@ def pagerank_exact(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     Returns ``(doc_id, rank)`` for every node incident to at least one
     pair, ``rank`` on the RANK_SCALE fixed-point grid.
     """
-    # pairs arrive distinct with doc_a < doc_b → the symmetric union is
-    # already duplicate-free; skipping .distinct() saves a full shuffle.
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    edges = symmetric_edges(pairs)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # (src, dst, deg) is iteration-invariant: checkpoint once up front
     # so each round re-reads a materialized frame, not the whole
@@ -213,13 +206,7 @@ def kcore_nodes(pairs: DataFrame, k: int = KCORE_K) -> DataFrame:
     ``localCheckpoint`` truncates the per-round plan growth exactly as
     in the CC/PageRank loops.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = symmetric_edges(pairs).localCheckpoint(eager=True)
     alive = edges.select(F.col("src").alias("v")).distinct()
     n_alive = alive.count()
     for _ in range(KCORE_ROUNDS):
@@ -310,13 +297,7 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     the LSH bucket caps)."""
     from pyspark.sql import Window
 
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = symmetric_edges(pairs).localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
@@ -407,13 +388,7 @@ _BFS_SENT = 1 << 30
 
 
 def bfs_to_local_minima(pairs: DataFrame) -> DataFrame:
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = symmetric_edges(pairs).localCheckpoint(eager=True)
     dist = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nmin"))
