@@ -41,19 +41,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
+from ._registry import make_registry
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 def _cents(expr_sql: str) -> F.Column:
@@ -133,7 +123,13 @@ def gold_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.where(F.to_date("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        # raw timestamp bound, NOT to_date(col) <= date (the q6
+        # lesson, r06 review): a function-wrapped column defeats
+        # parquet row-group pushdown; ts < day+1 is day-exact for a
+        # <= DATE predicate
+        li.where(
+            F.col("l_shipdate") < F.lit("2000-12-02").cast("timestamp")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
@@ -665,7 +661,9 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k")
     )
-    return cust.exceptAll(orders).distinct()
+    # subtract IS SQL EXCEPT (distinct semantics); exceptAll+distinct
+    # only matched by accident of c_custkey uniqueness (r06 review)
+    return cust.subtract(orders)
 
 
 # ---------------------------------------------------------------------------
@@ -1169,7 +1167,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship
-      FROM lineitem WHERE l_returnflag = 'r' GROUP BY 1
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
     ), o AS (
       SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_ord
       FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
@@ -1187,11 +1185,17 @@ def join_full_outer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-alignment shape (which days have shipments but no orders,
     and vice versa). Both inputs are already day-grain aggregates, so
     the outer join is thousands of rows at any input scale; COALESCE
-    reconstitutes the key and zero-fills the measures."""
+    reconstitutes the key and zero-fills the measures.
+
+    r06 review: the filter was lowercase 'r' (matches zero rows — the
+    fixture domain is {'R','A','N'}), so the shipment side was always
+    empty and the outer-join semantics silently dead; parity couldn't
+    catch it because the oracle degenerated identically. Now 'R', so
+    both join sides are live."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     r = (
-        li.where(F.col("l_returnflag") == "r")
+        li.where(F.col("l_returnflag") == "R")
         .groupBy(F.to_date("l_shipdate").alias("d"))
         .agg(F.count("*").alias("n_ship"))
     )
@@ -2634,16 +2638,16 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
-    def stage(df, etype, anchor):
+    def stage(etype, anchor):
         s = ev.where(F.col("event_type") == etype)
         if anchor is not None:
             prev, col = anchor
             s = s.join(prev, "user_id").where(F.col("ts") > F.col(col))
         return s.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
 
-    v = stage(ev, "view", None)
-    c = stage(ev, "click", (v, "view_ts"))
-    p = stage(ev, "purchase", (c, "click_ts"))
+    v = stage("view", None)
+    c = stage("click", (v, "view_ts"))
+    p = stage("purchase", (c, "click_ts"))
     rows = [
         v.agg(F.count("*").alias("n_users")).select(
             F.lit("1_view").alias("stage"), "n_users"
@@ -2865,9 +2869,10 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_scd2_intervals",
     """
-    SELECT user_id, event_type AS status, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS valid_to,
+    SELECT user_id, event_type AS status,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to_us,
            CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 IS NULL AS INT) AS is_current
     FROM events
@@ -2875,16 +2880,21 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval bounds surface as epoch MICROSECONDS (bigint), not raw
+    timestamps — the module's 'timestamps are never emitted directly'
+    rule (r06 review: this was the one query violating it, betting on
+    both engines agreeing at sub-second precision forever)."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("signup", "purchase", "error")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w)
+    us = F.expr("unix_micros(ts)")
+    nxt = F.lead(us).over(w)
     return ev.select(
         "user_id",
         F.col("event_type").alias("status"),
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
+        us.alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
         nxt.isNull().cast("int").alias("is_current"),
     )
 

@@ -35,16 +35,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
 from ._registry import make_registry
+from .relational import REVENUE_SQL, _cents, _REV_CENTS_DUCK
 
 QUERIES, ORACLES, query = make_registry()
 
-
-def _cents(expr_sql: str) -> F.Column:
-    return F.expr(f"CAST(ROUND(({expr_sql}) * 100, 0) AS BIGINT)")
-
-
-REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
-_REV_CENTS_DUCK = f"CAST(ROUND(({REVENUE_SQL}) * 100, 0) AS BIGINT)"
+# The cents-conversion rule is the repo's core determinism invariant:
+# ONE definition per engine dialect, imported from relational.py —
+# never re-spelled (r06 review: three inline copies had accreted).
 _QTY_CENTS_DUCK = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
 
 Q2_SIZE = 15
@@ -469,7 +466,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = (
         li.join(F.broadcast(supp_arm), li["l_suppkey"] == supp_arm["s_suppkey"])
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(_sum_cents_col("l_extendedprice").alias("value_cents"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
     )
     total = pv.agg(
         F.sum("value_cents").cast("double").alias("_total_cents")
@@ -483,10 +480,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "value_cents")
         .orderBy(F.desc("value_cents"), "p_partkey")
     )
-
-
-def _sum_cents_col(col: str) -> F.Column:
-    return F.sum(F.expr(f"CAST(ROUND({col} * 100, 0) AS BIGINT)"))
 
 
 # ---------------------------------------------------------------------------
@@ -758,7 +751,7 @@ def q18_large_volume_customers(
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    qty_cents = F.expr("CAST(ROUND(l_quantity * 100, 0) AS BIGINT)")
+    qty_cents = _cents("l_quantity")
     big_orders = (
         li.groupBy("l_orderkey")
         .agg(F.sum(qty_cents).alias("_qty_cents"))
@@ -841,7 +834,7 @@ def q20_dominant_share_suppliers(
     region = load_table(spark, sf_dir, "region").where(
         F.col("r_name") == Q20_REGION
     )
-    qty_cents = F.expr("CAST(ROUND(l_quantity * 100, 0) AS BIGINT)")
+    qty_cents = _cents("l_quantity")
     ps = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("l_partkey", "l_suppkey")
