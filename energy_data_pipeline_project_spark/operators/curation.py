@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import hashing as H
 from ..sources.tables import load_table
 from ._registry import make_registry
-from .dedup import SHINGLE_DOC_CAP, SHINGLE_N, _bucket_pairs_sql, _cached
+from .dedup import (
+    COSINE_QUANT,
+    SHINGLE_DOC_CAP,
+    SHINGLE_N,
+    _bucket_pairs_sql,
+    _cached,
+)
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -58,12 +64,19 @@ SEM_THRESHOLD = 0.3  # calibrated: testdata embedding pairs max out ~0.5
 
 
 def _semantic_oracle() -> str:
+    # qv rides the SAME integer grid as dedup_embedding_cosine
+    # (ROUND at COSINE_QUANT), so within-cluster cosines are exactly
+    # the global operator's values where both report a pair (pinned
+    # by tests/test_curation_ops.py); val (FLOOR at SEM_QUANT) stays
+    # the kmeans-idiom assignment grid. Integer dp/n2 sums are
+    # partition-order-independent — the r06 float-sum lesson.
     k, q, t = SEM_K, SEM_QUANT, SEM_THRESHOLD
     return f"""
     WITH m AS (
       SELECT vec_id, u['d'] AS dim,
              CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val,
-             CAST(u['v'] AS DOUBLE) AS v
+             CAST(ROUND(CAST(u['v'] AS DOUBLE) * {COSINE_QUANT}, 0)
+                  AS BIGINT) AS qv
       FROM (SELECT vec_id,
                    unnest(list_transform(generate_series(1, len(embedding)),
                           i -> {{'d': i, 'v': embedding[i]}})) AS u
@@ -77,13 +90,14 @@ def _semantic_oracle() -> str:
             FROM m JOIN cent c USING (dim)
             GROUP BY 1, 2)
       GROUP BY vec_id
-    ), nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM m GROUP BY 1),
+    ), nrm AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2
+               FROM m GROUP BY 1),
     ec AS (
-      SELECT m.vec_id, asn.cluster, m.dim, m.v
+      SELECT m.vec_id, asn.cluster, m.dim, m.qv
       FROM m JOIN asn USING (vec_id)
     ), dots AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
-             SUM(a.v * b.v) AS dp
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS dp
       FROM ec a JOIN ec b
         ON a.cluster = b.cluster AND a.dim = b.dim AND a.vec_id < b.vec_id
       GROUP BY 1, 2, 3
@@ -121,7 +135,12 @@ def semantic_dup_pairs(
             F.floor(F.col("vf").cast("double") * SEM_QUANT)
             .cast("bigint")
             .alias("val"),
-            F.col("vf").cast("double").alias("v"),
+            # cosine grid: SAME quantization as dedup_embedding_cosine
+            # so within-cluster cosines equal the global operator's
+            # exactly; integer sums are order-independent (r06 lesson)
+            F.round(F.col("vf").cast("double") * COSINE_QUANT, 0)
+            .cast("bigint")
+            .alias("qv"),
         )
     )
     cent = F.broadcast(
@@ -143,25 +162,27 @@ def semantic_dup_pairs(
             .alias("cluster")
         )
     )
-    nrm = m.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
-    ec = m.join(asn, "vec_id").select("vec_id", "cluster", "dim", "v")
+    nrm = m.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("n2")
+    )
+    ec = m.join(asn, "vec_id").select("vec_id", "cluster", "dim", "qv")
     a = ec.select(
         F.col("vec_id").alias("vec_a"),
         "cluster",
         "dim",
-        F.col("v").alias("va"),
+        F.col("qv").alias("qa"),
     )
     b = ec.select(
         F.col("vec_id").alias("vec_b"),
         "cluster",
         "dim",
-        F.col("v").alias("vb"),
+        F.col("qv").alias("qb"),
     )
     dots = (
         a.join(b, ["cluster", "dim"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b", "cluster")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dp"))
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dp"))
     )
     na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
     nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))

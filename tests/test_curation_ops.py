@@ -496,11 +496,11 @@ def test_scd2_intervals_are_gapless_chains(spark):
         by_user.setdefault(r["user_id"], []).append(r)
     assert by_user
     for user_rows in by_user.values():
-        user_rows.sort(key=lambda r: r["valid_from"])
+        user_rows.sort(key=lambda r: r["valid_from_us"])
         assert sum(r["is_current"] for r in user_rows) == 1
-        assert user_rows[-1]["valid_to"] is None
+        assert user_rows[-1]["valid_to_us"] is None
         for a, b in zip(user_rows, user_rows[1:]):
-            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_to_us"] == b["valid_from_us"]
 
 
 def test_markov_transition_rows_sum_to_one(spark):

@@ -206,7 +206,9 @@ def test_random_projection_jl_unbiasedness(spark):
     median = ratios[len(ratios) // 2]
     assert 0.3e6 < median < 1.5e6, median
     for r in rows:
-        assert len(r.proj) == RP_DIM
+        # proj rides as a CSV string (driver-contract scalar-output
+        # rule; see SURVEY §5.2.1)
+        assert len(r.proj_csv.split(",")) == RP_DIM
 
 
 def test_attribution_conserves_revenue(spark):
