@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return gold_daily_join(spark, "/root/testdata/sf0.001")
 
 
-def _passing_stamp_counts() -> dict[str, int]:
-    """Count passing driver-correctness rows per query across rounds.
+def _stamp_stats() -> tuple[dict[str, int], dict[str, int]]:
+    """Per-query (passing-stamp count, last passing round index).
 
     A row counts as a passing stamp when the value-hash matched, or —
     for deliberately oracle-less queries — when the rows-only check ran
@@ -47,8 +47,10 @@ def _passing_stamp_counts() -> dict[str, int]:
     for a re-check.
     """
     counts: dict[str, int] = {}
+    last: dict[str, int] = {}
     root = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    for idx, path in enumerate(paths):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -64,7 +66,12 @@ def _passing_stamp_counts() -> dict[str, int]:
             )
             if passed:
                 counts[name] = counts.get(name, 0) + 1
-    return counts
+                last[name] = idx
+    return counts, last
+
+
+def _passing_stamp_counts() -> dict[str, int]:
+    return _stamp_stats()[0]
 
 
 # Ordered queue-jump list within the stamp-count tier. Round-4
@@ -169,12 +176,17 @@ for _i, _name in enumerate(_PRIORITY):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = all_queries()
-    counts = _passing_stamp_counts()
+    counts, last = _stamp_stats()
     order = list(qs)
-    # Stable sort: ties keep registration order.
+    # Never-stamped first, then least-stamped; within a count tier the
+    # STALEST last stamp re-checks first (r06 review: without the
+    # recency key a query stamped only in r01 could wait arbitrarily
+    # long behind same-count queries stamped last round). Remaining
+    # ties: priority list, then registration order (stable sort).
     order.sort(
         key=lambda n: (
             counts.get(n, 0),
+            last.get(n, -1),
             _PRIORITY_RANK.get(n, len(_PRIORITY)),
         )
     )

@@ -347,7 +347,10 @@ def main() -> None:
             / sum(base[q] for q in ratios),
             3,
         )
-    except (OSError, KeyError, ValueError, ZeroDivisionError):
+    # TypeError covers a baseline with "parsed": null (the documented
+    # tail-truncation failure mode) — without it a bad baseline file
+    # would crash AFTER the full run, losing every result (r06 review)
+    except (OSError, KeyError, TypeError, ValueError, ZeroDivisionError):
         pass  # no baseline available (first round or format change)
 
     # Full per-query detail for the judge / future rounds. Kept OFF the

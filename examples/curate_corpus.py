@@ -45,6 +45,7 @@ import pyspark.sql.functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from energy_data_pipeline_project_spark.functions import hashing as H
 from energy_data_pipeline_project_spark.operators import dedup, text
 from energy_data_pipeline_project_spark.operators.curation import (
     keep_best_per_component,
@@ -88,9 +89,14 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         .groupBy("doc_id")
         .agg(F.sum("span_tokens").alias("cut_tokens"))
     )
+    # the engine's single tokenizer definition, NULL-coalesced: a
+    # NULL-text doc must count 0 tokens (size(NULL) is -1, which
+    # would fail the keep predicate and silently drop the doc from a
+    # screen whose only job is span coverage — r06 review)
     sizes = survivors_docs.selectExpr(
         "doc_id",
-        "size(filter(split(text, ' '), x -> x != '')) AS n_tokens",
+        f"size(coalesce({H.tokens_sql('text', duck=False)}, array()))"
+        " AS n_tokens",
     )
     span_ok = (
         sizes.join(cut, "doc_id", "left")
@@ -125,15 +131,25 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     # 6. sequence packing over the CURATED documents only: the packed
     # sequences are the artifact a training job consumes, so dropped
     # duplicates / contaminated docs must not reappear here. The
-    # curated rows are laid out as a documents table and the packing
-    # operator runs over that — same plan, curated input.
+    # curated parquet just written is READ BACK for the table layout
+    # instead of re-executing the whole curation lineage a second
+    # time (quality funnel + LSH + CC + span frame + contamination
+    # anti-joins — r06 review).
     curated_sf = f"{out_dir}/curated_tables"
-    curated.select(
+    spark.read.parquet(f"{out_dir}/curated/documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     ).write.mode("overwrite").parquet(f"{curated_sf}/documents.parquet")
     seqs = text.QUERIES["chunk_pack_sequences"](spark, curated_sf)
     seqs.write.mode("overwrite").parquet(f"{out_dir}/curated/sequences")
-    n_seq = spark.read.parquet(f"{out_dir}/curated/sequences").count()
+    # the manifest is one row per DOC; the sequence count is the
+    # number of distinct packs (r06 review: the row count merely
+    # echoed stage 3's doc count)
+    n_seq = (
+        spark.read.parquet(f"{out_dir}/curated/sequences")
+        .select("lang", "pack_id")
+        .distinct()
+        .count()
+    )
 
     report = spark.createDataFrame(
         [

@@ -55,6 +55,13 @@ from energy_data_pipeline_project_spark.session import get_spark_session
 PSI_ACTION_THRESHOLD = 0.25
 
 
+def _write_report(spark, report: dict[str, object], out_dir: str) -> None:
+    rows = [(k, str(v)) for k, v in sorted(report.items())]
+    spark.createDataFrame(rows, "stage string, value string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out_dir}/store/report")
+
+
 def refresh(spark, sf_dir: str, out_dir: str) -> dict[str, object]:
     report: dict[str, object] = {}
 
@@ -68,6 +75,10 @@ def refresh(spark, sf_dir: str, out_dir: str) -> dict[str, object]:
     report["1_cdc_mismatch"] = merge.n_mismatch
     if merge.n_mismatch != 0:
         report["status"] = "abort_cdc_mismatch"
+        # the refusal IS the event monitoring most needs on disk: a
+        # bare return would leave the previous run's "published"
+        # report as the latest record (r06 review)
+        _write_report(spark, report, out_dir)
         return report
 
     # 2. refresh the revenue view through the delta-join algebra
@@ -93,10 +104,7 @@ def refresh(spark, sf_dir: str, out_dir: str) -> dict[str, object]:
         "published" if psi <= PSI_ACTION_THRESHOLD else "drift_alert"
     )
 
-    rows = [(k, str(v)) for k, v in sorted(report.items())]
-    spark.createDataFrame(rows, "stage string, value string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{out_dir}/store/report")
+    _write_report(spark, report, out_dir)
     return report
 
 

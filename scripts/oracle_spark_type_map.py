@@ -37,11 +37,19 @@ def main() -> int:
     bad = 0
     try:
         for name in sorted(oracles):
-            duck_types = dict(oracle_output_types(con, oracles[name]))
-            spark_types = {
-                f.name: f.dataType.simpleString()
-                for f in queries[name](spark, sf_dir).schema.fields
-            }
+            # per-query isolation (the plan_audit.py pattern): one
+            # query failing to construct must not abort the sweep and
+            # break the "exit code is always 0" contract (r06 review)
+            try:
+                duck_types = dict(oracle_output_types(con, oracles[name]))
+                spark_types = {
+                    f.name: f.dataType.simpleString()
+                    for f in queries[name](spark, sf_dir).schema.fields
+                }
+            except Exception as e:  # noqa: BLE001 - diagnostic sweep
+                print(f"ERROR {name}: {e!r:.300}")
+                bad += 1
+                continue
             for col, dt in sorted(duck_types.items()):
                 mapped = duck_to_spark_type(dt)
                 actual = spark_types.get(col)

@@ -36,6 +36,11 @@ def main() -> int:
     names = sorted(queries)
     if prefixes:
         names = [n for n in names if n.startswith(prefixes)]
+        if not names:
+            # a typo'd prefix must not read as a green pre-flight:
+            # checked=0 with exit 0 verifies nothing (r06 review)
+            print(f"no queries match prefixes {prefixes!r}", file=sys.stderr)
+            return 2
 
     spark = get_spark_session(app_name="parity-sf001", master="local[16]",
                               shuffle_partitions=16)
