@@ -207,7 +207,15 @@ _TRAINED_M_MEMO: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
 
 
 def _evict(memo: dict, key: tuple[str, str, int]) -> None:
-    for k in [k for k in memo if k[0] == key[0] and k[1] == key[1]]:
+    # drop superseded same-app/same-path entries (rewritten fixture)
+    # AND every entry from a DIFFERENT application: a stopped session's
+    # checkpointed frames are unusable and would otherwise accumulate
+    # for the process lifetime (r06 diff review)
+    for k in [
+        k
+        for k in memo
+        if k[0] != key[0] or (k[0] == key[0] and k[1] == key[1])
+    ]:
         memo.pop(k)
 
 

@@ -471,12 +471,14 @@ HOF_Q_SCALE = 10000
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-           CAST(COALESCE(list_aggregate(list_transform(embedding,
+           CAST(CASE WHEN embedding IS NULL THEN NULL
+                ELSE COALESCE(list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
-                'sum'), 0) AS BIGINT) AS q_sum,
-           CAST(COALESCE(list_aggregate(list_transform(embedding,
+                'sum'), 0) END AS BIGINT) AS q_sum,
+           CAST(CASE WHEN embedding IS NULL THEN NULL
+                ELSE COALESCE(list_aggregate(list_transform(embedding,
                   x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT))),
-                'sum'), 0) AS BIGINT) AS q_l1,
+                'sum'), 0) END AS BIGINT) AS q_l1,
            CAST(list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
                 'max') AS BIGINT) AS q_max
@@ -494,11 +496,12 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: per-component quantization to BIGINT at
     HOF_Q_SCALE (see module note), then integer folds. The oracle
-    COALESCEs the sum folds to 0: DuckDB `list_aggregate([], 'sum')`
-    is NULL while Spark's `aggregate(..., 0, +)` returns the init
-    value for an empty array (the round-5 `array_to_string` lesson,
-    r06 review catch). `q_max` stays NULL/NULL — both engines agree
-    there.
+    COALESCEs the sum folds to 0 — but ONLY for non-NULL arrays:
+    DuckDB `list_aggregate([], 'sum')` is NULL while Spark's
+    `aggregate(..., 0, +)` returns the init value for an EMPTY array
+    (the round-5 `array_to_string` lesson), yet for a NULL array both
+    engines agree on NULL, so a bare COALESCE would over-correct
+    (r06 diff review). `q_max` stays NULL/NULL in both cases.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.transform(

@@ -1388,7 +1388,13 @@ def text_dechunk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = f"dechunk_chunks_{uuid.uuid4().hex}"
     QUERIES["text_chunk"](spark, sf_dir).createOrReplaceTempView(view)
-    return spark.sql(_dechunk_recursive_sql(view, _REBUILD_TAIL_SPARK))
+    try:
+        # spark.sql analyzes eagerly, so the returned DataFrame's plan
+        # no longer needs the catalog entry — drop it immediately or
+        # every invocation leaks a temp view for the session lifetime
+        return spark.sql(_dechunk_recursive_sql(view, _REBUILD_TAIL_SPARK))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------------------

@@ -165,6 +165,21 @@ def compact_table(
         writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
     writer.save(staged)
     _atomic_swap(path, staged)
+    if pcols:
+        # the partitioned path writes one file per hive partition, not
+        # n_files — report the real count, not the flat-path estimate
+        # (r06 diff review: the operator log printed the wrong number)
+        import glob as _glob
+
+        return len(
+            [
+                f
+                for f in _glob.glob(
+                    os.path.join(path, *(["*"] * len(pcols)), "part-*")
+                )
+                if not f.endswith(".crc")
+            ]
+        )
     return n_files
 
 

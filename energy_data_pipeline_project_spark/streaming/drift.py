@@ -89,14 +89,13 @@ def _drift_fn(reference_counts: list[int]):
 def drift_stream(orders: DataFrame, reference_counts: list[int]) -> DataFrame:
     """Streaming orders frame → running PSI bucket grid vs the pinned
     reference counts, re-emitted each micro-batch."""
-    # NULL totals have no bucket; drop them BEFORE the stateful fold so
-    # n_seen matches the counts the pandas value_counts keeps (it skips
-    # NaN) — the batch monitor excludes such rows from both sides.
-    buckets = (
-        orders.select(psi_bucket_col())
-        .where(F.col("bucket").isNotNull())
-        .withColumn("g", F.lit(0))
-    )
+    # NULL o_totalprice CANNOT produce a NULL bucket: Spark's
+    # greatest/least skip NULL arguments (verified), so a NULL total
+    # clamps to the TOP bucket — exactly what the batch monitor's
+    # shared psi_bucket_col does. value_counts therefore counts the
+    # row and n_seen agrees; no filter is needed for the twins to
+    # match (an isNotNull() on the bucket here would be a no-op).
+    buckets = orders.select(psi_bucket_col()).withColumn("g", F.lit(0))
     return buckets.groupBy("g").applyInPandasWithState(
         _drift_fn(reference_counts),
         outputStructType=DRIFT_OUTPUT_SCHEMA,

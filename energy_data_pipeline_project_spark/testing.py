@@ -70,13 +70,19 @@ def duck_to_spark_type(duck_type: str) -> str:
 
 
 def _is_forbidden_duck_type(duck_type: str) -> bool:
+    import re
+
     t = duck_type.upper()
     if any(f in t for f in FORBIDDEN_DUCK_TYPES):
         return True
     # Complex-typed outputs (lists/structs/maps) crash the driver's
     # pandas-based canonicalizer ("unhashable type: 'list'", r05
-    # verdict) — the surface must stay scalar-output-only.
-    return t.endswith("[]") or t.startswith(("STRUCT(", "MAP(", "LIST("))
+    # verdict) — the surface must stay scalar-output-only. The regex
+    # also catches FIXED-SIZE arrays ('DOUBLE[64]'), which DESCRIBE
+    # renders with a digit inside the brackets (r06 diff review).
+    return bool(re.search(r"\[\d*\]$", t)) or t.startswith(
+        ("STRUCT(", "MAP(", "LIST(")
+    )
 
 
 def forbidden_type_columns(con, oracle_sql: str) -> list[tuple[str, str]]:
