@@ -111,22 +111,8 @@ def _semantic_oracle() -> str:
     """
 
 
-def semantic_dup_pairs(
-    emb: DataFrame, *, k: int = SEM_K, threshold: float = SEM_THRESHOLD
-) -> DataFrame:
-    """Within-cluster cosine near-dup pairs (SemDeDup shape).
-
-    Plan: melt once (vec_id, dim, val-int, v-f64); assignment joins the
-    melted frame to K broadcast centroids and argmins with an integer
-    composite key (exact, tie-stable); the pair stage self-joins the
-    melted frame on (cluster, dim) so the shuffle key carries the
-    cluster — pair space is Σ n_c², never n². At 100 TB, k grows with
-    the corpus (SemDeDup uses k ≈ √n·const) keeping n_c bounded; the
-    melt is 64× row inflation but 3 skinny columns, and the float fast
-    path for the pair stage is the Arrow/BLAS kernel in
-    ``similarity.ann_topk_numpy``.
-    """
-    m = _cached(
+def _semantic_melt(emb: DataFrame) -> DataFrame:
+    return _cached(
         emb.select(
             "vec_id", F.posexplode("embedding").alias("pos0", "vf")
         ).select(
@@ -143,6 +129,17 @@ def semantic_dup_pairs(
             .alias("qv"),
         )
     )
+
+
+def semantic_cluster_assignment(
+    emb: DataFrame, *, k: int = SEM_K, m: DataFrame | None = None
+) -> DataFrame:
+    """``(vec_id, cluster)`` — the SemDeDup coarse assignment, public
+    so tests can verify the decomposition is LOSSLESS (within one
+    cluster, exactly the global pairs are found — r06 review: the
+    completeness direction was untestable without this)."""
+    if m is None:
+        m = _semantic_melt(emb)
     cent = F.broadcast(
         m.where(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cluster"),
@@ -151,7 +148,7 @@ def semantic_dup_pairs(
         )
     )
     d = F.col("val") - F.col("cval")
-    asn = (
+    return (
         m.join(cent, "dim")
         .groupBy("vec_id", "cluster")
         .agg(F.sum(d * d).alias("dist"))
@@ -162,6 +159,25 @@ def semantic_dup_pairs(
             .alias("cluster")
         )
     )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame, *, k: int = SEM_K, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (SemDeDup shape).
+
+    Plan: melt once (vec_id, dim, val-int, v-f64); assignment joins the
+    melted frame to K broadcast centroids and argmins with an integer
+    composite key (exact, tie-stable); the pair stage self-joins the
+    melted frame on (cluster, dim) so the shuffle key carries the
+    cluster — pair space is Σ n_c², never n². At 100 TB, k grows with
+    the corpus (SemDeDup uses k ≈ √n·const) keeping n_c bounded; the
+    melt is 64× row inflation but 3 skinny columns, and the float fast
+    path for the pair stage is the Arrow/BLAS kernel in
+    ``similarity.ann_topk_numpy``.
+    """
+    m = _semantic_melt(emb)
+    asn = semantic_cluster_assignment(emb, k=k, m=m)
     nrm = m.groupBy("vec_id").agg(
         F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("n2")
     )

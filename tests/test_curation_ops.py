@@ -108,32 +108,49 @@ def test_semantic_pairs_only_within_cluster(spark):
 
 
 def test_semantic_agrees_with_global_pairs_inside_cluster(spark):
-    """Within one cluster, SemDeDup must find exactly the pairs the
-    global all-pairs formulation finds (no candidate lost by the
-    cluster decomposition for co-clustered vectors)."""
-    emb = load_table(spark, SF_SMOKE, "embeddings")
-    sem = {
-        (r["vec_a"], r["vec_b"]): r["cosine"]
-        for r in semantic_dup_pairs(emb).collect()
-    }
-    dedup.release_cached_frames()
-    # global pairs over the full (sf0.001 => 500-vector) corpus
+    """Within one cluster, SemDeDup must find EXACTLY the pairs the
+    global all-pairs formulation finds — both directions: nothing
+    extra (clustering only prunes) and nothing lost for co-clustered
+    vectors (r06 review: the completeness direction was previously
+    unasserted, so a decomposition silently dropping within-cluster
+    candidates would have passed)."""
+    from energy_data_pipeline_project_spark.operators.curation import (
+        semantic_cluster_assignment,
+    )
     from energy_data_pipeline_project_spark.operators.dedup import (
         COSINE_SUBSET,
         dedup_embedding_cosine,
     )
 
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in semantic_dup_pairs(emb).collect()
+    }
+    cluster_of = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_cluster_assignment(emb).collect()
+    }
+    dedup.release_cached_frames()
+    # global pairs over the bounded all-pairs subset
     global_pairs = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
         for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()
         if r["cosine"] >= SEM_THRESHOLD
     }
-    # SemDeDup ⊆ global (clustering only PRUNES candidates) ...
-    sub = {p for p in sem if p[0] < COSINE_SUBSET and p[1] < COSINE_SUBSET}
-    assert sub <= set(global_pairs)
-    # ... and cosines agree exactly where both report the pair
-    for p in sub:
-        assert sem[p] == global_pairs[p]
+    sub = {
+        p: c
+        for p, c in sem.items()
+        if p[0] < COSINE_SUBSET and p[1] < COSINE_SUBSET
+    }
+    expected = {
+        p: c
+        for p, c in global_pairs.items()
+        if cluster_of[p[0]] == cluster_of[p[1]]
+    }
+    # exact agreement: same pair set AND same (integer-grid) cosines
+    assert sub == expected
+    assert expected  # non-trivial on this corpus
 
 
 def test_containment_detects_subset_docs(spark):
@@ -173,15 +190,16 @@ def test_bpe_greedy_merge_handles_self_overlap(spark):
     best, merged = _bpe_merge_round(s)
     b = best.collect()[0]
     assert (b["tok_a"], b["tok_b"], b["cnt"]) == ("a", "a", 5)
+    rows = merged.collect()  # ONE job, filtered locally per doc
     got = {
-        d: [r["tok"] for r in rs]
-        for d, rs in (
-            (doc, sorted(
-                [r for r in merged.collect() if r["doc_id"] == doc],
+        doc: [
+            r["tok"]
+            for r in sorted(
+                (r for r in rows if r["doc_id"] == doc),
                 key=lambda r: r["pos"],
-            ))
-            for doc in (1, 2)
-        )
+            )
+        ]
+        for doc in (1, 2)
     }
     assert got[1] == ["a a", "a a", "b"]
     assert got[2] == ["a a", "a", "b", "b"]

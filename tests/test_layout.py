@@ -34,36 +34,40 @@ def test_zorder_tightens_stats_on_both_columns(spark, tmp_path):
         (F.hash(F.col("id") + 1) % 10_000 + 10_000).alias("b"),
     )
     df.cache().count()
+    try:
+        sorted_path = str(tmp_path / "sorted_by_a")
+        df.repartitionByRange(files, "a").sortWithinPartitions(
+            "a"
+        ).write.parquet(sorted_path)
+        z_path = str(tmp_path / "zordered")
+        cluster_write(df, z_path, ["a", "b"], n_files=files)
 
-    sorted_path = str(tmp_path / "sorted_by_a")
-    df.repartitionByRange(files, "a").sortWithinPartitions("a").write.parquet(
-        sorted_path
-    )
-    z_path = str(tmp_path / "zordered")
-    cluster_write(df, z_path, ["a", "b"], n_files=files)
+        lo, hi = 10_000 - 10_000, 10_000 + 10_000
+        sa = _avg_normalized_range(sorted_path, "a", lo, hi)
+        sb = _avg_normalized_range(sorted_path, "b", lo, hi)
+        za = _avg_normalized_range(z_path, "a", lo, hi)
+        zb = _avg_normalized_range(z_path, "b", lo, hi)
 
-    lo, hi = 10_000 - 10_000, 10_000 + 10_000
-    sa = _avg_normalized_range(sorted_path, "a", lo, hi)
-    sb = _avg_normalized_range(sorted_path, "b", lo, hi)
-    za = _avg_normalized_range(z_path, "a", lo, hi)
-    zb = _avg_normalized_range(z_path, "b", lo, hi)
-    df.unpersist()
+        # sort-by-a: a is tight, b spans ~everything
+        assert sa < 0.2
+        assert sb > 0.8
+        # z-order: BOTH columns usefully narrow — each file is a tile
+        assert za < 0.6, za
+        assert zb < 0.6, zb
+        # and the combined skipping power beats the single-column sort
+        assert za + zb < sa + sb
 
-    # sort-by-a: a is tight, b spans ~everything
-    assert sa < 0.2
-    assert sb > 0.8
-    # z-order: BOTH columns usefully narrow — each file is a tile
-    assert za < 0.6, za
-    assert zb < 0.6, zb
-    # and the combined skipping power beats the single-column sort
-    assert za + zb < sa + sb
-
-    # contents unchanged
-    back = spark.read.parquet(z_path)
-    assert back.count() == n
-    assert back.agg(F.sum("a"), F.sum("b")).collect() == df.agg(
-        F.sum("a"), F.sum("b")
-    ).collect()
+        # contents unchanged
+        back = spark.read.parquet(z_path)
+        assert back.count() == n
+        assert back.agg(F.sum("a"), F.sum("b")).collect() == df.agg(
+            F.sum("a"), F.sum("b")
+        ).collect()
+    finally:
+        # an assertion failure must not leak the cached frame into the
+        # shared session (it would skew the persistent-RDD delta check
+        # in test_dedup_skew — r06 review)
+        df.unpersist()
 
 
 def test_normalize_clamps_fractional_overflow(spark):

@@ -17,7 +17,7 @@ from .conftest import SF_CORRECT, SF_SMOKE
 
 
 # --- text_segment_dedup -----------------------------------------------------
-def test_segment_dedup_first_writer_wins(spark):
+def test_segment_dedup_first_writer_wins(spark, tmp_path):
     """A segment appearing in several docs survives only at its
     corpus-global first position; fully duplicate docs end NULL."""
     rows = [
@@ -30,7 +30,7 @@ def test_segment_dedup_first_writer_wins(spark):
     # via the same plan on a temp table is overkill — just rebuild.
     out = {
         r["doc_id"]: r
-        for r in _segment_dedup_frame(docs).collect()
+        for r in _segment_dedup_frame(docs, tmp_path).collect()
     }
     assert out[1]["deduped_text"] == "alpha beta gamma delta"
     assert out[1]["kept_segments"] == 2
@@ -40,13 +40,14 @@ def test_segment_dedup_first_writer_wins(spark):
     assert out[3]["kept_segments"] == 0 and out[3]["total_segments"] == 2
 
 
-def _segment_dedup_frame(docs):
+def _segment_dedup_frame(docs, tmp_path):
     """Run the text_segment_dedup plan on an arbitrary docs frame via a
-    temp view swap (the query reads the documents table by path)."""
+    fixture-table swap (the query reads the documents table by path).
+    Uses pytest tmp_path so the parquet fixture is retention-bounded
+    instead of leaking into the system temp dir (r06 review)."""
     spark = docs.sparkSession
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="segdedup-")
+    d = str(tmp_path / "segdedup")
     docs.select(
         "doc_id", "text", F.lit("en").alias("lang"),
         F.lit("t").alias("source"), F.length("text").alias("n_chars"),

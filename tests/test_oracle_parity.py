@@ -26,7 +26,10 @@ def test_oracle_parity(spark, name):
 )
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
-    assert df.count() >= 0
+    # >= 1, not >= 0 (which could never fail): the driver's rows-only
+    # gate records the count, and a query regressing to an empty
+    # result must fail HERE first (r06 review)
+    assert df.count() >= 1
 
 
 def test_no_forbidden_duckdb_output_types():

@@ -152,7 +152,10 @@ def test_late_event_does_not_split_session(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("late-ev")
     src, ckpt, out = str(root / "src"), str(root / "ckpt"), str(root / "out")
 
-    def write_events(rows, subdir):
+    def write_events(rows):
+        # both batches append into ONE source dir; the checkpoint
+        # between run_once() calls is what pins the batch boundary
+        # (a subdir param here once suggested otherwise — r06 review)
         spark.createDataFrame(
             rows,
             "event_id long, ts timestamp, user_id long,"
@@ -175,14 +178,13 @@ def test_late_event_does_not_split_session(spark, tmp_path_factory):
     import datetime as dt
 
     d = dt.datetime(1995, 6, 1)
-    write_events([(1, d.replace(hour=10), 7, "view", 1.0, "{}")], "a")
+    write_events([(1, d.replace(hour=10), 7, "view", 1.0, "{}")])
     run_once()
     write_events(
         [
             (2, d.replace(hour=9, minute=45), 7, "view", 1.0, "{}"),
             (3, d.replace(hour=10, minute=20), 7, "view", 1.0, "{}"),
-        ],
-        "b",
+        ]
     )
     run_once()
 

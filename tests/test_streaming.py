@@ -414,7 +414,7 @@ def test_stream_merge_sink_keeps_latest_per_key(spark, tmp_path):
     q = write_stream_merge_to_lake(
         stream, lake, key_cols=("k",), order_col="ver"
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
 
     got = {
         r["k"]: (r["ver"], r["v"])
