@@ -105,11 +105,10 @@ def attribute_batch(
             clicks = prior.unionByName(bc)
 
     split = attribution_split(clicks, bp).localCheckpoint(eager=True)
-    # an all-empty write would leave a schema-less partition dir; a
-    # click-less batch has nothing to record (and nothing a replay
-    # would need to replace)
-    if not bc.isEmpty():
-        _write_batch_partition(bc, clicks_path, batch_id)
+    # empty-frame handling (schema-less dir hazard) lives inside
+    # _write_batch_partition — a second isEmpty() here was a
+    # redundant Spark job per micro-batch (r06 review)
+    _write_batch_partition(bc, clicks_path, batch_id)
     return split
 
 
@@ -129,11 +128,9 @@ def stream_attribution(
             return
         split = attribute_batch(batch, clicks_path, batch_id)
         # clicks-only batches (normal at stream start) attribute
-        # nothing; writing an empty frame would leave a schema-less
-        # splits_path that breaks the rollup read — same guard as the
-        # click-log write
-        if not split.isEmpty():
-            _write_batch_partition(split, splits_path, batch_id)
+        # nothing; the empty-frame guard inside _write_batch_partition
+        # skips the schema-less write
+        _write_batch_partition(split, splits_path, batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(handle)

@@ -109,10 +109,9 @@ def stream_dedup_index(
         verdicts = screen_and_index_batch(
             batch, index_path, batch_id, bucket_cap=bucket_cap
         )
-        # a duplicate-free batch emits no verdicts; an empty write
-        # would leave a schema-less sink until a duplicate appears
-        if not verdicts.isEmpty():
-            _write_batch_partition(verdicts, verdicts_path, batch_id)
+        # a duplicate-free batch emits no verdicts; the empty-frame
+        # guard inside _write_batch_partition skips the write
+        _write_batch_partition(verdicts, verdicts_path, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -109,8 +109,17 @@ def funnel_report(spark: SparkSession, state_path: str) -> DataFrame:
     semantics as the batch ``events_funnel_steps``. Cold start (no
     non-empty batch processed yet) reports zero users, exactly as the
     batch query does on an empty events table."""
+    # _atomic_swap's two renames leave a window where state_path does
+    # not exist but the parked ._pre_swap copy does — reading the
+    # parked copy there returns the last COMMITTED state instead of a
+    # silent cold-start all-zero report (r06 review). A report that
+    # races the rmtree of the parked copy mid-scan still fails loudly
+    # (FileNotFound) rather than fabricating zeros.
+    pre = state_path.rstrip("/") + "._pre_swap"
     if os.path.exists(state_path):
         state = spark.read.parquet(state_path)
+    elif os.path.exists(pre):
+        state = spark.read.parquet(pre)
     else:
         state = spark.createDataFrame(
             [], "user_id bigint, mv bigint, mc bigint, mp bigint"

@@ -152,13 +152,22 @@ def windowed_distinct_users(events: DataFrame) -> DataFrame:
     (one stage, HLL-sized state) — exactness is the point here, so the
     batch twin (events_daily-style distinct) can hash-verify parity.
     """
+    # The dedup delay must span a FULL DAY, not the pipeline's 1h
+    # lateness bound: dropDuplicatesWithinWatermark only guarantees
+    # dedup of events whose timestamps differ by less than the delay,
+    # and two same-day events can be up to 24h apart. With the 1h
+    # delay, a (day, user) key was evicted an hour after the user's
+    # first event and a later same-day event re-emitted — silently
+    # over-counting n_users (r06 review). The cost of exactness is
+    # day-grain state lifetime and day-close emission lag; the cheap
+    # alternative at extreme cardinality stays approx_count_distinct.
     deduped = (
         events.select(
             F.col("ts"),
             F.to_date("ts").alias("event_date"),
             "user_id",
         )
-        .withWatermark("ts", WATERMARK)
+        .withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["event_date", "user_id"])
     )
     return (

@@ -63,9 +63,19 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> PQIndex:
     )
 
 
-def _serve_batch(batch: DataFrame, index: PQIndex) -> DataFrame:
+def _serve_batch(
+    batch: DataFrame, index: PQIndex, *, queries_share_corpus_ids: bool = True
+) -> DataFrame:
     """The batch ADC+refine pipeline applied to one micro-batch of
-    (query_id, embedding) rows. Identical math to ann_topk_pq."""
+    (query_id, embedding) rows. Identical math to ann_topk_pq.
+
+    ``queries_share_corpus_ids`` controls the self-match exclusion:
+    the batch twin's queries ARE corpus vectors, so ``query_id ==
+    neighbor_id`` is a self-match and is dropped (the pinned parity
+    contract). A caller whose query_ids are EXTERNAL request ids must
+    pass False — otherwise a corpus vector that merely shares the
+    request's numeric id would be silently excluded from the top-k
+    (r06 review)."""
     qm = batch.select(
         "query_id", F.posexplode("embedding").alias("pos0", "v")
     ).select(
@@ -92,9 +102,10 @@ def _serve_batch(batch: DataFrame, index: PQIndex) -> DataFrame:
         .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
     )
     w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
+    if queries_share_corpus_ids:
+        adist = adist.where(F.col("query_id") != F.col("neighbor_id"))
     shortlist = (
-        adist.where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rn", F.row_number().over(w))
+        adist.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
@@ -139,16 +150,32 @@ def _serve_batch(batch: DataFrame, index: PQIndex) -> DataFrame:
 
 
 def serve_ann_stream(
-    queries_stream: DataFrame, index: PQIndex, out_dir: str, checkpoint: str
+    queries_stream: DataFrame,
+    index: PQIndex,
+    out_dir: str,
+    checkpoint: str,
+    *,
+    queries_share_corpus_ids: bool = True,
 ):
     """Start the serving query: each micro-batch of (query_id,
-    embedding) rows is answered against the static index and appended
-    to ``out_dir`` as parquet. Returns the StreamingQuery."""
+    embedding) rows is answered against the static index and written
+    to ``out_dir`` as a batch_id-partitioned parquet lake — the same
+    idempotent sink every other foreachBatch handler in this package
+    uses, so an at-least-once redelivery overwrites its own partition
+    instead of appending duplicate answer rows (r06 review). Returns
+    the StreamingQuery."""
+    from ..pipeline.lake import write_batch_partition
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        _serve_batch(batch, index).write.mode("append").parquet(out_dir)
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        write_batch_partition(
+            _serve_batch(
+                batch,
+                index,
+                queries_share_corpus_ids=queries_share_corpus_ids,
+            ),
+            out_dir,
+            batch_id,
+        )
 
     return (
         queries_stream.writeStream.foreachBatch(handle)

@@ -106,10 +106,9 @@ def stream_span_index(
         if batch.isEmpty():
             return
         spans = screen_and_index_span_batch(batch, index_path, batch_id)
-        # a duplicate-free batch emits no spans; writing the empty
-        # frame would leave a schema-less sink until a span appears
-        if not spans.isEmpty():
-            _write_batch_partition(spans, spans_path, batch_id)
+        # a duplicate-free batch emits no spans; the empty-frame guard
+        # inside _write_batch_partition skips the write
+        _write_batch_partition(spans, spans_path, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -72,6 +72,26 @@ def _sessionize_fn(
         for pdf in batches
         for t in pd.to_datetime(pdf["ts"])
     )
+    # Late events more than a gap BEFORE the open session belong to
+    # their own earlier session(s): merging them (start = min) would
+    # emit one session with an interior gap larger than the threshold,
+    # where the batch twin emits two (r06 review). They are sorted,
+    # and every island here ends > GAP before `start`, so each closes
+    # immediately and can never merge with the open session.
+    if start is not None:
+        pre = [t for t in ts if t < start - SESSION_GAP_SECONDS]
+        ts = ts[len(pre):]
+        p_n, p_start, p_last = 0, None, None
+        for t in pre:
+            if p_last is not None and t - p_last > SESSION_GAP_SECONDS:
+                closed.append((user_id, p_n, p_last - p_start))
+                p_n, p_start = 0, t
+            if p_start is None:
+                p_start = t
+            p_n += 1
+            p_last = t
+        if p_n:
+            closed.append((user_id, p_n, p_last - p_start))
     for t in ts:
         if last is not None and t - last > SESSION_GAP_SECONDS:
             closed.append((user_id, n, last - start))
@@ -82,8 +102,9 @@ def _sessionize_fn(
         # A late-but-within-watermark event (t < last) must not move
         # the session frontier backwards: that would fake a gap against
         # the NEXT event and fire the event-time timeout early. The
-        # frontier is monotone; late events only extend the count and
-        # can only pull `start` earlier.
+        # frontier is monotone; late events within a gap of the open
+        # session only extend the count and can only pull `start`
+        # earlier (by at most one gap — older ones split off above).
         start = min(start, t)
         last = t if last is None else max(last, t)
 

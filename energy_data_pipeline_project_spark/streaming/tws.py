@@ -56,7 +56,11 @@ class RunningUserTotals(StatefulProcessor):
             # (away from zero) to match Spark's ROUND in the batch
             # aggregate this operator is pinned against — pandas
             # .round() is half-EVEN and diverges on exact .5 cents.
-            v = pdf["value"] * 100
+            # dropna FIRST: a NULL value is NaN here, and
+            # floor(NaN+0.5).astype(int64) is INT64_MIN garbage that
+            # would corrupt the lifetime total forever — the batch
+            # twin's SUM(ROUND(value*100)) skips NULLs (r06 review)
+            v = pdf["value"].dropna() * 100
             import numpy as np
 
             half_up = np.sign(v) * np.floor(np.abs(v) + 0.5)

@@ -195,3 +195,49 @@ def test_late_event_does_not_split_session(spark, tmp_path_factory):
     except Exception:  # zero closed sessions -> schema-less file sink
         closed = []
     assert closed == [], f"spurious session split: {closed}"
+
+
+def test_distant_late_event_forms_its_own_session(spark, tmp_path_factory):
+    """A late event more than a gap BEFORE the open session must NOT
+    merge into it (start = min would emit one session with an interior
+    gap over the threshold — r06 review). With state start=10:00 and a
+    9:15 event arriving late (within the 1h watermark, but 45 min
+    before the session start), the 9:15 event closes immediately as
+    its own single-event session and the open session is untouched."""
+    root = tmp_path_factory.mktemp("distant-late")
+    src, ckpt, out = str(root / "src"), str(root / "ckpt"), str(root / "out")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = jobs.read_event_stream(spark, src)
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    d = dt.datetime(1995, 6, 1)
+    write_events([(1, d.replace(hour=10), 9, "view", 1.0, "{}")])
+    run_once()
+    # 9:15 is within the 1h watermark (10:00 - 1h = 9:00) but 45 min
+    # before the open session's start — more than the 30-min gap
+    write_events([(2, d.replace(hour=9, minute=15), 9, "view", 1.0, "{}")])
+    run_once()
+
+    closed = spark.read.parquet(out).where("user_id = 9").collect()
+    assert [(r["n_events"], r["duration_s"]) for r in closed] == [(1, 0.0)], (
+        closed
+    )

@@ -527,7 +527,9 @@ def test_windowed_distinct_users_parity(spark, event_dir):
     # append mode only emits windows the watermark has closed; every
     # emitted day must match batch exactly, and most days must emit
     assert g and all(g[d] == b[d] for d in g)
-    assert len(g) >= len(b) - 1  # the final day may still be open
+    # the 24h dedup watermark (required for EXACT daily distinct —
+    # same-day events can be 24h apart) holds the final two days open
+    assert len(g) >= len(b) - 2
 
 
 def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
