@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,16 @@ def _stamp_stats() -> tuple[dict[str, int], dict[str, int]]:
     counts: dict[str, int] = {}
     last: dict[str, int] = {}
     root = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+    def _round_num(path: str) -> int:
+        # numeric sort: lexicographic would put r100 before r11
+        # (r07 advisor); non-conforming names sort first, harmlessly
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_num
+    )
     for idx, path in enumerate(paths):
         try:
             with open(path) as f:

@@ -36,12 +36,21 @@ def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
     and ``morton_key`` — which reads only the low ``bits`` bits —
     would silently wrap it into a LOW tile, giving that file a
     full-range zone map and defeating the skipping this module exists
-    for (r06 review catch, confirmed empirically)."""
+    for (r06 review catch, confirmed empirically).
+
+    NULL placement: a NULL column value normalizes to 0 (the bottom
+    tile), pinned explicitly with NVL — Spark's GREATEST/LEAST *skip*
+    NULL arguments, so without it a NULL would silently clamp to the
+    TOP tile (r07 advisor). Bottom is chosen to match the
+    NULLS-FIRST ordering a plain ``sortWithinPartitions`` on the raw
+    column would give; NULL rows co-locate in the lowest-key files
+    either way, keeping the other files' zone maps NULL-free."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
     return F.expr(
         f"GREATEST(0, LEAST({top}, "
-        f"CAST(((CAST({col} AS DOUBLE) - {lo}) / {span}) * {top} AS BIGINT)))"
+        f"NVL(CAST(((CAST({col} AS DOUBLE) - {lo}) / {span}) * {top} "
+        f"AS BIGINT), 0)))"
     )
 
 

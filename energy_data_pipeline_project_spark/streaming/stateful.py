@@ -72,15 +72,25 @@ def _sessionize_fn(
         for pdf in batches
         for t in pd.to_datetime(pdf["ts"])
     )
-    # Late events more than a gap BEFORE the open session belong to
-    # their own earlier session(s): merging them (start = min) would
-    # emit one session with an interior gap larger than the threshold,
-    # where the batch twin emits two (r06 review). They are sorted,
-    # and every island here ends > GAP before `start`, so each closes
-    # immediately and can never merge with the open session.
+    # Late events before the open session belong to it only if they
+    # CHAIN into it: session merging is transitive, so an event at
+    # start-35min followed by one at start-20min (gap 30min) both merge
+    # with the open session in the batch twin — a fixed cut at
+    # start-GAP would wrongly split the first into its own session
+    # (r07 advisor). Walk the sorted pre-start events backwards from
+    # `start` and split only at an actual >GAP gap between consecutive
+    # events; everything before that gap forms earlier island
+    # session(s) that close immediately and can never merge with the
+    # open session.
     if start is not None:
-        pre = [t for t in ts if t < start - SESSION_GAP_SECONDS]
-        ts = ts[len(pre):]
+        before = [t for t in ts if t < start]
+        split = len(before)
+        frontier = start
+        while split > 0 and frontier - before[split - 1] <= SESSION_GAP_SECONDS:
+            split -= 1
+            frontier = before[split]
+        pre = before[:split]
+        ts = before[split:] + [t for t in ts if t >= start]
         p_n, p_start, p_last = 0, None, None
         for t in pre:
             if p_last is not None and t - p_last > SESSION_GAP_SECONDS:
@@ -102,9 +112,9 @@ def _sessionize_fn(
         # A late-but-within-watermark event (t < last) must not move
         # the session frontier backwards: that would fake a gap against
         # the NEXT event and fire the event-time timeout early. The
-        # frontier is monotone; late events within a gap of the open
-        # session only extend the count and can only pull `start`
-        # earlier (by at most one gap — older ones split off above).
+        # frontier is monotone; late events that chain into the open
+        # session (every consecutive gap ≤ GAP — older ones split off
+        # above) only extend the count and pull `start` earlier.
         start = min(start, t)
         last = t if last is None else max(last, t)
 

@@ -108,3 +108,23 @@ def test_cluster_write_empty_and_all_null_frames(spark, tmp_path):
     p2 = str(tmp_path / "nulls")
     cluster_write(nulls, p2, ["a", "b"], n_files=4)
     assert spark.read.parquet(p2).count() == 10
+
+
+def test_normalize_sends_null_to_bottom_tile(spark):
+    """Spark GREATEST/LEAST *skip* NULL arguments, so an unguarded
+    NULL cluster value clamped to the TOP tile (r07 advisor). The
+    pinned placement is the bottom tile (0), matching NULLS-FIRST of
+    a plain sort on the raw column."""
+    from energy_data_pipeline_project_spark.functions.layout import (
+        _normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (0,), (999,)], "a bigint"
+    )
+    rows = df.select(
+        F.col("a"), _normalize("a", 0, 999, 16).alias("n")
+    ).collect()
+    by_a = {r["a"]: r["n"] for r in rows}
+    assert by_a[None] == 0, by_a
+    assert by_a[0] == 0 and by_a[999] == (1 << 16) - 1, by_a

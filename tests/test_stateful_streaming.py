@@ -241,3 +241,62 @@ def test_distant_late_event_forms_its_own_session(spark, tmp_path_factory):
     assert [(r["n_events"], r["duration_s"]) for r in closed] == [(1, 0.0)], (
         closed
     )
+
+
+def test_chained_late_events_merge_into_open_session(
+    spark, tmp_path_factory
+):
+    """Session merging is transitive: with state start=10:00 and GAP
+    30 min, late events at 9:20 and 9:45 CHAIN into the open session
+    (9:20→9:45 is 25 min, 9:45→10:00 is 15 min) — the batch twin emits
+    ONE 3-event session. A fixed cut at start-GAP=9:30 wrongly split
+    9:20 into its own session (r07 advisor). Both events sit inside
+    the 1h watermark (9:00). A third batch (other user, 12:00) pushes
+    the watermark past last+gap so the merged session closes and its
+    n_events proves the merge."""
+    root = tmp_path_factory.mktemp("chained-late")
+    src, ckpt, out = str(root / "src"), str(root / "ckpt"), str(root / "out")
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = jobs.read_event_stream(spark, src)
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    d = dt.datetime(1995, 6, 1)
+    write_events([(1, d.replace(hour=10), 11, "view", 1.0, "{}")])
+    run_once()
+    write_events(
+        [
+            (2, d.replace(hour=9, minute=20), 11, "view", 1.0, "{}"),
+            (3, d.replace(hour=9, minute=45), 11, "view", 1.0, "{}"),
+        ]
+    )
+    run_once()
+    # advance the watermark past last+gap (10:30) to time the merged
+    # session out; different user so it can't touch user 11's state
+    write_events([(4, d.replace(hour=12), 12, "view", 1.0, "{}")])
+    run_once()
+
+    closed = spark.read.parquet(out).where("user_id = 11").collect()
+    # one 3-event session spanning 9:20→10:00 (2400 s); the fixed-cut
+    # bug emitted an extra 1-event session for 9:20 and a 2-event one
+    assert [(r["n_events"], r["duration_s"]) for r in closed] == [
+        (3, 2400.0)
+    ], closed
