@@ -251,22 +251,29 @@ def main() -> None:
         release_cached_frames,
     )
 
-    # Min-of-2 per headline query: the driver VM shows bursty CPU
-    # steal from host contention (measured 2-6x swings on identical
-    # plans minutes apart), and a single sample can land entirely
-    # inside a burst. The min of two spaced samples is the best cheap
-    # estimator of the machine-independent cost the judge wants.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Median-of-3 per headline query (r06 verdict #1): the driver VM
+    # shows bursty CPU steal from host contention (measured 2-6x
+    # swings on identical plans minutes apart), and a single sample
+    # can land entirely inside a burst — the unexplained r05→r06
+    # +13.6% headline drift on untouched queries was unattributable
+    # for exactly that reason. Reps are interleaved (all queries per
+    # sweep, three sweeps) so one steal burst can't hit all three
+    # samples of the same query; the median resists both a slow and
+    # an anomalously-cached-fast outlier. Per-rep spread goes to
+    # BENCH_DETAIL.json; only the medians ride the stdout line.
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            reps[name].append(round(time.perf_counter() - t0, 3))
             # dedup queries persist signature/posting frames during the
             # run; release them so later timings aren't skewed by cache
             # memory pressure (no-op for queries that cached nothing)
             release_cached_frames()
+    timings: dict[str, float] = {
+        name: sorted(rs)[len(rs) // 2] for name, rs in reps.items()
+    }
 
     # The reference's own workload: a 7-day medallion backfill
     # (bronze ingest → silver flatten → gold aggregates+join, all
@@ -280,7 +287,8 @@ def main() -> None:
     from energy_data_pipeline_project_spark.sources.fixtures import fixture_payloads
     from energy_data_pipeline_project_spark.sources.payloads import LocalJsonSource
 
-    for _ in range(2):  # min-of-2, same steal-burst rationale as above
+    reps["pipeline_medallion_7d"] = []
+    for _ in range(3):  # median-of-3, same steal-burst rationale as above
         lake = tempfile.mkdtemp(prefix="bench-lake-")
         try:
             cfg = PipelineConfig(
@@ -293,12 +301,14 @@ def main() -> None:
             src = LocalJsonSource(fixture_payloads(days))
             t0 = time.perf_counter()
             run_pipeline(spark, cfg, src)
-            dt = round(time.perf_counter() - t0, 3)
-            timings["pipeline_medallion_7d"] = min(
-                timings.get("pipeline_medallion_7d", dt), dt
+            reps["pipeline_medallion_7d"].append(
+                round(time.perf_counter() - t0, 3)
             )
         finally:
             shutil.rmtree(lake, ignore_errors=True)
+    timings["pipeline_medallion_7d"] = sorted(
+        reps["pipeline_medallion_7d"]
+    )[1]
 
     # Extras are single-sample by design (~125 queries); the two WATCH
     # queries wobbled >1.3x between r03 and r04 from first-touch/JIT
@@ -331,7 +341,7 @@ def main() -> None:
     # (the reference publishes no numbers — BASELINE.md). Per-query
     # ratios vs it go to BENCH_DETAIL.json; only the total ratio rides
     # on the stdout line.
-    detail = {"extra_queries": extra}
+    detail = {"extra_queries": extra, "headline_reps": reps}
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_r01.json")
     try:
         with open(baseline_path) as f:
