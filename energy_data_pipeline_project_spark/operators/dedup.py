@@ -53,21 +53,11 @@ SHINGLE_DOC_CAP = 100  # posting rows per shingle hash
 # bucket array (no postings self-join, no window sort).
 
 # Frames persisted during plan construction (signature/posting frames
-# feed several subplans). A long-lived session must be able to release
-# them: release_cached_frames() after consuming a query's result.
-_CACHED_FRAMES: list[DataFrame] = []
-
-
-def _cached(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _CACHED_FRAMES.append(df)
-    return df
-
-
-def release_cached_frames() -> None:
-    """Unpersist every frame cached by dedup plan construction."""
-    while _CACHED_FRAMES:
-        _CACHED_FRAMES.pop().unpersist()
+# feed several subplans). The registry is shared across operator
+# modules (see _frames.py); release_cached_frames() after consuming a
+# query's result — re-exported here as the long-standing public alias.
+from ._frames import cached as _cached  # noqa: E402
+from ._frames import release_cached_frames  # noqa: E402,F401
 
 _TOKS_DUCK = H.tokens_sql("text", duck=True)
 _TOKS_SPARK = H.tokens_sql("text", duck=False)
@@ -1885,22 +1875,29 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(
         F.asc_nulls_last("k"), "doc_id"
     )
-    nb = t.select(
-        "doc_id",
-        *[
-            F.lead("doc_id", i).over(w).alias(f"n{i}")
-            for i in range(1, SN_WINDOW)
-        ],
-    )
-    pairs = None
-    for i in range(1, SN_WINDOW):
-        p = nb.where(F.col(f"n{i}").isNotNull()).select(
-            F.least("doc_id", f"n{i}").alias("a"),
-            F.greatest("doc_id", f"n{i}").alias("b"),
+    # ONE window pass emits every neighbor as an array element; a
+    # single explode replaces the per-lead union arms, each of which
+    # re-scanned documents and re-sorted the lang block (r06 verdict
+    # #3: this was the widest plan on the digest at 6 scans — now 2).
+    # explode keeps NULL elements (it drops only NULL/empty arrays),
+    # so tail docs with fewer than SN_WINDOW-1 followers filter here.
+    pairs = (
+        t.select(
+            "doc_id",
+            F.array(
+                *[F.lead("doc_id", i).over(w) for i in range(1, SN_WINDOW)]
+            ).alias("ns"),
         )
-        pairs = p if pairs is None else pairs.unionAll(p)
+        .select("doc_id", F.explode("ns").alias("n"))
+        .where(F.col("n").isNotNull())
+        .select(
+            F.least("doc_id", "n").alias("a"),
+            F.greatest("doc_id", "n").alias("b"),
+        )
+    )
     h = H.md5_int64("tok", duck=False)
-    tok = (
+    # persisted: feeds both join arms AND the size agg (3 consumers)
+    tok = _cached(
         docs.select(
             "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok")
         )

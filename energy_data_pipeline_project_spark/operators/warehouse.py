@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
+from ._frames import cached as _cached_keys
 from ._registry import make_registry
 
 QUERIES, ORACLES, query = make_registry()
@@ -1486,11 +1487,27 @@ def _ri_oracle() -> str:
 @query("dq_referential_integrity", _ri_oracle())
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan counts + exact per-mille share for every FK edge of the
-    star schema — the pre-promotion warehouse health report."""
+    star schema — the pre-promotion warehouse health report.
+
+    Each star table is scanned ONCE: a persisted key-only projection
+    (every FK/PK column the audit needs — a few ints per row) serves
+    all the edges that table participates in. Without the persist,
+    lineitem was scanned three times and nation three (14 scans for 7
+    edges, r06 verdict #4); Spark reuses identical *exchanges* but has
+    no cross-subtree scan CSE, so the reuse must be explicit. Released
+    by release_cached_frames() like the dedup posting frames."""
+    need: dict[str, set[str]] = {}
+    for child, fk, parent, pk in _RI_EDGES:
+        need.setdefault(child, set()).add(fk)
+        need.setdefault(parent, set()).add(pk)
+    keys = {
+        t: _cached_keys(load_table(spark, sf_dir, t).select(*sorted(cs)))
+        for t, cs in need.items()
+    }
     out = None
     for child, fk, parent, pk in _RI_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        c = keys[child].select(fk)
+        p = keys[parent].select(pk).distinct()
         arm = (
             c.join(p, c[fk] == p[pk], "left")
             .agg(
