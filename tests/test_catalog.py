@@ -34,6 +34,54 @@ def test_delta_gating(spark):
     assert delta_available(spark) is False
 
 
+def test_auto_resolves_to_delta_when_probe_succeeds():
+    """Pin the DELTA side of the ``auto`` seam without Delta jars: a
+    stand-in session handle whose JVM probe *finds*
+    io.delta.tables.DeltaTable must make ``resolve_table_format('auto')``
+    pick delta through the REAL probe code path (Class.forName on the
+    handle), and a handle whose probe raises must fall back to parquet
+    — both directions test-pinned (r06 verdict #5). The container-side
+    negative against the real session is test_delta_gating above."""
+    import types
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        resolve_table_format,
+    )
+
+    probed: list[str] = []
+
+    def for_name(name):
+        probed.append(name)
+        return object()
+
+    def for_name_missing(name):
+        probed.append(name)
+        raise RuntimeError("ClassNotFoundException: " + name)
+
+    def handle(fn):
+        return types.SimpleNamespace(
+            _jvm=types.SimpleNamespace(
+                java=types.SimpleNamespace(
+                    lang=types.SimpleNamespace(
+                        Class=types.SimpleNamespace(forName=fn)
+                    )
+                )
+            )
+        )
+
+    assert resolve_table_format(handle(for_name), "auto") == "delta"
+    assert resolve_table_format(handle(for_name_missing), "auto") == "parquet"
+    # the probe must ask for the actual Delta entry class, nothing else
+    assert set(probed) == {"io.delta.tables.DeltaTable"}
+    # explicit formats never consult the probe
+    probed.clear()
+    assert resolve_table_format(handle(for_name_missing), "delta") == "delta"
+    assert (
+        resolve_table_format(handle(for_name_missing), "parquet") == "parquet"
+    )
+    assert probed == []
+
+
 def test_delta_write_roundtrip(spark, tmp_path_factory):
     """Round-trips one layer in Delta format through the lake IO.
 
