@@ -1016,14 +1016,9 @@ def _rp_signs(j: int) -> list[int]:
     return [1 if c >= 0 else -1 for c in _plane(j)]
 
 
-def _rp_proj_expr(j: int, *, duck: bool) -> str:
+def _rp_proj_expr(j: int) -> str:
+    """Spark-side projection j: one zip_with fold per sign row."""
     lits = ", ".join(str(s) for s in _rp_signs(j))
-    if duck:
-        return (
-            f"CAST(list_sum(list_transform(generate_series(1, {LSH_DIM}), "
-            f"d -> ([{lits}])[d] * CAST(FLOOR(CAST(embedding[d] AS DOUBLE) "
-            f"* {RP_QUANT}) AS BIGINT))) AS BIGINT)"
-        )
     return (
         f"aggregate(zip_with(embedding, array({lits}), "
         f"(x, s) -> s * CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT)), "
@@ -1032,18 +1027,36 @@ def _rp_proj_expr(j: int, *, duck: bool) -> str:
 
 
 def _rp_oracle() -> str:
-    projs = ",\n             ".join(
-        _rp_proj_expr(j, duck=True) for j in range(RP_DIM)
+    """DuckDB twin. The sign matrix is hoisted into a per-row
+    list-of-lists COLUMN: the earlier form indexed a 64-element list
+    literal inside the per-element lambda (``([…])[d]``), which DuckDB
+    re-materializes per element — 16 rows × 64 dims × 64-element
+    builds per input row made this the slowest oracle on the surface
+    (3.9 s for 500 rows at sf0.01; 0.04 s hoisted, bitwise-identical —
+    r06 verdict #8, same lesson as the MATERIALIZED CTEs: DuckDB does
+    not CSE expression literals)."""
+    sgn_rows = ", ".join(
+        "[" + ", ".join(str(s) for s in _rp_signs(j)) + "]"
+        for j in range(RP_DIM)
     )
     return f"""
-    WITH p AS MATERIALIZED (
+    WITH q AS MATERIALIZED (
       SELECT vec_id,
-             [{projs}] AS proj,
-             CAST(list_sum(list_transform(generate_series(1, {LSH_DIM}),
-               d -> CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {RP_QUANT})
-                    AS BIGINT) * CAST(FLOOR(CAST(embedding[d] AS DOUBLE)
-                    * {RP_QUANT}) AS BIGINT))) AS BIGINT) AS orig_norm_sq
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT))
+               AS ev,
+             [{sgn_rows}] AS sgn
       FROM embeddings
+    ),
+    p AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(generate_series(1, {RP_DIM}),
+               j -> CAST(list_sum(list_transform(
+                      generate_series(1, {LSH_DIM}),
+                      d -> sgn[j][d] * ev[d])) AS BIGINT)) AS proj,
+             CAST(list_sum(list_transform(ev, x -> x * x)) AS BIGINT)
+               AS orig_norm_sq
+      FROM q
     )
     SELECT vec_id,
            array_to_string(proj, ',') AS proj_csv,
@@ -1070,7 +1083,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the surface). Scalar-output-first is the driver contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = F.array(
-        *[F.expr(_rp_proj_expr(j, duck=False)) for j in range(RP_DIM)]
+        *[F.expr(_rp_proj_expr(j)) for j in range(RP_DIM)]
     ).alias("proj")
     orig = F.expr(
         f"aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc + "
