@@ -62,6 +62,16 @@ def morton_key(norm_cols: list[Column], bits: int = MORTON_BITS) -> Column:
     terms (pure codegen'd int ops, ~bits×cols terms).
     """
     n = len(norm_cols)
+    # JVM shiftleft uses only the low 6 bits of the distance, so a key
+    # wider than 63 bits would silently WRAP high bits of one column
+    # into low positions of another — colliding tiles and a defeated
+    # zone map, with no error (r07 review). Refuse instead.
+    if bits * n > 63:
+        raise ValueError(
+            f"morton key needs {bits * n} bits for {n} columns x {bits}"
+            " bits, over the 63-bit signed-long budget; lower `bits`"
+            f" (max {63 // n} for {n} columns)"
+        )
     key = F.lit(0).cast("bigint")
     for i, c in enumerate(norm_cols):
         for b in range(bits):
@@ -91,6 +101,9 @@ def cluster_write(
     (e.g. per date) as part of compaction; the range partitioner's
     sampling replaces any global sort.
     """
+    # keep the interleaved key inside the 63-bit signed-long budget for
+    # any column count; fewer bits per column just means coarser tiles
+    bits = min(bits, 63 // max(len(cluster_cols), 1))
     bounds = df.agg(
         *[F.min(c).cast("bigint").alias(f"lo_{c}") for c in cluster_cols],
         *[F.max(c).cast("bigint").alias(f"hi_{c}") for c in cluster_cols],

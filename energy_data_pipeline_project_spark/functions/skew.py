@@ -19,6 +19,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Collision-proof internal column; a caller-owned "_salt" column must
+# survive the join untouched (r07 review).
+_SALT = "__skew_salt__"
+
 
 def salted_join(
     big: DataFrame,
@@ -32,15 +36,29 @@ def salted_join(
     Result is identical to ``big.join(small, on, how)`` for inner and
     left joins (each big-side row matches exactly the same small-side
     rows; the salt only routes rows to partitions).
+
+    The salt must be DETERMINISTIC per row content: an earlier version
+    derived it from ``monotonically_increasing_id()``, so a fetch-
+    failure recompute could re-salt rows differently from the copy a
+    reducer had already fetched — silent row loss or duplication under
+    task retry (r07 review). ``xxhash64`` over every column is stable
+    across recomputes; identical duplicate rows share a salt, which
+    only costs spreading when the hot key's rows are bit-identical
+    (and identical rows carry no information to split on anyway).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salt = F.pmod(F.hash(F.col(on), F.monotonically_increasing_id()), F.lit(n_salt))
-    big_s = big.withColumn("_salt", salt)
+    for df, side in ((big, "big"), (small, "small")):
+        if _SALT in df.columns:
+            raise ValueError(f"{side} side already has a {_SALT} column")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    big_s = big.withColumn(_SALT, salt.cast("int"))
     small_s = small.crossJoin(
         F.broadcast(
-            big.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+            big.sparkSession.range(n_salt).select(
+                F.col("id").cast("int").alias(_SALT)
+            )
         )
     )
-    out = big_s.join(small_s, [on, "_salt"], how)
-    return out.drop("_salt")
+    out = big_s.join(small_s, [on, _SALT], how)
+    return out.drop(_SALT)

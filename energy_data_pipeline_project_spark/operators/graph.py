@@ -79,17 +79,28 @@ def pagerank_exact(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     return ranks.select(F.col("src").alias("doc_id"), "rank")
 
 
-def _pagerank_oracle() -> str:
-    parts = [
-        f"""
+def _edges_preamble() -> str:
+    """Shared oracle preamble: the LSH pair list symmetrized into an
+    edge list. Pairs are DISTINCT and ordered (doc_a < doc_b) by
+    construction — the invariant ``dedup.symmetric_edges`` centralizes
+    on the Spark side — so UNION ALL is duplicate-free; one spelling
+    here replaces four per-oracle copies, two of which used UNION and
+    paid a needless dedup (r07 review)."""
+    return f"""
     WITH pairs AS MATERIALIZED (
       {_minhash_oracle()}
     ),
     edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION
+      UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        _edges_preamble()
+        + f""",
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
     ed AS MATERIALIZED (
       SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
@@ -188,27 +199,36 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: peeling is a monotone fixpoint (each round only removes
 # nodes), so the result is independent of evaluation order — no floats,
-# no tie-breaks. The oracle replays the same fixed number of peel
-# rounds as generated CTEs; the Spark loop stops early on convergence,
-# which is equal to the fixed-round result because converged rounds are
-# idempotent (asserted: must converge within KCORE_ROUNDS).
+# no tie-breaks. BOTH engines run exactly KCORE_ROUNDS peel rounds (the
+# oracle as generated CTEs, the Spark loop with an early exit on
+# convergence, which is equal because converged rounds are idempotent).
+# A graph whose peel depth exceeds KCORE_ROUNDS — e.g. a chain of
+# pairwise-similar docs loses only its 2 endpoints per k=2 round —
+# yields the round-N OVER-approximation of the true core, identically
+# in both engines; an earlier version raised RuntimeError instead,
+# crashing the whole query on legitimate chain topologies (r07 review).
 KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
 def kcore_nodes(pairs: DataFrame, k: int = KCORE_K) -> DataFrame:
-    """Nodes of the k-core with their within-core degree.
+    """Nodes of the (≤KCORE_ROUNDS-round) k-core with their within-core
+    degree. Converged graphs (the near-clique dup families this runs
+    on: degeneracy peel depth 1-2) give the exact k-core; a
+    pathological deep-peel graph gives the fixed-round
+    over-approximation the oracle computes too.
 
     Scale shape: each peel round is one semi-join of the edge list
     against the surviving node set (both endpoints) + one degree
-    aggregate — all on 8-byte ids. Rounds are bounded by the graph's
-    degeneracy ordering depth, small for near-clique dup graphs;
-    ``localCheckpoint`` truncates the per-round plan growth exactly as
-    in the CC/PageRank loops.
+    aggregate — all on 8-byte ids. ``localCheckpoint`` truncates the
+    per-round plan growth exactly as in the CC/PageRank loops.
     """
     edges = symmetric_edges(pairs).localCheckpoint(eager=True)
     alive = edges.select(F.col("src").alias("v")).distinct()
     n_alive = alive.count()
+    core = alive.select(
+        F.col("v").alias("src"), F.lit(0).cast("bigint").alias("core_degree")
+    )
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.join(alive.withColumnRenamed("v", "src"), "src")
@@ -216,18 +236,13 @@ def kcore_nodes(pairs: DataFrame, k: int = KCORE_K) -> DataFrame:
             .groupBy("src")
             .agg(F.count("*").alias("core_degree"))
         )
-        nxt = (
-            deg.where(F.col("core_degree") >= k)
-            .select(F.col("src").alias("v"))
-            .localCheckpoint(eager=True)
-        )
+        core = deg.where(F.col("core_degree") >= k)
+        nxt = core.select(F.col("src").alias("v")).localCheckpoint(eager=True)
         n_nxt = nxt.count()
         if n_nxt == n_alive:
-            return deg.where(F.col("core_degree") >= k).select(
-                F.col("src").alias("doc_id"), "core_degree"
-            )
+            break  # fixpoint: every later round is identical
         alive, n_alive = nxt, n_nxt
-    raise RuntimeError(f"k-core peeling did not converge in {KCORE_ROUNDS} rounds")
+    return core.select(F.col("src").alias("doc_id"), "core_degree")
 
 
 def _kcore_oracle() -> str:
@@ -235,15 +250,8 @@ def _kcore_oracle() -> str:
     # alive set twice, and DuckDB inlines plain CTEs — without it the
     # whole LSH pair pipeline would be re-planned 2^rounds times.
     parts = [
-        f"""
-    WITH pairs AS MATERIALIZED (
-      {_minhash_oracle()}
-    ),
-    edges AS MATERIALIZED (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
+        _edges_preamble()
+        + """,
     a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges)"""
     ]
     for r in range(1, KCORE_ROUNDS + 1):
@@ -324,15 +332,8 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
 
 def _lpa_oracle() -> str:
     parts = [
-        f"""
-    WITH pairs AS MATERIALIZED (
-      {_minhash_oracle()}
-    ),
-    edges AS MATERIALIZED (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
+        _edges_preamble()
+        + """,
     l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM edges)"""
     ]
     for r in range(1, LPA_ROUNDS + 1):
@@ -430,15 +431,8 @@ def bfs_to_local_minima(pairs: DataFrame) -> DataFrame:
 
 def _bfs_oracle() -> str:
     parts = [
-        f"""
-    WITH pairs AS MATERIALIZED (
-      {_minhash_oracle()}
-    ),
-    edges AS MATERIALIZED (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
+        _edges_preamble()
+        + f""",
     d0 AS MATERIALIZED (
       SELECT src AS v,
              CASE WHEN src < MIN(dst) THEN 0 ELSE {_BFS_SENT} END AS d

@@ -220,6 +220,34 @@ def test_bfs_distances_path_graph_semantics(spark):
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_kcore_deep_peel_chain_returns_fixed_round_core(spark):
+    """A chain of 18 pairwise-similar docs peels only its 2 endpoints
+    per k=2 round, so emptying needs 9 rounds — past KCORE_ROUNDS=8.
+    The fixed-round contract (identical to the oracle's generated
+    CTEs) returns the round-8 over-approximation {v8, v9} with
+    core_degree 2; an earlier version raised RuntimeError on exactly
+    this legitimate topology (r07 review)."""
+    from energy_data_pipeline_project_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(17)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        r["doc_id"]: r["core_degree"]
+        for r in G.kcore_nodes(pairs).collect()
+    }
+    assert out == {8: 2, 9: 2}, out
+
+    # a converged graph (triangle) still returns the exact 2-core
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["core_degree"] for r in G.kcore_nodes(tri).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}, got
+
+
 def test_shared_lsh_pairs_matches_fresh_and_keys_on_mtime(spark, tmp_path):
     """The session-memoized pair frame must be bit-identical to a
     fresh minhash_lsh_pairs run, hit the memo on a second call, and
