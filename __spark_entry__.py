@@ -188,15 +188,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = all_queries()
     counts, last = _stamp_stats()
     order = list(qs)
-    # Never-stamped first, then least-stamped; within a count tier the
-    # STALEST last stamp re-checks first (r06 review: without the
-    # recency key a query stamped only in r01 could wait arbitrarily
-    # long behind same-count queries stamped last round). Remaining
-    # ties: priority list, then registration order (stable sort).
+    # STALENESS-primary: never-stamped queries (last = -1) lead, then
+    # whichever queries' most recent passing stamp is oldest — a failed
+    # row earns no stamp, so failures also sort back to the front.
+    # Count breaks recency ties (fewer lifetime stamps re-check first).
+    # Until r06 the sort was count-primary, which was right while ~90
+    # queries had count 0; once everything carried >= 1 stamp it left
+    # the truly stalest tier (count=2, last=r02) behind every count=1
+    # query from later rounds (r06 verdict #2 — recency is the
+    # coverage-freshness signal now). Remaining ties: priority list,
+    # then registration order (stable sort).
     order.sort(
         key=lambda n: (
-            counts.get(n, 0),
             last.get(n, -1),
+            counts.get(n, 0),
             _PRIORITY_RANK.get(n, len(_PRIORITY)),
         )
     )

@@ -16,22 +16,27 @@ def _entry():
         sys.path.pop(0)
 
 
-def test_never_stamped_queries_sort_first():
+def test_stalest_stamps_sort_first():
     """Data-driven (r05 lesson: hard-coded example names go stale the
-    moment the driver stamps them): the invariant is that stamp counts
-    are non-decreasing along the returned order, so never/least-stamped
-    queries always occupy the driver's ~50-query window first."""
+    moment the driver stamps them): since r07 the rotation is
+    STALENESS-primary — last-passing-stamp rounds are non-decreasing
+    along the returned order (never-stamped = -1 leads), so the
+    driver's ~50-query window always re-checks the least-recently
+    verified queries first. (Count-primary was the r04-r06 invariant,
+    right while dozens of queries had no stamp at all; with full
+    coverage it left the oldest stamps behind every once-stamped
+    query — r06 verdict #2.) Count still breaks recency ties, also
+    non-decreasing within a recency tier."""
     E = _entry()
     order = list(E.queries())
-    counts = E._passing_stamp_counts()
+    counts, last = E._stamp_stats()
     # gold_daily_join has a passing stamp in every recorded round
     assert counts.get("gold_daily_join", 0) >= 2
-    # non-decreasing stamp counts along the order is the whole
-    # invariant: it already implies every unstamped query precedes
-    # every max-stamped one (an explicit min()-over-maybe-empty check
-    # here crashed instead of asserting — r06 review)
-    stamp_seq = [counts.get(n, 0) for n in order]
-    assert stamp_seq == sorted(stamp_seq)
+    recency_seq = [last.get(n, -1) for n in order]
+    assert recency_seq == sorted(recency_seq)
+    for rnd in set(recency_seq):
+        tier = [counts.get(n, 0) for n in order if last.get(n, -1) == rnd]
+        assert tier == sorted(tier)
 
 
 def test_failed_rows_do_not_count_as_stamps():
