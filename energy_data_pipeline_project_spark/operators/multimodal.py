@@ -261,10 +261,14 @@ def sample_frames(
 
     ``mapInPandas`` so each Arrow batch demuxes its payloads with a
     real codec executor-side; emitting multiple rows per input row is
-    the flatMap shape Generate gives JVM plans. Partitioning preserved
-    (no shuffle); at 100 TB frame sampling is a pure map stage whose
-    output volume is input × kept-frames — size maxPartitionBytes for
-    the OUTPUT, not the input.
+    the flatMap shape Generate gives JVM plans. The sampling itself
+    adds no shuffle, but the input first passes ``spread_small_scan``,
+    which DOES round-robin-repartition when the scan has fewer
+    partitions than the session parallelism (tiny fixtures, single
+    files) so the Arrow work isn't single-threaded — at 100 TB the
+    scan already has enough partitions and that floor is a no-op,
+    leaving a pure map stage whose output volume is input ×
+    kept-frames: size maxPartitionBytes for the OUTPUT, not the input.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -137,30 +137,19 @@ def _codes_oracle() -> str:
 PQ_SHORTLIST = 50  # ADC candidates refined with exact distances
 
 
-def _adc_oracle() -> str:
-    # LUT against the codebook the final assignment used (c{ITERS-1});
-    # ADC distance = sum of the M per-subspace table entries. The ADC
-    # top-PQ_SHORTLIST per query is then re-ranked by the EXACT grid
-    # distance (the standard PQ refine stage — ADC generates
-    # candidates; the final order never depends on quantization error).
-    return f"""{_pq_oracle_prefix()}, lut AS (
-      SELECT m.vec_id AS query_id, c.sub, c.code,
-             SUM((m.val - c.cval) * (m.val - c.cval)) AS d2
-      FROM m JOIN c{PQ_ITERS - 1} c ON m.dim = c.dim
-      WHERE m.vec_id < {N_QUERY_VECS}
-      GROUP BY 1, 2, 3
-    ), adist AS (
-      SELECT l.query_id, cd.vec_id AS neighbor_id,
-             CAST(SUM(l.d2) AS BIGINT) AS adist_sq
-      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
-      GROUP BY 1, 2
-    ), shortlist AS (
+def _refine_oracle_tail(shortlist_n: int) -> str:
+    """Shared oracle tail: ADC shortlist → exact grid re-rank → top-k.
+    Expects CTEs ``adist(query_id, neighbor_id, adist_sq)`` and the
+    melted frame ``m``; identical between plain PQ and IVF-PQ except
+    the shortlist size (r07 review: was copy-pasted in both oracles,
+    mirroring the copy-pasted Spark block)."""
+    return f""", shortlist AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY adist_sq, neighbor_id) AS rn
         FROM adist WHERE query_id != neighbor_id
-      ) WHERE rn <= {PQ_SHORTLIST}
+      ) WHERE rn <= {shortlist_n}
     ), refined AS (
       SELECT s.query_id, s.neighbor_id,
              CAST(SUM((mq.val - mn.val) * (mq.val - mn.val)) AS BIGINT)
@@ -178,6 +167,26 @@ def _adc_oracle() -> str:
     SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, dist_sq
     FROM r WHERE rn <= {TOP_K}
     """
+
+
+def _adc_oracle() -> str:
+    # LUT against the codebook the final assignment used (c{ITERS-1});
+    # ADC distance = sum of the M per-subspace table entries. The ADC
+    # top-PQ_SHORTLIST per query is then re-ranked by the EXACT grid
+    # distance (the standard PQ refine stage — ADC generates
+    # candidates; the final order never depends on quantization error).
+    return f"""{_pq_oracle_prefix()}, lut AS (
+      SELECT m.vec_id AS query_id, c.sub, c.code,
+             SUM((m.val - c.cval) * (m.val - c.cval)) AS d2
+      FROM m JOIN c{PQ_ITERS - 1} c ON m.dim = c.dim
+      WHERE m.vec_id < {N_QUERY_VECS}
+      GROUP BY 1, 2, 3
+    ), adist AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adist_sq
+      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+      GROUP BY 1, 2
+    ){_refine_oracle_tail(PQ_SHORTLIST)}"""
 
 
 def _emb_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
@@ -401,11 +410,21 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
     )
+    return _refine_topk(adist, qm, melted, PQ_SHORTLIST)
+
+
+def _refine_topk(
+    adist: DataFrame, qm: DataFrame, melted: DataFrame, shortlist_n: int
+) -> DataFrame:
+    """Shared refine stage: ADC shortlist → exact grid re-rank →
+    top-k, the Spark twin of ``_refine_oracle_tail`` (r07 review: the
+    ~45-line block was copy-pasted between plain PQ and IVF-PQ, so a
+    refine fix could land in only one of them)."""
     w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
     shortlist = (
         adist.where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= PQ_SHORTLIST)
+        .where(F.col("rn") <= shortlist_n)
         .select("query_id", "neighbor_id")
     )
     refined = (
@@ -565,30 +584,7 @@ def _ivfpq_oracle() -> str:
       JOIN lut l ON l.cell = ce.cell AND l.sub = cd.sub
                 AND l.code = cd.code
       GROUP BY 1, 2
-    ), shortlist AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY adist_sq, neighbor_id) AS rn
-        FROM adist WHERE query_id != neighbor_id
-      ) WHERE rn <= {IVFPQ_SHORTLIST}
-    ), refined AS (
-      SELECT s.query_id, s.neighbor_id,
-             CAST(SUM((mq.val - mn.val) * (mq.val - mn.val)) AS BIGINT)
-               AS dist_sq
-      FROM shortlist s
-      JOIN m mq ON mq.vec_id = s.query_id
-      JOIN m mn ON mn.vec_id = s.neighbor_id AND mn.dim = mq.dim
-      GROUP BY 1, 2
-    ), r AS (
-      SELECT query_id, neighbor_id, dist_sq,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY dist_sq, neighbor_id) AS rn
-      FROM refined
-    )
-    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, dist_sq
-    FROM r WHERE rn <= {TOP_K}
-    """
+    ){_refine_oracle_tail(IVFPQ_SHORTLIST)}"""
 
 
 @query("ann_topk_ivfpq", _ivfpq_oracle())
@@ -701,50 +697,4 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
     )
-    w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
-    shortlist = (
-        adist.where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= IVFPQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    refined = (
-        shortlist.join(
-            F.broadcast(
-                qm.select(
-                    F.col("vec_id").alias("query_id"),
-                    "dim",
-                    F.col("val").alias("qval"),
-                )
-            ),
-            "query_id",
-        )
-        .join(
-            melted.select(
-                F.col("vec_id").alias("neighbor_id"),
-                "dim",
-                F.col("val").alias("nval"),
-            ),
-            ["neighbor_id", "dim"],
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(
-                (F.col("qval") - F.col("nval"))
-                * (F.col("qval") - F.col("nval"))
-            )
-            .cast("bigint")
-            .alias("dist_sq")
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
-    return (
-        refined.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rn").cast("int").alias("rank"),
-            "dist_sq",
-        )
-    )
+    return _refine_topk(adist, qm, melted, IVFPQ_SHORTLIST)

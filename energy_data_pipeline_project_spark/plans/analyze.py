@@ -53,7 +53,10 @@ def plan_report(df: DataFrame) -> PlanReport:
     # formatted explain lists each node twice (tree + numbered detail
     # section); count the "(N) NodeName" detail entries, once per node.
     rep.n_scans = len(re.findall(r"^\(\d+\) Scan parquet", text, re.M))
-    rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    # greedy to the LAST `]` on the line: In-filters render with nested
+    # brackets (`In(col, [v1,v2])`), and a first-`]` cut silently
+    # dropped every filter after one (r07 review)
+    rep.pushed_filters = re.findall(r"PushedFilters: \[(.*)\]", text)
     rep.read_schemas = re.findall(r"ReadSchema: (\S+)", text)
     rep.broadcast_joins = len(
         re.findall(r"^\(\d+\) Broadcast(?:Hash|NestedLoop)Join", text, re.M)

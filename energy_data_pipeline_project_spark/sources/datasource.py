@@ -75,9 +75,23 @@ class EnergyPayloadReader(DataSourceReader):
         self._days = _date_range(
             options["start_date"], options["end_date"]
         )
+        # fail LOUD at plan time, not with a silent empty result at
+        # execution time (r07 review): a reader with neither backend
+        # configured can never yield a row
+        if options.get("payload_root") is None and (
+            options.get("api_base_url") is None
+        ):
+            raise ValueError(
+                "energy_payloads needs .option('payload_root', dir) "
+                "and/or .option('api_base_url', url); neither is set"
+            )
 
     def partitions(self):
         n = int(self._o.get("days_per_task", DEFAULT_DAYS_PER_TASK))
+        if n < 1:
+            raise ValueError(
+                f"days_per_task must be >= 1, got {n!r}"
+            )
         return [
             _DayChunk(self._days[i : i + n])
             for i in range(0, len(self._days), n)
@@ -109,7 +123,11 @@ class EnergyPayloadReader(DataSourceReader):
                         with open(path) as f:
                             payload = json.load(f)
                         break
-            elif base is not None:
+            # the fixture dir is a CACHE in front of the API, not an
+            # exclusive backend: a day missing from the dir falls
+            # through to the API when one is configured (an `elif`
+            # here silently dropped such days — r07 review)
+            if payload is None and base is not None:
                 import requests
 
                 p = dict(params)

@@ -87,8 +87,16 @@ def avro_available(spark: SparkSession) -> bool:
             f"{d}/probe"
         )
         return True
-    except Exception as e:
-        return "Failed to find data source" not in str(e)
+    except Exception:
+        # FAIL CLOSED: only a successful probe write proves the module.
+        # The previous English-substring gate ("Failed to find data
+        # source" absent => available) returned a false POSITIVE for
+        # any unrelated probe failure (disk full) and depends on avro's
+        # legacy special-cased message — Spark 4's generic wording is
+        # "Failed to find THE data source" (r07 review). A false
+        # negative here merely skips the avro path; a false positive
+        # crashes every gated caller on its real write.
+        return False
     finally:
         import shutil
 

@@ -35,17 +35,39 @@ def _fixture_root(tmp_path):
 
 
 def test_partition_planning_chunks_days():
-    r = EnergyPayloadReader(
-        {
-            "start_date": DAYS[0],
-            "end_date": DAYS[-1],
-            "endpoint": "public_power",
-            "days_per_task": "2",
-        }
-    )
+    opts = {
+        "start_date": DAYS[0],
+        "end_date": DAYS[-1],
+        "endpoint": "public_power",
+        "days_per_task": "2",
+        "payload_root": "/nonexistent-ok-for-planning",
+    }
+    r = EnergyPayloadReader(opts)
     parts = r.partitions()
     assert [len(p.days) for p in parts] == [2, 2, 2, 1]
     assert [d for p in parts for d in p.days] == DAYS
+
+
+def test_reader_rejects_misconfiguration_loudly():
+    """A reader with neither backend can only ever yield 0 rows, and a
+    non-positive days_per_task either planned zero partitions (silent
+    empty) or crashed deep in range() — both must be loud, named
+    errors at plan time (r07 review)."""
+    import pytest
+
+    base = {
+        "start_date": DAYS[0],
+        "end_date": DAYS[-1],
+        "endpoint": "public_power",
+    }
+    with pytest.raises(ValueError, match="payload_root"):
+        EnergyPayloadReader(dict(base))
+    for bad in ("0", "-1"):
+        r = EnergyPayloadReader(
+            dict(base, payload_root="/x", days_per_task=bad)
+        )
+        with pytest.raises(ValueError, match="days_per_task"):
+            r.partitions()
 
 
 def test_datasource_matches_driver_loop_ingest(spark, tmp_path):
