@@ -112,23 +112,36 @@ def load_config(path_or_dict: "str | dict") -> PipelineConfig:
     else:
         raw = dict(path_or_dict)
 
-    run = raw.get("run", {}).get("backfill", {})
+    # `section:` with no children parses as None, and raw.get(k, {})
+    # returns that None because the key EXISTS — every section lookup
+    # goes through `or {}` so an empty section means defaults, not an
+    # AttributeError before validation (r07 review)
+    run = (raw.get("run") or {}).get("backfill") or {}
     datasets = []
-    for d in raw.get("datasets", []):
-        ex = d.get("extract", {})
+    for d in raw.get("datasets") or []:
+        ex = d.get("extract") or {}
+        probes = ex.get("value_probes") or ()
+        if isinstance(probes, str):
+            # tuple('price') silently becomes ('p','r','i','c','e')
+            # and every probe misses — a one-character YAML mistake
+            # (scalar instead of list) emptied the dataset (r07 review)
+            raise ValueError(
+                f"dataset {d['name']!r}: extract.value_probes must be"
+                f" a list of field names, got the string {probes!r}"
+            )
         datasets.append(
             DatasetSpec(
                 name=d["name"],
                 endpoint=d.get("endpoint", d["name"]),
                 key_column=d.get("key_column", "country"),
                 key_value=d.get("key_value", "de"),
-                params=d.get("params", {}),
+                params=d.get("params") or {},
                 extract=ExtractSpec(
                     time_field=ex.get("time_field", "unix_seconds"),
                     entity_array=ex.get("entity_array"),
                     entity_name_field=ex.get("entity_name_field", "name"),
                     entity_values_field=ex.get("entity_values_field", "data"),
-                    value_probes=tuple(ex.get("value_probes", ())),
+                    value_probes=tuple(probes),
                 ),
                 value_column=d.get("value_column", "value"),
                 entity_column=d.get("entity_column"),
@@ -147,11 +160,11 @@ def load_config(path_or_dict: "str | dict") -> PipelineConfig:
         lake_root=raw.get("lake_root", "data"),
         start_date=run.get("start_date", "2025-01-01"),
         end_date=run.get("end_date", "2025-01-07"),
-        timezone=raw.get("project", {}).get("timezone", "UTC"),
+        timezone=(raw.get("project") or {}).get("timezone", "UTC"),
         table_format=raw.get("table_format", "parquet"),
-        api_base_url=raw.get("api", {}).get(
+        api_base_url=(raw.get("api") or {}).get(
             "base_url", "https://api.energy-charts.info"
         ),
-        request_timeout_s=raw.get("api", {}).get("timeout_s", 30),
+        request_timeout_s=(raw.get("api") or {}).get("timeout_s", 30),
         datasets=tuple(datasets) or default_datasets(),
     )

@@ -9,7 +9,8 @@ Reference semantics preserved exactly
 - ``price_daily``: groupBy(to_date(timestamp)) AVG(price_eur_mwh).
 - ``power_price_daily``: offshore-wind rows selected with the
   normalized predicate lower(trim(production_type)) == 'wind offshore'
-  (catches label variants like " Wind Offshore "), then inner join
+  (catches label variants like " Wind Offshore "), SUMMED per date so
+  variant labels merge into one row per date, then inner join
   USING(date) against price_daily.
 
 Both join inputs are day-grain aggregates (thousands of rows at most
@@ -52,11 +53,18 @@ def price_daily(
 def power_price_daily(
     power_daily: DataFrame, price_daily_df: DataFrame
 ) -> DataFrame:
-    offshore = power_daily.where(
-        F.lower(F.trim("production_type")) == "wind offshore"
-    ).select(
-        F.to_date("date").alias("date"),
-        F.col("daily_net_production").alias("offshore_wind_daily"),
+    # Re-aggregate after the normalized match: power_daily is grouped
+    # by the RAW label, so two variant spellings of offshore wind on
+    # the same date arrive as two rows — without this SUM the join
+    # emitted duplicate date rows with split production, the exact
+    # drift the normalization exists to absorb (r07 review). One row
+    # per date is the join-key contract.
+    offshore = (
+        power_daily.where(
+            F.lower(F.trim("production_type")) == "wind offshore"
+        )
+        .groupBy(F.to_date("date").alias("date"))
+        .agg(F.sum("daily_net_production").alias("offshore_wind_daily"))
     )
     price = price_daily_df.select(
         F.to_date("date").alias("date"), "avg_price_eur_mwh"

@@ -114,6 +114,11 @@ def ingest_dataset_distributed(
 
     import pandas as pd
 
+    if days_per_task < 1:
+        # 0 crashed as ZeroDivisionError below; a negative silently
+        # collapsed a multi-year backfill into ONE serial fetch task
+        # (r07 review — same knob the DSv2 reader validates)
+        raise ValueError(f"days_per_task must be >= 1, got {days_per_task!r}")
     days = [d.isoformat() for d in config.dates()]
     if not days:
         return None

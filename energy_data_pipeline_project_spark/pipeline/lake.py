@@ -107,6 +107,13 @@ def write_table_observed(
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    # Heal a crashed directory swap before reading: a writer that died
+    # between the two renames of _atomic_swap leaves the table parked
+    # at ._pre_swap, and until r07 only the NEXT swap-calling writer
+    # recovered it — every plain read failed with "path does not
+    # exist" in the meantime (r07 review). Cheap: two os.path checks
+    # when nothing is parked.
+    _recover_pre_swap(path)
     return spark.read.format(resolve_table_format(spark, fmt)).load(path)
 
 
@@ -273,8 +280,15 @@ def _adopt_legacy_flat(path: str) -> None:
 
 
 def _atomic_swap(path: str, staged: str) -> None:
-    """Replace ``path`` with ``staged`` via two renames; readers see
-    either the old or the new table, never a partial write."""
+    """Replace ``path`` with ``staged`` via two renames. Readers never
+    see a PARTIAL write, but there is an instant between the renames
+    where ``path`` does not exist: a concurrent reader in that window
+    fails fast with path-does-not-exist (retryable), and a writer
+    crash in the window parks the table at ``._pre_swap`` —
+    ``_recover_pre_swap`` heals that on the next read or write. True
+    both-versions-visible swaps need the pointer design of
+    ``write_table_versioned`` (or a transaction log); an
+    object-store deployment would use that path instead."""
     import shutil
 
     old = path.rstrip("/") + "._pre_swap"
@@ -306,10 +320,16 @@ def upsert_table(
     updates actually touch are read, merged, and overwritten (dynamic
     partition overwrite — per-write option, not session conf), so
     merge cost is proportional to touched partitions, not table size.
-    Unpartitioned tables fall back to a full staged rewrite + swap.
-    The keep-latest dedup is one window over the key — the same
-    row_number idiom as dedup_latest_order — shuffling only the
-    touched slice.
+    The fast path is only sound while every updated key STAYS in its
+    partition: an update that moves a key to a different partition
+    would leave the superseded row alive in the old partition (dynamic
+    overwrite never rewrites a partition the output doesn't land in),
+    duplicating the key (r07 review). A key-column semi-join scan —
+    the same matching-files pass Delta's MERGE pays — detects moved
+    keys, and the merge falls back to the full staged rewrite + swap
+    (layout preserved) in that case. Unpartitioned tables always take
+    the full rewrite + swap. The keep-latest dedup is one window over
+    the key — the same row_number idiom as dedup_latest_order.
     """
     fmt = resolve_table_format(spark, fmt)
     import pyspark.sql.functions as F
@@ -322,8 +342,28 @@ def upsert_table(
         "_upd", F.lit(1)
     )
 
+    partition_scoped = False
     if partition_by:
         pcol = partition_by[0]
+        upd_parts = updates.select(pcol).distinct()
+        old_key_parts = (
+            existing.join(
+                updates.select(*key_cols).distinct(),
+                list(key_cols),
+                "leftsemi",
+            )
+            .select(pcol)
+            .distinct()
+        )
+        # null-safe anti join: a NULL old partition must count as
+        # moved only when the updates touch no NULL partition
+        moved = old_key_parts.join(
+            upd_parts,
+            old_key_parts[pcol].eqNullSafe(upd_parts[pcol]),
+            "left_anti",
+        )
+        partition_scoped = moved.limit(1).count() == 0
+    if partition_scoped:
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
         # isin() evaluates to NULL (not True) for NULL partition rows,
         # which would EXCLUDE the existing null-partition rows from the
@@ -344,7 +384,7 @@ def upsert_table(
         .drop("_rn", "_upd")
     )
 
-    if partition_by:
+    if partition_scoped:
         (
             merged.write.format(fmt)
             .mode("overwrite")
@@ -354,7 +394,10 @@ def upsert_table(
         )
     else:
         staged = path.rstrip("/") + "._upserting"
-        merged.write.format(fmt).mode("overwrite").save(staged)
+        writer = merged.write.format(fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staged)
         _atomic_swap(path, staged)
 
 
@@ -438,7 +481,13 @@ def write_table_versioned(
     if keep_versions is not None:
         import shutil
 
-        for v in list_table_versions(path)[:-keep_versions]:
+        # [:-0] is the EMPTY slice, so keep_versions=0 (the most
+        # aggressive retention: keep only the just-published version)
+        # pruned nothing and retained every snapshot forever
+        # (r07 review; vacuum_table_versions already special-cased 0)
+        versions = list_table_versions(path)
+        stale = versions if keep_versions == 0 else versions[:-keep_versions]
+        for v in stale:
             if v != version:
                 shutil.rmtree(_version_dir(path, v), ignore_errors=True)
     return version

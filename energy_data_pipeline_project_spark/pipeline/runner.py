@@ -90,22 +90,38 @@ def run_pipeline(
         bronze = read_table(spark, bpath, fmt)
         result.bronze[ds.name] = bronze
         if quarantine:
-            silver, quarantined = extract_timeseries_with_quarantine(
-                bronze, ds
-            )
-            qpath = table_path(
-                config.lake_root, "silver", f"{ds.name}_quarantine"
-            )
-            result.observed[f"quarantine/{ds.name}"] = write_table_observed(
-                quarantined, qpath, fmt
-            )
+            # persist bronze across the TWO write actions this branch
+            # runs (quarantine + silver): each is an independent job,
+            # and without the persist both re-read and re-JSON-parse
+            # every payload — the pipeline's most expensive pass paid
+            # twice (r07 review; the docstring always claimed the
+            # branches share the scan)
+            bronze = bronze.persist()
+            try:
+                silver, quarantined = extract_timeseries_with_quarantine(
+                    bronze, ds
+                )
+                qpath = table_path(
+                    config.lake_root, "silver", f"{ds.name}_quarantine"
+                )
+                result.observed[f"quarantine/{ds.name}"] = (
+                    write_table_observed(quarantined, qpath, fmt)
+                )
+                spath = table_path(
+                    config.lake_root, "silver", f"{ds.name}_silver"
+                )
+                result.observed[f"silver/{ds.name}"] = write_table_observed(
+                    silver, spath, fmt, null_check_cols=("timestamp",)
+                )
+            finally:
+                bronze.unpersist()
         else:
             silver = extract_timeseries(bronze, ds)
-        spath = table_path(config.lake_root, "silver", f"{ds.name}_silver")
-        # keyed like PipelineResult.counts() ("silver/<dataset name>")
-        result.observed[f"silver/{ds.name}"] = write_table_observed(
-            silver, spath, fmt, null_check_cols=("timestamp",)
-        )
+            spath = table_path(config.lake_root, "silver", f"{ds.name}_silver")
+            # keyed like PipelineResult.counts() ("silver/<dataset name>")
+            result.observed[f"silver/{ds.name}"] = write_table_observed(
+                silver, spath, fmt, null_check_cols=("timestamp",)
+            )
         result.silver[ds.name] = read_table(spark, spath, fmt)
 
     # gold: daily aggregates + join (assumes the reference's two dataset

@@ -58,6 +58,16 @@ def _payload_schema(spec) -> T.StructType:
 def extract_timeseries(bronze: DataFrame, dataset: DatasetSpec) -> DataFrame:
     """Long-format rows from bronze payload_json, per ``ExtractSpec``."""
     spec = dataset.extract
+    if not spec.entity_array and not spec.value_probes:
+        # load_config validates YAML specs, but a directly-constructed
+        # DatasetSpec with the default ExtractSpec reached the bare
+        # F.coalesce() below and died with an opaque TypeError inside
+        # plan construction (r07 review) — guard at the consumer so
+        # every caller gets the named error
+        raise ValueError(
+            f"dataset {dataset.name!r} has no extract shape: set"
+            " extract.entity_array or extract.value_probes"
+        )
     keep = [dataset.key_column] + (["date"] if dataset.include_date else [])
 
     if spec.entity_array:

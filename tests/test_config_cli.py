@@ -29,6 +29,61 @@ def test_load_example_yaml_matches_defaults():
     assert len(cfg.dates()) == 7
 
 
+def test_empty_yaml_sections_load_as_defaults():
+    """`run:` / `api:` / `project:` / `datasets:` with no children
+    parse as None, and `.get(key, {})` returns that None because the
+    key EXISTS — load_config crashed with AttributeError before any
+    validation message (r07 review). Empty sections mean defaults."""
+    cfg = load_config(
+        {"run": None, "api": None, "project": None, "datasets": None}
+    )
+    assert cfg.start_date == "2025-01-01"
+    assert cfg.timezone == "UTC"
+    assert len(cfg.datasets) == 2  # defaults kick in
+
+
+def test_scalar_value_probes_rejected_loudly():
+    """value_probes: 'price' (scalar, not a list) used to explode into
+    per-CHARACTER probes via tuple('price') and silently empty the
+    dataset (r07 review)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="value_probes"):
+        load_config(
+            {
+                "datasets": [
+                    {"name": "x", "extract": {"value_probes": "price"}}
+                ]
+            }
+        )
+
+
+def test_programmatic_spec_without_shape_fails_loudly(spark):
+    """A directly-constructed DatasetSpec with the default ExtractSpec
+    (no entity_array, no value_probes) must get the named error from
+    extract_timeseries, not a bare F.coalesce() TypeError deep in plan
+    construction (r07 review: load_config validated only the YAML
+    path)."""
+    import pytest as _pytest
+
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        DatasetSpec,
+    )
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries,
+    )
+
+    bronze = spark.createDataFrame(
+        [("de", "2025-01-01", "{}")],
+        "country string, date string, payload_json string",
+    )
+    ds = DatasetSpec(
+        name="shapeless", endpoint="x", key_column="country", key_value="de"
+    )
+    with _pytest.raises(ValueError, match="extract shape"):
+        extract_timeseries(bronze, ds)
+
+
 def test_rest_source_request_semantics(monkeypatch):
     """Reference semantics: per-day GET with start=end=day, timeout,
     raise_for_status, and the market code upper-cased (api_client.py:69)."""

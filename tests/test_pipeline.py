@@ -147,6 +147,33 @@ def test_offshore_normalization(result):
     assert joined.count() == len(DAYS)  # every day joins, variants included
 
 
+def test_variant_labels_merge_into_one_date_row(spark):
+    """TWO offshore label variants on the SAME date must aggregate to
+    one gold row with the summed production: the normalized filter
+    alone kept both raw-label rows and the date-keyed join emitted
+    duplicates with split production (r07 review)."""
+    import pyspark.sql.functions as F
+
+    from energy_data_pipeline_project_spark.pipeline.gold import (
+        power_price_daily,
+    )
+
+    pdaily = spark.createDataFrame(
+        [
+            ("2025-01-03", "Wind offshore", 100.0),
+            ("2025-01-03", " Wind Offshore ", 50.0),
+            ("2025-01-03", "Solar", 7.0),
+        ],
+        "date string, production_type string, daily_net_production double",
+    ).withColumn("date", F.to_date("date"))
+    price = spark.createDataFrame(
+        [("2025-01-03", 42.0)], "date string, avg_price_eur_mwh double"
+    ).withColumn("date", F.to_date("date"))
+    rows = power_price_daily(pdaily, price).collect()
+    assert len(rows) == 1
+    assert rows[0]["offshore_wind_daily"] == 150.0
+
+
 def test_overwrite_idempotency(spark, result, tmp_path_factory):
     """Running the pipeline twice produces identical tables (S6)."""
     from dataclasses import replace

@@ -92,3 +92,33 @@ def test_upsert_preserves_null_partition_rows(spark, tmp_path):
         for r in read_table(spark, path).select("k", "v").collect()
     }
     assert got == {(1, "old-a"), (2, "new-b"), (3, "old-c")}
+
+
+def test_upsert_moved_key_does_not_resurrect_old_partition_row(
+    spark, tmp_path
+):
+    """An update that MOVES a key to a different partition must also
+    retire the key's row in its OLD partition: the partition-scoped
+    fast path never rewrote it (dynamic overwrite only replaces
+    partitions the output lands in), so the superseded row survived
+    and the key read back duplicated (r07 review). The merge now
+    detects moved keys via a key-column semi-join and falls back to
+    the full staged rewrite + swap."""
+    path = str(tmp_path / "moved")
+    spark.createDataFrame(
+        [("d1", 1, 10, "a"), ("d2", 2, 10, "b")],
+        "day string, k long, ver long, v string",
+    ).write.partitionBy("day").parquet(path)
+    # key 1 moves d1 -> d3 with a newer version
+    updates = spark.createDataFrame(
+        [("d3", 1, 20, "a2")], "day string, k long, ver long, v string"
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("k",), order_col="ver",
+        partition_by=("day",),
+    )
+    rows = read_table(spark, path).collect()
+    got = {(r["day"], r["k"]): (r["ver"], r["v"]) for r in rows}
+    assert got == {("d3", 1): (20, "a2"), ("d2", 2): (10, "b")}, got
+    # exactly one row per key — the d1 copy of key 1 is gone
+    assert len(rows) == 2

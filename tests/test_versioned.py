@@ -78,3 +78,16 @@ def test_vacuum_removes_orphans_and_old_history(spark, tmp_path):
     assert list_table_versions(path) == [2, 3]
     assert latest_table_version(path) == 3
     assert read_table_versioned(spark, path).count() == 1
+
+
+def test_keep_versions_zero_prunes_all_history(spark, tmp_path):
+    """keep_versions=0 means 'retain only the just-published version';
+    the [:-0] empty slice made it retain EVERYTHING instead (r07
+    review — vacuum_table_versions already special-cased 0)."""
+    path = str(tmp_path / "kv0")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    write_table_versioned(df, path)
+    write_table_versioned(df, path)
+    v3 = write_table_versioned(df, path, keep_versions=0)
+    assert list_table_versions(path) == [v3]
+    assert read_table_versioned(spark, path).count() == 3
