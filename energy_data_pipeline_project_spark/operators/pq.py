@@ -213,6 +213,15 @@ def _emb_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
 # recomputation.
 _MELT_MEMO: dict[tuple[str, str, int], tuple[DataFrame, int]] = {}
 _TRAINED_M_MEMO: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
+# IVFADC training artifacts (coarse centroids, cell assignment,
+# residual codes, residual codebook) — the whole Lloyd chain is
+# deterministic + checkpointed, so one training run serves every
+# ann_topk_ivfpq call in the session (r06 verdict #8: the chain was
+# re-trained per call, ~6s of the query's parity latency).
+_TRAINED_IVFPQ_MEMO: dict[
+    tuple[str, str, int],
+    tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+] = {}
 
 
 def _evict(memo: dict, key: tuple[str, str, int]) -> None:
@@ -233,6 +242,7 @@ def release_pq_memos() -> None:
     count persisted RDDs call this first)."""
     _MELT_MEMO.clear()
     _TRAINED_M_MEMO.clear()
+    _TRAINED_IVFPQ_MEMO.clear()
 
 
 def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
@@ -587,19 +597,18 @@ def _ivfpq_oracle() -> str:
     ){_refine_oracle_tail(IVFPQ_SHORTLIST)}"""
 
 
-@query("ann_topk_ivfpq", _ivfpq_oracle())
-def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k via IVF-PQ (IVFADC): coarse cells from broadcast
-    Lloyd-trained centroids (label-seeded init), residual-PQ codes, per-(query, probed-cell)
-    ADC lookup tables, exact refine of the shortlist.
-
-    Scale shape: the coarse codebook (cells×D ints) and the LUT
-    (queries×nprobe×M×K rows) are always broadcast; assignment is one
-    broadcast join over the melted frame; ADC joins only code rows of
-    vectors in probed cells — at 100 TB, with the inverted file
-    partitioned BY cell, a query's scan touches ~nprobe/k of the code
-    frame and none of the raw vectors. Recall vs brute force is
-    pinned in tests/test_pq.py."""
+def _trained_ivfpq(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Session-memoized IVFADC training: (coarse centroids, cell
+    assignment, residual codes, residual codebook). Deterministic
+    Lloyd chains over checkpointed frames, keyed app+path+mtime like
+    the melt/codebook memos — bit-identical to retraining."""
+    key = _emb_key(spark, sf_dir)
+    hit = _TRAINED_IVFPQ_MEMO.get(key)
+    if hit is not None:
+        return hit
+    _evict(_TRAINED_IVFPQ_MEMO, key)
     melted = _melted(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cm = IVFPQ_CELL_MULT
@@ -639,7 +648,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         coarse = _cell_means(assign).localCheckpoint(eager=True)
-    cdist = (
+    cells = (
         melted.join(F.broadcast(coarse), "dim")
         .groupBy("vec_id", "cell")
         .agg(
@@ -648,9 +657,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("val") - F.col("ccval"))
             ).alias("dist")
         )
-    )
-    cells = (
-        cdist.groupBy("vec_id")
+        .groupBy("vec_id")
         .agg((F.min(F.col("dist") * cm + F.col("cell")) % cm).alias("cell"))
         .localCheckpoint(eager=True)
     )
@@ -667,6 +674,40 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     codes, cb = _train_codes(rm, n_vecs=_n_vecs(spark, sf_dir))
+    out = (coarse, cells, codes, cb)
+    _TRAINED_IVFPQ_MEMO[key] = out
+    return out
+
+
+@query("ann_topk_ivfpq", _ivfpq_oracle())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k via IVF-PQ (IVFADC): coarse cells from broadcast
+    Lloyd-trained centroids (label-seeded init), residual-PQ codes, per-(query, probed-cell)
+    ADC lookup tables, exact refine of the shortlist.
+
+    Scale shape: the coarse codebook (cells×D ints) and the LUT
+    (queries×nprobe×M×K rows) are always broadcast; assignment is one
+    broadcast join over the melted frame; ADC joins only code rows of
+    vectors in probed cells — at 100 TB, with the inverted file
+    partitioned BY cell, a query's scan touches ~nprobe/k of the code
+    frame and none of the raw vectors. Recall vs brute force is
+    pinned in tests/test_pq.py."""
+    melted = _melted(spark, sf_dir)
+    coarse, cells, codes, cb = _trained_ivfpq(spark, sf_dir)
+    cm = IVFPQ_CELL_MULT
+    # per-call: full-corpus cell distances feed only the query probe
+    # set, so the vec_id < N_QUERY_VECS predicate pushes through the
+    # aggregate into the melted scan — serving cost, not training cost
+    cdist = (
+        melted.join(F.broadcast(coarse), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("ccval"))
+                * (F.col("val") - F.col("ccval"))
+            ).alias("dist")
+        )
+    )
 
     wq = Window.partitionBy("vec_id").orderBy(
         F.col("dist") * cm + F.col("cell")
