@@ -51,7 +51,15 @@ def salted_join(
     for df, side in ((big, "big"), (small, "small")):
         if _SALT in df.columns:
             raise ValueError(f"{side} side already has a {_SALT} column")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    # xxhash64 rejects MapType (anywhere in a nested type) — skip such
+    # columns rather than fail analysis on frames that joined fine
+    # before salting (r07 diff review). The key column itself is
+    # always included, so the degenerate all-map frame still salts
+    # (identically per key — no spread, but correct).
+    hashable = [
+        c for c, t in big.dtypes if c == on or "map<" not in t.lower()
+    ]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salt))
     big_s = big.withColumn(_SALT, salt.cast("int"))
     small_s = small.crossJoin(
         F.broadcast(

@@ -223,12 +223,10 @@ def kcore_nodes(pairs: DataFrame, k: int = KCORE_K) -> DataFrame:
     aggregate — all on 8-byte ids. ``localCheckpoint`` truncates the
     per-round plan growth exactly as in the CC/PageRank loops.
     """
+    assert KCORE_ROUNDS >= 1  # the loop must assign `core`
     edges = symmetric_edges(pairs).localCheckpoint(eager=True)
     alive = edges.select(F.col("src").alias("v")).distinct()
     n_alive = alive.count()
-    core = alive.select(
-        F.col("v").alias("src"), F.lit(0).cast("bigint").alias("core_degree")
-    )
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.join(alive.withColumnRenamed("v", "src"), "src")

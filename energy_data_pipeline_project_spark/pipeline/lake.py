@@ -107,14 +107,20 @@ def write_table_observed(
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    # Heal a crashed directory swap before reading: a writer that died
-    # between the two renames of _atomic_swap leaves the table parked
-    # at ._pre_swap, and until r07 only the NEXT swap-calling writer
-    # recovered it — every plain read failed with "path does not
-    # exist" in the meantime (r07 review). Cheap: two os.path checks
-    # when nothing is parked.
-    _recover_pre_swap(path)
-    return spark.read.format(resolve_table_format(spark, fmt)).load(path)
+    # NON-destructively serve a parked table: a writer that died
+    # between _atomic_swap's two renames leaves the data at
+    # ._pre_swap, and until r07 every plain read failed with "path
+    # does not exist" until the next swap-calling WRITER healed it.
+    # Reading the parked directory (the funnel_report precedent)
+    # serves both the crashed case and the instant a LIVE writer is
+    # mid-swap — an eager rename here would race that writer's second
+    # rename and strand its new version (r07 diff review); mutation
+    # stays with writers (_recover_pre_swap).
+    src = path
+    pre = path.rstrip("/") + "._pre_swap"
+    if not os.path.exists(path) and os.path.isdir(pre):
+        src = pre
+    return spark.read.format(resolve_table_format(spark, fmt)).load(src)
 
 
 def compact_table(
@@ -345,24 +351,37 @@ def upsert_table(
     partition_scoped = False
     if partition_by:
         pcol = partition_by[0]
-        upd_parts = updates.select(pcol).distinct()
-        old_key_parts = (
+        # The fast path is sound iff every updated key's rows —
+        # existing AND update — live in ONE partition: then the
+        # winning row lands in that partition, the dynamic overwrite
+        # rewrites it, and every loser is retired with it. A weaker
+        # input-partition-set comparison missed an update batch that
+        # itself carries the same key in two partitions (the losing
+        # row's partition gets no output and its stale row survives —
+        # r07 diff review). countDistinct skips NULLs, so a NULL
+        # partition contributes via the isNull max term.
+        # dedupe: the partition column may itself be part of the key
+        cand_cols = list(dict.fromkeys([*key_cols, pcol]))
+        cand = (
             existing.join(
                 updates.select(*key_cols).distinct(),
                 list(key_cols),
                 "leftsemi",
             )
-            .select(pcol)
-            .distinct()
+            .select(*cand_cols)
+            .unionByName(updates.select(*cand_cols))
         )
-        # null-safe anti join: a NULL old partition must count as
-        # moved only when the updates touch no NULL partition
-        moved = old_key_parts.join(
-            upd_parts,
-            old_key_parts[pcol].eqNullSafe(upd_parts[pcol]),
-            "left_anti",
+        spanning = (
+            cand.groupBy(*key_cols)
+            .agg(
+                (
+                    F.countDistinct(pcol)
+                    + F.max(F.col(pcol).isNull().cast("int"))
+                ).alias("n_parts")
+            )
+            .where(F.col("n_parts") > 1)
         )
-        partition_scoped = moved.limit(1).count() == 0
+        partition_scoped = spanning.isEmpty()
     if partition_scoped:
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
         # isin() evaluates to NULL (not True) for NULL partition rows,

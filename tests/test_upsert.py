@@ -122,3 +122,48 @@ def test_upsert_moved_key_does_not_resurrect_old_partition_row(
     assert got == {("d3", 1): (20, "a2"), ("d2", 2): (10, "b")}, got
     # exactly one row per key — the d1 copy of key 1 is gone
     assert len(rows) == 2
+
+
+def test_upsert_key_spanning_partitions_within_one_batch(spark, tmp_path):
+    """The soundness criterion is per-KEY, not per-batch: an update
+    batch carrying the same key in TWO partitions (a losing row in the
+    key's current partition + the winner in a new one) fooled the
+    input-partition-set check — the losing partition got no output, so
+    dynamic overwrite never rewrote it and the existing row survived
+    (r07 diff review of the first moved-key fix)."""
+    path = str(tmp_path / "span")
+    spark.createDataFrame(
+        [("d1", 1, 10, "a"), ("d2", 2, 10, "b")],
+        "day string, k long, ver long, v string",
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [("d1", 1, 11, "a-mid"), ("d3", 1, 20, "a-new")],
+        "day string, k long, ver long, v string",
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("k",), order_col="ver",
+        partition_by=("day",),
+    )
+    rows = read_table(spark, path).collect()
+    got = {(r["day"], r["k"]): (r["ver"], r["v"]) for r in rows}
+    assert got == {("d3", 1): (20, "a-new"), ("d2", 2): (10, "b")}, got
+    assert len(rows) == 2
+
+
+def test_read_table_serves_parked_pre_swap_nondestructively(spark, tmp_path):
+    """A crashed _atomic_swap parks the table at ._pre_swap; a plain
+    read must serve that data WITHOUT renaming anything (an eager heal
+    would race a live writer mid-swap — r07 diff review). Healing
+    stays with the next writer."""
+    import shutil
+
+    from energy_data_pipeline_project_spark.pipeline.lake import write_table
+
+    path = str(tmp_path / "parked")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    write_table(df, path)
+    shutil.move(path, path + "._pre_swap")  # simulate the crash window
+    assert read_table(spark, path).count() == 5
+    # non-destructive: still parked afterwards
+    assert not os.path.exists(path)
+    assert os.path.isdir(path + "._pre_swap")
