@@ -215,6 +215,32 @@ def _partition_columns(path: str) -> list[str]:
     return cols
 
 
+def read_parquet_index(spark: SparkSession, path: str) -> "DataFrame | None":
+    """Read a growing foreachBatch index/log directory; ``None`` means
+    cold start — the path is missing OR it is a pre-existing
+    schema-less directory (legacy dirs with only ``_SUCCESS``; empty
+    writes themselves are skipped by the lake-level guard). Any OTHER
+    analysis failure — renamed/missing columns, schema drift — must
+    PROPAGATE: silently treating it as empty would screen/attribute
+    against nothing and persist wrong results. Centralizes the guard
+    attribution.py carried alone while its sibling index readers
+    (dedup_index, span_index) crash-looped on the same legacy-dir
+    case (r07 review)."""
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        infer = getattr(e, "getErrorClass", lambda: None)()
+        if infer != "UNABLE_TO_INFER_SCHEMA" and (
+            "UNABLE_TO_INFER_SCHEMA" not in str(e)
+        ):
+            raise
+        return None
+
+
 def _recover_pre_swap(path: str) -> None:
     """Self-heal a crash inside ``_atomic_swap``'s rename window: the
     table parked at ``._pre_swap`` with no live ``path`` is restored;

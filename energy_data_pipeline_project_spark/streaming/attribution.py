@@ -36,10 +36,7 @@ filter.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 
 from ..operators.timeseries import (
@@ -48,6 +45,7 @@ from ..operators.timeseries import (
     attribution_purchases,
     attribution_split,
 )
+from ..pipeline.lake import read_parquet_index as _read_parquet_index
 from ..pipeline.lake import write_batch_partition as _write_batch_partition
 
 
@@ -63,46 +61,31 @@ def attribute_batch(
     bp = attribution_purchases(batch_events)
 
     clicks = bc
-    if os.path.exists(clicks_path):
-        try:
-            log = spark.read.parquet(clicks_path)
-        except AnalysisException as e:
-            # ONLY the legacy schema-less-directory case is a cold
-            # start (empty writes are skipped since the lake-level
-            # guard, so only pre-existing dirs can hit this). Any
-            # other analysis failure — renamed/missing columns,
-            # schema drift — must PROPAGATE: silently attributing
-            # against an empty log would persist wrong splits.
-            infer = getattr(e, "getErrorClass", lambda: None)()
-            if infer != "UNABLE_TO_INFER_SCHEMA" and (
-                "UNABLE_TO_INFER_SCHEMA" not in str(e)
-            ):
-                raise
-            log = None
-        if log is None:
-            prior = None
-        else:
-            # STRICTLY-EARLIER batches only: on the live path the
-            # current batch has the max id so < and != agree, but a
-            # REPLAY of an old batch must not see clicks that arrived
-            # after its first attempt — batch_id != current would let
-            # a later-delivered out-of-order click retro-attribute the
-            # replayed purchases and break idempotence (review pass 4)
-            prior = log.where(
-                F.col("batch_id") < int(batch_id)
-            ).drop("batch_id")
-        if prior is not None:
-            # window prune: clicks older than any possible touch are
-            # dead weight for THIS batch's join (they stay in the log
-            # for replays of later batches)
-            bounds = bp.agg(F.min("pts").alias("lo")).collect()
-            if bounds and bounds[0]["lo"] is not None:
-                prior = prior.where(
-                    F.col("ts")
-                    >= F.lit(bounds[0]["lo"])
-                    - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
-                )
-            clicks = prior.unionByName(bc)
+    # cold-start semantics centralized in lake.read_parquet_index
+    # (None = missing dir or legacy schema-less dir; real schema
+    # drift propagates) — shared with the dedup/span index screens
+    log = _read_parquet_index(spark, clicks_path)
+    if log is not None:
+        # STRICTLY-EARLIER batches only: on the live path the
+        # current batch has the max id so < and != agree, but a
+        # REPLAY of an old batch must not see clicks that arrived
+        # after its first attempt — batch_id != current would let
+        # a later-delivered out-of-order click retro-attribute the
+        # replayed purchases and break idempotence (review pass 4)
+        prior = log.where(
+            F.col("batch_id") < int(batch_id)
+        ).drop("batch_id")
+        # window prune: clicks older than any possible touch are
+        # dead weight for THIS batch's join (they stay in the log
+        # for replays of later batches)
+        bounds = bp.agg(F.min("pts").alias("lo")).collect()
+        if bounds and bounds[0]["lo"] is not None:
+            prior = prior.where(
+                F.col("ts")
+                >= F.lit(bounds[0]["lo"])
+                - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            )
+        clicks = prior.unionByName(bc)
 
     split = attribution_split(clicks, bp).localCheckpoint(eager=True)
     # empty-frame handling (schema-less dir hazard) lives inside

@@ -37,6 +37,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..pipeline.lake import read_parquet_index as _read_parquet_index
 from ..pipeline.lake import write_batch_partition as _write_batch_partition
 from ..operators.dedup import (
     LSH_BUCKET_CAP,
@@ -65,14 +66,15 @@ def screen_and_index_batch(
         F.col("doc_a").alias("dup_of"),
         "est_jaccard",
     )
-    if os.path.exists(index_path):
+    idx_df = _read_parquet_index(spark, index_path)
+    if idx_df is not None:
         # STRICTLY-EARLIER partitions only: a replay must neither
         # self-match its first-attempt signatures nor see batches that
         # arrived after its first attempt — the latter would emit
         # (this-batch, later-batch) pairs the later batch already
         # emitted, changing this partition's contents (review pass 4;
         # on the live path current == max id, so < and != agree)
-        sig_i = spark.read.parquet(index_path).where(
+        sig_i = idx_df.where(
             F.col("batch_id") < int(batch_id)
         ).drop("batch_id")
         # a re-ingested doc_id meets its own earlier signature in the

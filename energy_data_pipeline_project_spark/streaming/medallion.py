@@ -146,7 +146,7 @@ def write_stream_merge_to_lake(
     """
     import os
 
-    from ..pipeline.lake import upsert_table, write_table
+    from ..pipeline.lake import _recover_pre_swap, upsert_table, write_table
     from pyspark.sql import Window
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -155,9 +155,14 @@ def write_stream_merge_to_lake(
         # Deterministic keep-latest: order_col ties (duplicate CDC
         # records stamped in the same instant) must pick the SAME
         # winner on every delivery of the batch, or replay is not
-        # idempotent — break ties by a hash of the whole row.
+        # idempotent — break ties by a hash of the whole row
+        # (xxhash64 rejects MapType, so map columns are skipped —
+        # same filter as functions/skew.py, r07 review).
+        hashable = [
+            c for c, t in batch_df.dtypes if "map<" not in t.lower()
+        ] or list(key_cols)
         w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(order_col), F.desc(F.xxhash64(*batch_df.columns))
+            F.desc(order_col), F.desc(F.xxhash64(*hashable))
         )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -165,6 +170,13 @@ def write_stream_merge_to_lake(
             .drop("_rn")
         )
         spark = batch_df.sparkSession
+        # A crash inside upsert's _atomic_swap parks the WHOLE table
+        # at ._pre_swap with `path` absent; without restoring it first
+        # the replayed batch would take the first-write branch below
+        # and the next upsert's recovery would rmtree the parked full
+        # table — every earlier batch silently lost (r07 review; the
+        # funnel merge guards this the same way).
+        _recover_pre_swap(path)
         if os.path.exists(path):
             upsert_table(
                 spark, path, latest, key_cols=key_cols, order_col=order_col

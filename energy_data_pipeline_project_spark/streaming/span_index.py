@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..operators.dedup import merge_span_islands, span_gram_frame
+from ..pipeline.lake import read_parquet_index as _read_parquet_index
 from ..pipeline.lake import write_batch_partition as _write_batch_partition
 
 
@@ -54,14 +55,12 @@ def screen_and_index_span_batch(
 
     # within-batch: min-id owner per gram; later ids are flagged
     own_b = g.groupBy("h").agg(F.min("doc_id").alias("owner"))
-    if os.path.exists(index_path):
-        idx = (
-            spark.read.parquet(index_path)
-            .where(F.col("batch_id") < int(batch_id))
-            .select("h", "owner")
-        )
-    else:
-        idx = None
+    idx_df = _read_parquet_index(spark, index_path)
+    idx = (
+        idx_df.where(F.col("batch_id") < int(batch_id)).select("h", "owner")
+        if idx_df is not None
+        else None
+    )
 
     if idx is not None:
         # ONE index scan per batch: the left join gives both the

@@ -9,7 +9,8 @@ passed last_seen + gap with no new data).
 This is the escape hatch for stateful semantics Spark's built-in
 windows can't express (here: emitting rich per-session summaries —
 duration, event count, first/last values — rather than windowed aggs).
-State is a plain tuple per user; the watermark bounds both state size
+State per user is the open session plus at most watermark/gap parked
+earlier runs (see STATE_SCHEMA); the watermark bounds both state size
 and timeout latency, which is what keeps it runnable forever at
 100 TB/day event volumes.
 
@@ -28,11 +29,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_SECONDS = 30 * 60
 
+# State = the OPEN session (greatest start) plus zero or more PARKED
+# earlier runs. A run separated from the open session by more than a
+# gap may still be bridged into it by a late in-watermark event (gaps
+# are transitive), so it cannot close before the watermark passes its
+# last event + gap — emitting it immediately diverged from the batch
+# twin when the bridge arrived in a later micro-batch (r07 review).
+# Parked runs are bounded by watermark_delay / gap per user (≤ 2 for
+# the 1h/30min defaults).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
         T.StructField("session_start", T.DoubleType()),  # epoch seconds
         T.StructField("last_seen", T.DoubleType()),
+        T.StructField("parked_n", T.ArrayType(T.LongType())),
+        T.StructField("parked_start", T.ArrayType(T.DoubleType())),
+        T.StructField("parked_last", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -45,90 +57,98 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def _load_runs(state: GroupState) -> list[list]:
+    """State → [[n, start, last], ...] runs, parked first, open last."""
+    n, start, last, pn, ps, pl = state.get
+    runs = [
+        [int(cn), float(cs), float(cl)]
+        for cn, cs, cl in zip(pn or [], ps or [], pl or [])
+    ]
+    runs.append([int(n), float(start), float(last)])
+    return runs
+
+
 def _sessionize_fn(
     key: tuple,
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    closed: list[tuple[int, int, float]] = []
+    cols = ["user_id", "n_events", "duration_s"]
 
     if state.hasTimedOut:
-        n, start, last = state.get
-        closed.append((user_id, n, last - start))
+        # the timeout fires when the watermark passes the OPEN run's
+        # last + gap; every parked run ends more than a gap earlier,
+        # so all of them are expired too — close everything
+        closed = [
+            (user_id, r[0], r[2] - r[1]) for r in _load_runs(state)
+        ]
         state.remove()
-        yield pd.DataFrame(
-            closed, columns=["user_id", "n_events", "duration_s"]
-        )
+        yield pd.DataFrame(closed, columns=cols)
         return
 
-    if state.exists:
-        n, start, last = state.get
-    else:
-        n, start, last = 0, None, None
-
+    runs = _load_runs(state) if state.exists else []
     ts = sorted(
         t.timestamp()
         for pdf in batches
         for t in pd.to_datetime(pdf["ts"])
     )
-    # Late events before the open session belong to it only if they
-    # CHAIN into it: session merging is transitive, so an event at
-    # start-35min followed by one at start-20min (gap 30min) both merge
-    # with the open session in the batch twin — a fixed cut at
-    # start-GAP would wrongly split the first into its own session
-    # (r07 advisor). Walk the sorted pre-start events backwards from
-    # `start` and split only at an actual >GAP gap between consecutive
-    # events; everything before that gap forms earlier island
-    # session(s) that close immediately and can never merge with the
-    # open session.
-    if start is not None:
-        before = [t for t in ts if t < start]
-        split = len(before)
-        frontier = start
-        while split > 0 and frontier - before[split - 1] <= SESSION_GAP_SECONDS:
-            split -= 1
-            frontier = before[split]
-        pre = before[:split]
-        ts = before[split:] + [t for t in ts if t >= start]
-        p_n, p_start, p_last = 0, None, None
-        for t in pre:
-            if p_last is not None and t - p_last > SESSION_GAP_SECONDS:
-                closed.append((user_id, p_n, p_last - p_start))
-                p_n, p_start = 0, t
-            if p_start is None:
-                p_start = t
-            p_n += 1
-            p_last = t
-        if p_n:
-            closed.append((user_id, p_n, p_last - p_start))
-    for t in ts:
-        if last is not None and t - last > SESSION_GAP_SECONDS:
-            closed.append((user_id, n, last - start))
-            n, start = 0, t
-        if start is None:
-            start = t
-        n += 1
-        # A late-but-within-watermark event (t < last) must not move
-        # the session frontier backwards: that would fake a gap against
-        # the NEXT event and fire the event-time timeout early. The
-        # frontier is monotone; late events that chain into the open
-        # session (every consecutive gap ≤ GAP — older ones split off
-        # above) only extend the count and pull `start` earlier.
-        start = min(start, t)
-        last = t if last is None else max(last, t)
+    runs.extend([1, t, t] for t in ts)
 
-    state.update((n, start, last))
-    # event-time timeout: close the session once the watermark passes
-    # last_seen + gap. On backlog replay the watermark may already be
-    # beyond that point — a timeout timestamp must not be in the past,
-    # so clamp to just after the current watermark.
+    # Interval-gap merge: session merging is transitive (an event at
+    # start-35min plus one at start-20min both join a session starting
+    # at `start` under a 30-min gap — r07 advisor), and a late
+    # in-watermark event may BRIDGE previously separate runs, even
+    # across micro-batches. Sorting every run (parked sessions, the
+    # open session, new singleton events) by start and merging where
+    # next.start - cur.last <= gap is exactly the batch twin's
+    # semantics: runs are internally gap-free, an overlapping run is
+    # within a gap of some member by construction, and chains collapse
+    # transitively left-to-right.
+    runs.sort(key=lambda r: (r[1], r[2]))
+    merged: list[list] = []
+    for r in runs:
+        if merged and r[1] - merged[-1][2] <= SESSION_GAP_SECONDS:
+            merged[-1][0] += r[0]
+            merged[-1][2] = max(merged[-1][2], r[2])
+        else:
+            merged.append(list(r))
+
+    # The LAST run stays open. An earlier run closes only once the
+    # watermark passes its last event + gap — before that, a late
+    # event in [watermark, run.last + gap] could still chain into it;
+    # emitting it early diverged from the batch twin (r07 review). The
+    # not-yet-expired remainder parks in state.
+    wm_s = state.getCurrentWatermarkMs() / 1000.0
+    open_run = merged[-1]
+    closed = []
+    parked = []
+    for r in merged[:-1]:
+        if r[2] + SESSION_GAP_SECONDS < wm_s:
+            closed.append((user_id, r[0], r[2] - r[1]))
+        else:
+            parked.append(r)
+
+    state.update(
+        (
+            open_run[0],
+            open_run[1],
+            open_run[2],
+            [r[0] for r in parked],
+            [r[1] for r in parked],
+            [r[2] for r in parked],
+        )
+    )
+    # event-time timeout: close everything once the watermark passes
+    # the open run's last_seen + gap. On backlog replay the watermark
+    # may already be beyond that point — a timeout timestamp must not
+    # be in the past, so clamp to just after the current watermark.
     timeout_ms = max(
-        int((last + SESSION_GAP_SECONDS) * 1000),
+        int((open_run[2] + SESSION_GAP_SECONDS) * 1000),
         state.getCurrentWatermarkMs() + 1,
     )
     state.setTimeoutTimestamp(timeout_ms)
-    yield pd.DataFrame(closed, columns=["user_id", "n_events", "duration_s"])
+    yield pd.DataFrame(closed, columns=cols)
 
 
 def sessionize_with_state(events: DataFrame) -> DataFrame:

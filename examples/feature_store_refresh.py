@@ -95,9 +95,13 @@ def refresh(spark, sf_dir: str, out_dir: str) -> dict[str, object]:
         f"{out_dir}/store/features"
     ).count()
 
-    # 4. drift gate: total PSI over the bucket terms
+    # 4. drift gate: total PSI over the bucket terms. COALESCE: a
+    # zero-row drift frame (empty split populations) sums to NULL and
+    # `None <= threshold` crashed the refresh after its writes with no
+    # report — the stale-report hazard again (r07 review); no rows
+    # means no observed drift.
     psi = dq_distribution_drift(spark, sf_dir).agg(
-        F.sum("psi_term").alias("psi")
+        F.coalesce(F.sum("psi_term"), F.lit(0.0)).alias("psi")
     ).collect()[0].psi
     report["4_psi_total"] = psi
     report["status"] = (

@@ -40,20 +40,25 @@ def test_stateful_sessionizer_closed_sessions_match_batch(
 
     stream = jobs.read_event_stream(spark, src)
     out = sessionize_with_state(stream)
+    ckpt = str(tmp_path_factory.mktemp("ev-state-ckpt"))
     q = (
         out.writeStream.format("memory")
         .queryName("closed_sessions")
         .outputMode("append")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     got = spark.table("closed_sessions")
 
-    # batch: total sessions per user; streaming: closed sessions per
-    # user — the difference is exactly the one still-open session per
-    # user with events (unless the timeout fired for it, which
-    # availableNow termination does not guarantee).
+    # EXACT accounting per user: every batch-twin session is either
+    # emitted (closed) or still held in state (the open session plus
+    # any parked not-yet-expired earlier runs — availableNow ends
+    # before the watermark passes them). The state-store reader makes
+    # the held runs countable, so the invariant is equality, stronger
+    # than the old "closed within [batch-1, batch]" bound (which the
+    # r07 parked-island fix legitimately broke: parked runs > 1).
     batch = {
         r["user_id"]: r["n_sessions"]
         for r in events_sessionize(spark, SF_SMOKE).collect()
@@ -63,11 +68,26 @@ def test_stateful_sessionizer_closed_sessions_match_batch(
         for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert stream_closed, "no closed sessions emitted"
-    for user, n_closed in stream_closed.items():
-        assert batch[user] - 1 <= n_closed <= batch[user], (
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.coalesce("value.groupState.parked_n", F.array())
+                )
+            ).alias("held"),
+        )
+    )
+    held = {r["user_id"]: r["held"] for r in state.collect()}
+    for user, total in batch.items():
+        assert stream_closed.get(user, 0) + held.get(user, 0) == total, (
             user,
-            n_closed,
-            batch[user],
+            stream_closed.get(user, 0),
+            held.get(user, 0),
+            total,
         )
     # durations must be non-negative and bounded by the stream's span
     bad = got.where("duration_s < 0 OR duration_s > 30 * 86400").count()
@@ -202,8 +222,11 @@ def test_distant_late_event_forms_its_own_session(spark, tmp_path_factory):
     merge into it (start = min would emit one session with an interior
     gap over the threshold — r06 review). With state start=10:00 and a
     9:15 event arriving late (within the 1h watermark, but 45 min
-    before the session start), the 9:15 event closes immediately as
-    its own single-event session and the open session is untouched."""
+    before the session start), the 9:15 event becomes its own
+    single-event session — PARKED until the watermark passes
+    9:15 + gap = 9:45 (an in-watermark 9:40 event could still bridge
+    it into the open session — r07 review), then emitted once a third
+    batch advances the watermark. The open session is untouched."""
     root = tmp_path_factory.mktemp("distant-late")
     src, ckpt, out = str(root / "src"), str(root / "ckpt"), str(root / "out")
 
@@ -236,11 +259,25 @@ def test_distant_late_event_forms_its_own_session(spark, tmp_path_factory):
     # before the open session's start — more than the 30-min gap
     write_events([(2, d.replace(hour=9, minute=15), 9, "view", 1.0, "{}")])
     run_once()
+    # nothing emitted yet: the island is parked until the watermark
+    # passes 9:45 (a 9:40 bridge could still arrive — r07 review)
+    try:
+        early = spark.read.parquet(out).where("user_id = 9").collect()
+    except Exception:  # zero rows -> schema-less file sink
+        early = []
+    assert early == [], f"island emitted before its bridge window: {early}"
+    # advance the watermark (other user, 12:00 -> wm 11:00 after this
+    # batch), then touch user 9 so its fn runs under wm=11:00: both
+    # the 9:15 island (expired 9:45) and the 10:00 session (expired
+    # 10:30) close as separate 1-event sessions
+    write_events([(3, d.replace(hour=12), 10, "view", 1.0, "{}")])
+    run_once()
+    write_events([(4, d.replace(hour=12, minute=5), 9, "view", 1.0, "{}")])
+    run_once()
 
     closed = spark.read.parquet(out).where("user_id = 9").collect()
-    assert [(r["n_events"], r["duration_s"]) for r in closed] == [(1, 0.0)], (
-        closed
-    )
+    got = sorted((r["n_events"], r["duration_s"]) for r in closed)
+    assert got == [(1, 0.0), (1, 0.0)], closed
 
 
 def test_chained_late_events_merge_into_open_session(
