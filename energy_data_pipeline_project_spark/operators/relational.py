@@ -52,6 +52,7 @@ def _cents(expr_sql: str) -> F.Column:
 
 REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
 _REV_CENTS_DUCK = f"CAST(ROUND(({REVENUE_SQL}) * 100, 0) AS BIGINT)"
+_QTY_CENTS_DUCK = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -107,11 +108,11 @@ def gold_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM({_QTY_CENTS_DUCK}) AS DOUBLE) / 100.0 AS sum_qty,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
            CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS sum_disc_cents,
            CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
-           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+           CAST(SUM({_QTY_CENTS_DUCK}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
            CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
@@ -254,7 +255,10 @@ def proj_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("string").alias("size_str"),
         (_cents("p_retailprice") * 11.0 / 1000.0).alias("uplift_price"),
         F.lit("catalog").alias("src"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # concat (not concat_ws): SQL || propagates NULL while
+        # concat_ws silently skips NULL args — a latent divergence the
+        # fixture's null-free columns masked (r07 review)
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
     )
 
 
@@ -304,29 +308,69 @@ def agg_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_order_stats",
     """
-    SELECT o_orderpriority,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
-             / 100.0 / COUNT(*) AS avg_price,
-           MIN(o_totalprice) AS min_price,
-           MAX(o_totalprice) AS max_price,
-           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) AS sc,
+             CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  AS DECIMAL(38, 0))) AS DOUBLE) AS sqc,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, n_customers,
+           sc / 100.0 / n AS avg_price,
+           min_price, max_price,
+           CASE WHEN n_orders > 1 THEN
+             SQRT(GREATEST((n * sqc - sc * sc) / (n * (n - 1.0)), 0.0))
+               / 100.0
+           END AS sd_price
+    FROM m
     """,
 )
 def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order stats. The sample stddev is computed from
+    EXACT integer-cents moments (the cents² sum rides DECIMAL(38,0) —
+    it overflows int64 at test scale already) converted to double and
+    pushed through the IDENTICAL expression tree in both engines, so
+    the value is bit-identical. The previous ROUND(STDDEV_SAMP(x), 4)
+    broke the no-ROUND-doubles rule twice over: the engines' native
+    stddev accumulators are partition-order-dependent, and
+    ROUND(double, n) itself splits on near-tie doubles (r07 review)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    c = _cents("o_totalprice")
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n"),
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        (F.sum(_cents("o_totalprice")).cast("double") / 100.0 / F.count("*")).alias(
-            "avg_price"
-        ),
+        F.sum(c).cast("double").alias("sc"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("double").alias("sqc"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+    return m.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_customers",
+        (F.col("sc") / 100.0 / F.col("n")).alias("avg_price"),
+        "min_price",
+        "max_price",
+        F.when(
+            F.col("n_orders") > 1,
+            F.sqrt(
+                F.greatest(
+                    (F.col("n") * F.col("sqc") - F.col("sc") * F.col("sc"))
+                    / (F.col("n") * (F.col("n") - F.lit(1.0))),
+                    F.lit(0.0),
+                )
+            )
+            / 100.0,
+        ).alias("sd_price"),
     )
 
 
@@ -392,9 +436,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_qty",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(SUM({_QTY_CENTS_DUCK}) AS DOUBLE) / 100.0
              AS sum_qty,
            COUNT(*) AS n_items
     FROM lineitem
@@ -1409,26 +1453,70 @@ def proj_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_percentiles",
     """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders
+    """
+    + ",\n".join(
+        f"""
+           CAST(MAX(CASE WHEN rn = ({q} * (n-1)) // 100 THEN c END) * 100
+             + MAX(({q} * (n-1)) % 100)
+               * (MAX(CASE WHEN rn = LEAST(({q} * (n-1)) // 100 + 1, n-1)
+                      THEN c END)
+                  - MAX(CASE WHEN rn = ({q} * (n-1)) // 100 THEN c END))
+             AS BIGINT) AS p{q}_cents_x100"""
+        for q in (50, 90, 99)
+    )
+    + """
+    FROM ranked
     GROUP BY o_orderpriority
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``: both linear-interpolate on the sorted
-    values; rounded to absorb 1-ulp interpolation-formula noise). At
-    100 TB exact percentiles require a per-group sort — switch to
-    ``approx_percentile`` (KLL/GK sketch) when groups stop fitting;
-    kept exact here because the oracle must match."""
+    """Exact interpolated percentiles in pure integer arithmetic:
+    rank positions over the sorted cents, linear interpolation as
+    ``100·v_lo + frac·(v_hi − v_lo)`` where ``frac = (q·(n−1)) mod
+    100`` — emitted as BIGINT hundredths-of-a-cent, so the value is
+    engine-exact by construction. The earlier built-in
+    percentile/quantile_cont pair rounded doubles to 4 decimals "to
+    absorb 1-ulp interpolation noise" — the exact configuration where
+    a 1-ulp difference straddles a ROUND half-tie and the engines'
+    ROUND implementations split (r07 review). At 100 TB exact
+    percentiles require a per-group sort either way — switch to
+    ``approx_percentile`` (KLL/GK sketch) when groups stop fitting."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        _cents("o_totalprice").alias("c"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pct(q: int) -> F.Column:
+        lo = F.expr(f"({q} * (n-1)) DIV 100")
+        frac = F.expr(f"({q} * (n-1)) % 100")
+        v_lo = F.max(F.when(F.col("rn") == lo, F.col("c")))
+        v_hi = F.max(
+            F.when(
+                F.col("rn") == F.least(lo + 1, F.col("n") - 1), F.col("c")
+            )
+        )
+        return (
+            (v_lo * 100 + F.max(frac) * (v_hi - v_lo))
+            .cast("bigint")
+            .alias(f"p{q}_cents_x100")
+        )
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pct(50), pct(90), pct(99)
     )
 
 
@@ -1601,38 +1689,40 @@ def agg_conditional_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "argmax_order_per_customer",
     """
-    WITH keyed AS (
-      SELECT o_custkey, o_orderkey,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 1000000000
-               + o_orderkey AS k
-      FROM orders
-    )
     SELECT o_custkey,
-           arg_max(o_orderkey, k) AS best_orderkey,
-           CAST(MAX(k) // 1000000000 AS BIGINT) AS best_price_cents
-    FROM keyed
+           -MAX(struct_pack(
+              c := CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+              nk := -o_orderkey)).nk AS best_orderkey,
+           MAX(struct_pack(
+              c := CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+              nk := -o_orderkey)).c AS best_price_cents
+    FROM orders
     GROUP BY o_custkey
     """,
 )
 def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax via max_by on a composite integer key: price cents in the
-    high bits, orderkey in the low bits, so ties on price break
-    deterministically on orderkey in BOTH engines (bare max_by/arg_max
-    tie-breaking is undefined). One hash aggregate — no window, no
-    self-join."""
+    """Argmax via lexicographic MAX over a (price_cents, -orderkey)
+    struct — both engines order structs field-by-field, so ties on
+    price break deterministically on the SMALLEST orderkey (bare
+    max_by/arg_max tie-breaking is undefined). One hash aggregate —
+    no window, no self-join. A struct replaces the earlier
+    cents*1e9+orderkey composite integer, whose orderkey slot silently
+    overflowed into the price bits once orderkeys pass 1e9 — guaranteed
+    at the advertised 100 TB scale (r07 review); struct comparison has
+    no such bound."""
     orders = load_table(spark, sf_dir, "orders")
     keyed = orders.select(
         "o_custkey",
-        "o_orderkey",
-        (_cents("o_totalprice") * F.lit(1_000_000_000) + F.col("o_orderkey")).alias("k"),
+        F.struct(
+            _cents("o_totalprice").alias("c"),
+            (-F.col("o_orderkey")).alias("nk"),
+        ).alias("s"),
     )
-    return keyed.groupBy("o_custkey").agg(
-        F.expr("max_by(o_orderkey, k)").alias("best_orderkey"),
-        # integer DIV, not /: k exceeds 2^53, double division would
-        # lose low-order cents
-        F.expr("CAST(max(k) DIV 1000000000 AS BIGINT)").alias(
-            "best_price_cents"
-        ),
+    best = keyed.groupBy("o_custkey").agg(F.max("s").alias("m"))
+    return best.select(
+        "o_custkey",
+        (-F.col("m.nk")).alias("best_orderkey"),
+        F.col("m.c").alias("best_price_cents"),
     )
 
 
@@ -1759,9 +1849,9 @@ def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_lineitem_metrics",
-    """
+    f"""
     SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-           CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS value_cents
+           {_QTY_CENTS_DUCK} AS value_cents
     FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'price',
@@ -1783,7 +1873,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.expr(
             "stack(3,"
-            " 'quantity', CAST(ROUND(l_quantity * 100, 0) AS BIGINT),"
+            f" 'quantity', {_QTY_CENTS_DUCK},"
             " 'price', CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),"
             " 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
             ") AS (metric, value_cents)"
@@ -2111,7 +2201,7 @@ def linear_trend(events: DataFrame) -> DataFrame:
 @query(
     "events_linear_trend",
     """
-    WITH ev AS (
+    WITH ev AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(ROUND(value * 100, 0) AS BIGINT) AS y
       FROM events
@@ -2612,11 +2702,11 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_funnel_ordered",
     """
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT user_id, MIN(ts) AS v_ts FROM events
       WHERE event_type = 'view' GROUP BY user_id
     ),
-    c AS (
+    c AS MATERIALIZED (
       SELECT e.user_id, MIN(e.ts) AS c_ts
       FROM events e JOIN v ON e.user_id = v.user_id
       WHERE e.event_type = 'click' AND e.ts > v.v_ts

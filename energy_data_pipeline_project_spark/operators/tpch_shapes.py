@@ -21,11 +21,17 @@ division, per-row double arithmetic (bitwise identical across engines)
 before any aggregation, DATE-typed date emission, identical aliases.
 
 Scale posture (100 TB): every query filters before joining (predicates
-reach the parquet scans), broadcasts only the fixed-size dims (nation,
-region, and sub-aggregated scalar frames), and keeps the fact-fact
-joins as AQE-planned shuffles on their natural keys. Two-level
-aggregates reuse the first aggregation's partitioning where the second
-groups by a subset key. No Python UDFs.
+reach the parquet scans), and the fact-fact joins stay AQE-planned
+shuffles on their natural keys. Broadcast hints come in two classes:
+the fixed-size dims (nation, region) and sub-aggregated scalar frames
+are broadcast-safe at ANY scale, while the part/supplier-derived arms
+(q2 q8 q9 q11 q15 q20) and q18's data-dependent big-orders frame are
+broadcast-safe at bench scale but GROW with sf — F.broadcast is a hard
+hint Spark obeys regardless of size, so a true 100 TB deployment drops
+those hints and lets AQE pick the join side from runtime sizes (r07
+review: the earlier claim that only fixed-size dims are hinted was
+wrong). Two-level aggregates reuse the first aggregation's
+partitioning where the second groups by a subset key. No Python UDFs.
 """
 
 from __future__ import annotations
@@ -41,8 +47,9 @@ QUERIES, ORACLES, query = make_registry()
 
 # The cents-conversion rule is the repo's core determinism invariant:
 # ONE definition per engine dialect, imported from relational.py —
-# never re-spelled (r06 review: three inline copies had accreted).
-_QTY_CENTS_DUCK = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
+# never re-spelled (r06 review: three inline copies had accreted;
+# the quantity spelling itself moved there in r07).
+from .relational import _QTY_CENTS_DUCK  # noqa: E402
 
 Q2_SIZE = 15
 Q2_REGION = "EUROPE"
@@ -74,7 +81,7 @@ Q22_CUTOFF = "1999-01-01"
 @query(
     "q2_min_cost_supplier",
     f"""
-    WITH cost AS (
+    WITH cost AS MATERIALIZED (
       SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
              MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
       FROM lineitem l
@@ -423,7 +430,7 @@ _Q11_NATIONS_SQL = ", ".join(f"'{n}'" for n in Q11_NATIONS)
 @query(
     "q11_important_parts",
     f"""
-    WITH pv AS (
+    WITH pv AS MATERIALIZED (
       SELECT l.l_partkey AS p_partkey,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS value_cents
@@ -601,7 +608,7 @@ def q13_order_count_distribution(
 @query(
     "q15_top_supplier",
     f"""
-    WITH revenue AS (
+    WITH revenue AS MATERIALIZED (
       SELECT l_suppkey AS supplier_no,
              CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS total_revenue_cents
       FROM lineitem
@@ -786,7 +793,7 @@ def q18_large_volume_customers(
 @query(
     "q20_dominant_share_suppliers",
     f"""
-    WITH ps AS (
+    WITH ps AS MATERIALIZED (
       SELECT l.l_partkey, l.l_suppkey,
              CAST(SUM({_QTY_CENTS_DUCK}) AS BIGINT) AS qty_cents
       FROM lineitem l
