@@ -321,7 +321,8 @@ RANGE_MIN_VALUE = 100
     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
     SELECT w.window_id, w.user_id,
            COUNT(*) AS n_clicks,
-           ROUND(SUM(c.value), 4) AS click_value
+           CAST(SUM(CAST(ROUND(c.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS click_cents
     FROM w JOIN c
       ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
     GROUP BY 1, 2
@@ -371,7 +372,13 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_id", "user_id")
         .agg(
             F.count("*").alias("n_clicks"),
-            F.round(F.sum("value"), 4).alias("click_value"),
+            # integer cents, never ROUND(SUM(double)): a float sum is
+            # partition-order-dependent and decimal rounding of it
+            # splits across engines on near-ties (r07 review; the
+            # events_ab_lift class)
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("click_cents"),
         )
     )
 
@@ -1098,9 +1105,15 @@ NEG_KEEP = 4  # negatives kept per customer
 
 
 def _neg_part(duck: bool) -> str:
+    """Candidate part = md5(cust:i) mod |parts| + 1, referencing an
+    ``n_parts`` column (broadcast 1-row count frame / scalar-count
+    cross join). The earlier hardcoded ``% 2000`` was the sf0.01 part
+    count and off-by-one against TPC-H partkeys 1..N: it could emit
+    the nonexistent partkey 0 and never sample partkey 2000, and at
+    any larger sf ignored all but the first 2000 parts (r07 review)."""
     cast = "VARCHAR" if duck else "STRING"
     h = H.md5_int64(f"(CAST(c_custkey AS {cast}) || ':' || CAST(i AS {cast}))", duck=duck)
-    return f"(({h}) % 2000)"
+    return f"((({h}) % n_parts) + 1)"
 
 
 @query(
@@ -1113,6 +1126,7 @@ def _neg_part(duck: bool) -> str:
     draws AS (
       SELECT c.c_custkey, t.i, {_neg_part(True)} AS p
       FROM customer c,
+           (SELECT COUNT(*) AS n_parts FROM part) np,
            LATERAL (SELECT unnest(generate_series(1, {NEG_DRAWS})) AS i) t
     ),
     neg AS (
@@ -1138,6 +1152,11 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
+    n_parts = (
+        load_table(spark, sf_dir, "part").agg(
+            F.count("*").alias("n_parts")
+        )
+    )
     pos = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -1146,10 +1165,16 @@ def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    draws = cust.select("c_custkey").select(
-        "c_custkey",
-        F.explode(F.sequence(F.lit(1), F.lit(NEG_DRAWS))).alias("i"),
-    ).select("c_custkey", "i", F.expr(_neg_part(False)).alias("p"))
+    draws = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "c_custkey",
+            "n_parts",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_DRAWS))).alias("i"),
+        )
+        .select("c_custkey", "i", F.expr(_neg_part(False)).alias("p"))
+    )
     neg = draws.join(pos, ["c_custkey", "p"], "left_anti")
     wd = Window.partitionBy("c_custkey", "p").orderBy("i")
     wr = Window.partitionBy("c_custkey").orderBy("i")

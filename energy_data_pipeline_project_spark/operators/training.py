@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import hashing as H
 from ..sources.tables import load_table
+from ._frames import cached as _cached
 from ._registry import make_registry
 from .dedup import _minhash_oracle, shared_lsh_pairs
 from .text import _SPLIT_BUCKET_DUCK, _SPLIT_BUCKET_SPARK
@@ -167,13 +168,18 @@ BUDGET_EPOCHS = 2  # total budget = BUDGET_EPOCHS x corpus tokens
                       AS BIGINT) AS alloc_tokens
           FROM p CROSS JOIN t),
     e AS (SELECT a.*,
-                 CAST(alloc_tokens // src_tokens AS BIGINT) AS epochs_full
+                 CAST(alloc_tokens // NULLIF(src_tokens, 0) AS BIGINT)
+                   AS epochs_full
           FROM a)
     SELECT source, n_docs, src_tokens, alloc_tokens, epochs_full,
            CAST(alloc_tokens - epochs_full * src_tokens AS BIGINT)
              AS residual_tokens,
+           -- NULLIF: an all-empty-text source has src_tokens = 0;
+           -- DuckDB // raises on /0 while Spark div yields NULL
+           -- (r07 review) — NULL-safe in BOTH engines
            CAST((1000 * (alloc_tokens - epochs_full * src_tokens))
-                // src_tokens AS BIGINT) AS residual_keep_permille
+                // NULLIF(src_tokens, 0) AS BIGINT)
+             AS residual_keep_permille
     FROM e
     """,
 )
@@ -201,14 +207,17 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_tokens",
             F.expr(f"({BUDGET_EPOCHS} * total_tokens) div n_sources"),
         )
-        .withColumn("epochs_full", F.expr("alloc_tokens div src_tokens"))
+        .withColumn(
+            "epochs_full",
+            F.expr("alloc_tokens div NULLIF(src_tokens, 0)"),
+        )
         .withColumn(
             "residual_tokens",
             F.expr("alloc_tokens - epochs_full * src_tokens"),
         )
         .withColumn(
             "residual_keep_permille",
-            F.expr("(1000 * residual_tokens) div src_tokens"),
+            F.expr("(1000 * residual_tokens) div NULLIF(src_tokens, 0)"),
         )
         .select(
             "source", "n_docs", "src_tokens", "alloc_tokens",
@@ -355,7 +364,10 @@ def _probe_step(feats: DataFrame, w: DataFrame) -> DataFrame:
 def train_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two exact GD steps of the quality linear probe as one Catalyst
     plan; see module docstring for the fixed-point construction."""
-    feats = _probe_features(load_table(spark, sf_dir, "documents"))
+    # persisted: the feature projection feeds every GD-step subplan;
+    # without it each step re-scanned and re-tokenized documents
+    # (3 scans per query — r07 review; Spark has no cross-subtree CSE)
+    feats = _cached(_probe_features(load_table(spark, sf_dir, "documents")))
     w1 = _probe_step(feats, _zero_weights(spark))
     w2 = _probe_step(feats, w1)
 
@@ -403,7 +415,7 @@ def corpus_probe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as one job — weights never leave the cluster, and the whole
     chain (training included) stays under the exact hash gate."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = _probe_features(docs, "source")
+    feats = _cached(_probe_features(docs, "source"))
     w1 = _probe_step(feats.drop("source"), _zero_weights(spark))
     w2 = _probe_step(feats.drop("source"), w1)
     scored = feats.crossJoin(F.broadcast(w2.drop("loss"))).withColumn(

@@ -28,11 +28,9 @@ from ._registry import make_registry
 QUERIES, ORACLES, query = make_registry()
 
 
-def _cents(expr_sql: str) -> F.Column:
-    return F.expr(f"CAST(ROUND(({expr_sql}) * 100, 0) AS BIGINT)")
-
-
-_CENTS = "CAST(ROUND(({}) * 100, 0) AS BIGINT)"
+# single-source cents rule (r07 review: this module re-spelled it)
+from .timeseries import _CENTS_TPL as _CENTS  # noqa: E402
+from .timeseries import _cents  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -565,9 +563,14 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = ev.groupBy(
-        "event_type", _cents("value").alias("cents")
-    ).agg(F.count("*").alias("cnt"))
+    # persisted: the value-grain frame feeds BOTH the quartile
+    # derivation and the final outlier join — without it the full
+    # events aggregation ran twice (r07 review; the RI-audit lesson)
+    v = _cached_keys(
+        ev.groupBy("event_type", _cents("value").alias("cents")).agg(
+            F.count("*").alias("cnt")
+        )
+    )
     wc = Window.partitionBy("event_type").orderBy("cents")
     wn = Window.partitionBy("event_type")
     c = v.select(
