@@ -103,11 +103,11 @@ def _semantic_oracle() -> str:
       GROUP BY 1, 2, 3
     )
     SELECT vec_a, vec_b, cluster,
-           ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+           dp / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
     FROM dots
     JOIN nrm na ON vec_a = na.vec_id
     JOIN nrm nb ON vec_b = nb.vec_id
-    WHERE ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= {t}
+    WHERE dp / (sqrt(na.n2) * sqrt(nb.n2)) >= {t}
     """
 
 
@@ -202,9 +202,9 @@ def semantic_dup_pairs(
     )
     na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
     nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
-    cos = F.round(
-        F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
-    )
+    # raw ratio of exact-int grid values — identical IEEE tree both
+    # engines; ROUND(double, 4) itself diverged on near-ties (r07)
+    cos = F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
     return (
         dots.join(na, "vec_a")
         .join(nb, "vec_b")

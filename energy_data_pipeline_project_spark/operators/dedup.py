@@ -1140,11 +1140,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT vec_a, vec_b,
-           ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+           dp / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
     FROM dots
     JOIN nrm na ON vec_a = na.vec_id
     JOIN nrm nb ON vec_b = nb.vec_id
-    WHERE ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= {COSINE_DUP_THRESHOLD}
+    WHERE dp / (sqrt(na.n2) * sqrt(nb.n2)) >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,7 +1156,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact oracle gate. Components quantize to BIGINT at
     COSINE_QUANT first (the module's standard idiom), so dp/n2 are
     exact integers and the only float ops (sqrt, one divide) run on
-    identical inputs in both engines — bit-identical results.
+    identical inputs in both engines — bit-identical results, emitted
+    RAW (r07: the final ROUND(,4) was itself a divergence source).
     Overflow headroom: |q| <= 1e4 so dp <= 64 * 1e8 << 2^63."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < COSINE_SUBSET
@@ -1183,9 +1184,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
     nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
-    cos = F.round(
-        F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
-    )
+    # RAW ratio, no ROUND: dp/n2 are exact ints, so both engines run
+    # the identical IEEE tree (sqrt is correctly rounded) and the
+    # double is bit-identical — while ROUND(double, 4) itself splits
+    # on near-tie doubles even with identical inputs (r07 review;
+    # threshold membership now also compares the identical raw value)
+    cos = F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
     return (
         dots.join(na, "vec_a")
         .join(nb, "vec_b")

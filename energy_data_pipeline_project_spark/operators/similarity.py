@@ -20,6 +20,17 @@ Four search paths plus corpus profiling:
 
 Both approximate paths carry recall@5 ≥ 0.8 gates vs brute force
 (tests/test_similarity_recall.py).
+
+Float-parity note: the emitted ``cosine`` columns keep ``ROUND(,4)``
+DELIBERATELY — unlike the integer-grid cosines in dedup/curation
+(raw-ratio since r07), this tier computes cosines with each engine's
+own float kernel (Spark zip_with fold vs DuckDB
+``list_cosine_similarity``), whose results differ in final ulps, so
+the round is load-bearing ulp absorption. The residual risk (a
+rounded half-tie splitting across engines) needs the TRUE cosine of
+random continuous vectors to land within an ulp of an exact
+x.xxxx5 — measure-zero for this data, unlike the discrete
+small-integer ratios that forced the raw-ratio rule elsewhere.
 """
 
 from __future__ import annotations
