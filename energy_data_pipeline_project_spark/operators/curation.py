@@ -107,7 +107,8 @@ def _semantic_oracle() -> str:
     FROM dots
     JOIN nrm na ON vec_a = na.vec_id
     JOIN nrm nb ON vec_b = nb.vec_id
-    WHERE dp / (sqrt(na.n2) * sqrt(nb.n2)) >= {t}
+    WHERE na.n2 > 0 AND nb.n2 > 0
+      AND dp / (sqrt(na.n2) * sqrt(nb.n2)) >= {t}
     """
 
 
@@ -203,8 +204,12 @@ def semantic_dup_pairs(
     na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
     nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
     # raw ratio of exact-int grid values — identical IEEE tree both
-    # engines; ROUND(double, 4) itself diverged on near-ties (r07)
-    cos = F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    # engines; ROUND(double, 4) itself diverged on near-ties (r07).
+    # Positive-norm gate: NULL-vs-NaN zero-division divergence (r07)
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+    )
     return (
         dots.join(na, "vec_a")
         .join(nb, "vec_b")

@@ -121,6 +121,25 @@ def _minhash_signatures(
     )
 
 
+def _band_melt_sql(src: str) -> str:
+    """Oracle band-melt: one (doc_id, band_id, band_val) row per band
+    from a signature CTE ``src`` — THE banded-LSH layout, defined once
+    (r07 review: three oracles hand-built identical copies, the same
+    drift risk capped_bucket_pairs documents for the Spark side)."""
+    return "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_val"
+        " FROM {src}".format(
+            b=b,
+            cols=", ".join(
+                f"m{i}"
+                for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
+            ),
+            src=src,
+        )
+        for b in range(H.MINHASH_BANDS)
+    )
+
+
 def _minhash_oracle() -> str:
     mins = ",\n           ".join(
         f"MIN({H.minhash_expr(i, 'h')}) AS m{i}" for i in range(H.MINHASH_K)
@@ -128,15 +147,7 @@ def _minhash_oracle() -> str:
     # Melted-band formulation mirroring the Spark plan (bucket equi-join
     # + hot-bucket cap), not the old all-pairs band-OR — so the cap's
     # semantics are hash-checked too.
-    band_rows = "\n    UNION ALL\n    ".join(
-        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_val FROM sig".format(
-            b=b,
-            cols=", ".join(
-                f"m{i}" for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
-            ),
-        )
-        for b in range(H.MINHASH_BANDS)
-    )
+    band_rows = _band_melt_sql("sig")
     matches = " + ".join(
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
         for i in range(H.MINHASH_K)
@@ -469,19 +480,7 @@ def _incremental_oracle() -> str:
     )
     key = H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)
 
-    def melt(src: str) -> str:
-        return "\n    UNION ALL\n    ".join(
-            "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_val"
-            " FROM {src}".format(
-                b=b,
-                cols=", ".join(
-                    f"m{i}"
-                    for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
-                ),
-                src=src,
-            )
-            for b in range(H.MINHASH_BANDS)
-        )
+    melt = _band_melt_sql
 
     matches = " + ".join(
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
@@ -888,8 +887,17 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
             F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))
         ).alias("s"),
     )
+    # DISTINCT per (doc, hash): shingles are distinct per doc, but two
+    # DISTINCT shingles can collide in the 32-bit hash (expected hits
+    # at corpus scale). Without the dedup the oracle's self-join
+    # counted the collision with multiplicity while array_intersect
+    # below counts it once, and a doubled posting row could emit a
+    # doc_a == doc_b self-pair (r07 review). Set semantics on BOTH
+    # sides make hash-collision behavior identical.
     hx = _cached(
-        sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+        sh.select(
+            "doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h")
+        ).distinct()
     )
     dfreq = hx.groupBy("h").agg(F.count("*").alias("dfreq"))
     # One row per doc: shingle hashes in global rarity order plus the
@@ -948,7 +956,8 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
            FROM t),
-    hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
+    hx AS (SELECT DISTINCT doc_id, {H.md5_int64("s", duck=True)} AS h
+           FROM sh),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -1144,7 +1153,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots
     JOIN nrm na ON vec_a = na.vec_id
     JOIN nrm nb ON vec_b = nb.vec_id
-    WHERE dp / (sqrt(na.n2) * sqrt(nb.n2)) >= {COSINE_DUP_THRESHOLD}
+    WHERE na.n2 > 0 AND nb.n2 > 0
+      AND dp / (sqrt(na.n2) * sqrt(nb.n2)) >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,7 +1199,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double is bit-identical — while ROUND(double, 4) itself splits
     # on near-tie doubles even with identical inputs (r07 review;
     # threshold membership now also compares the identical raw value)
-    cos = F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    # positive-norm gate: a zero-norm vector (all components quantize
+    # to 0) gives Spark NULL (dropped by the threshold) but DuckDB
+    # 0/0 = NaN, which its total order ranks above the threshold —
+    # divergent row membership (r07 review)
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+    )
     return (
         dots.join(na, "vec_a")
         .join(nb, "vec_b")
@@ -1414,15 +1431,7 @@ def _lsh_eval_oracle() -> str:
     mins = ",\n           ".join(
         f"MIN({H.minhash_expr(i, 'h')}) AS m{i}" for i in range(H.MINHASH_K)
     )
-    band_rows = "\n    UNION ALL\n    ".join(
-        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_val FROM sig".format(
-            b=b,
-            cols=", ".join(
-                f"m{i}" for i in range(b * H.MINHASH_ROWS, (b + 1) * H.MINHASH_ROWS)
-            ),
-        )
-        for b in range(H.MINHASH_BANDS)
-    )
+    band_rows = _band_melt_sql("sig")
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s

@@ -82,21 +82,30 @@ def _plane(j: int) -> list[int]:
 
 def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
     """Bucket id for table t: k sign bits from planes [t*k, (t+1)*k)."""
+    # Components are FLOOR-quantized to the 1e4 integer grid before
+    # the plane dot: every product and partial sum is then an exactly
+    # representable integer-valued double (|term| <= 1e4*1024, 64-term
+    # sum << 2^53), so the sign test is EXACT in both engines — the
+    # raw-float dot was computed by different kernels (DuckDB
+    # list_dot_product vs the Spark fold) whose near-zero results
+    # could disagree and flip a vector's bucket (r07 review).
     terms = []
     for b in range(LSH_BITS):
         j = t * LSH_BITS + b
         if duck:
             lits = ", ".join(f"{c}.0" for c in _plane(j))
             dot = (
-                f"list_dot_product(CAST({emb_col} AS DOUBLE[]), "
-                f"[{lits}]::DOUBLE[])"
+                f"list_dot_product(list_transform("
+                f"CAST({emb_col} AS DOUBLE[]), "
+                f"x -> FLOOR(x * 10000.0)), [{lits}]::DOUBLE[])"
             )
             terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << b} ELSE 0 END")
         else:
             lits = ", ".join(f"{c}.0D" for c in _plane(j))
             dot = (
                 f"aggregate(zip_with({emb_col}, array({lits}), "
-                f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+                f"(x, y) -> FLOOR(CAST(x AS DOUBLE) * 10000.0) * y), "
+                f"CAST(0.0 AS DOUBLE), "
                 f"(acc, v) -> acc + v)"
             )
             terms.append(f"IF({dot} > 0.0, {1 << b}, 0)")
@@ -241,17 +250,20 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_topk_ivf",
     f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> FLOOR(x * 10000.0)) AS qde
                FROM embeddings),
-    ep AS (SELECT vec_id, label, i AS pos, de[i] AS v
-           FROM e, LATERAL (SELECT unnest(generate_series(1, len(de))) AS i)),
-    cent AS (SELECT label, pos, AVG(v) AS c FROM ep GROUP BY label, pos),
+    ep AS (SELECT vec_id, label, i AS pos, qde[i] AS qv
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(qde))) AS i)),
+    cent AS (SELECT label, pos, SUM(qv) / COUNT(*) AS c
+             FROM ep GROUP BY label, pos),
     carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
     scored AS (
       SELECT e.vec_id, carr.label,
-             list_cosine_similarity(e.de, carr.cv) AS cos,
+             list_cosine_similarity(e.qde, carr.cv) AS cos,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_cosine_similarity(e.de, carr.cv) DESC,
+                  ORDER BY list_cosine_similarity(e.qde, carr.cv) DESC,
                            carr.label) AS rn
       FROM e, carr
     ),
@@ -292,12 +304,29 @@ def ann_topk_ivf(
     default (asserted in tests/test_similarity_recall.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", V.as_double("embedding").alias("de"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        V.as_double("embedding").alias("de"),
+        # assignment copy on the 1e4 FLOOR grid: sums of integer-
+        # valued doubles are exact in any order, so centroids and the
+        # assignment cosine are bit-identical across engines — AVG
+        # over raw doubles was partition-order-dependent and the two
+        # engines' full-precision assignment kernels could disagree
+        # on near-tied cells (r07 review). The final re-rank cosine
+        # keeps the raw components.
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> FLOOR(x * 10000.0))"
+        ).alias("qde"),
+    )
 
     ep = e.select(
-        "vec_id", "label", F.posexplode("de").alias("pos0", "v")
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
-    cent = ep.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+        "vec_id", "label", F.posexplode("qde").alias("pos0", "qv")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "qv")
+    cent = ep.groupBy("label", "pos").agg(
+        (F.sum("qv") / F.count("*")).alias("c")
+    )
     carr = cent.groupBy("label").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
@@ -314,9 +343,9 @@ def ann_topk_ivf(
         carr.agg(F.collect_list(F.struct("label", "cv")).alias("cents"))
     )
     cos_sql = (
-        "(aggregate(zip_with(de, c.cv, (x, y) -> x * y), "
+        "(aggregate(zip_with(qde, c.cv, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
-        "/ (sqrt(aggregate(de, CAST(0.0 AS DOUBLE), "
+        "/ (sqrt(aggregate(qde, CAST(0.0 AS DOUBLE), "
         "(acc, x) -> acc + x * x)) "
         "* sqrt(aggregate(c.cv, CAST(0.0 AS DOUBLE), "
         "(acc, x) -> acc + x * x))))"
@@ -659,9 +688,11 @@ def _drift_q(expr: str, *, duck: bool) -> str:
       FROM embeddings GROUP BY label
     )
     SELECT s.label, c.n_ref, c.n_new,
-           ROUND(CAST(s.dot AS DOUBLE)
+           CASE WHEN s.na2 > 0 AND s.nb2 > 0 THEN
+             CAST(s.dot AS DOUBLE)
                  / (sqrt(CAST(s.na2 AS DOUBLE))
-                    * sqrt(CAST(s.nb2 AS DOUBLE))), 6) AS centroid_cosine
+                    * sqrt(CAST(s.nb2 AS DOUBLE)))
+           END AS centroid_cosine
     FROM sums s JOIN counts c ON s.label = c.label
     """,
 )
@@ -692,10 +723,17 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_new"),
     )
-    cos = F.round(
+    # raw identical-IEEE-tree ratio over exact ints (no ROUND — the
+    # r07 near-tie class), gated on positive norms: a zero half-norm
+    # made Spark emit NULL while DuckDB emitted 0/0 = NaN, which its
+    # total order ranks ABOVE every number (r07 review)
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
         F.col("dot").cast("double")
-        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
-        6,
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
     )
     return sums.join(counts, "label").select(
         "label", "n_ref", "n_new", cos.alias("centroid_cosine")
@@ -1210,6 +1248,8 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q, d = RP_QUANT, LSH_DIM
+    # COUNT(*) over parquet is answered from row-group metadata (no
+    # column IO) — same bounded-scalar carve as pq._n_vecs
     n = emb.count()
 
     # Partial Grams per Arrow batch: g^T g in int64 BLAS — the exact
@@ -1239,8 +1279,16 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram_rows = (
         pairs.groupBy("d1", "d2")
+        # DECIMAL(38,0) sum: the per-cell partial sum grows linearly
+        # with corpus rows (p <= rows * grid^2) and crosses int64 near
+        # 9e10 vectors — Spark's non-ANSI bigint SUM would wrap
+        # silently while the oracle's HUGEINT stays exact (r07
+        # review). Decimal -> double then mirrors the oracle's
+        # HUGEINT -> DOUBLE conversion bit for bit.
         .agg(
-            F.floor(F.sum("p").cast("double") / n)
+            F.floor(
+                F.sum(F.col("p").cast("decimal(38,0)")).cast("double") / n
+            )
             .cast("bigint")
             .alias("a")
         )

@@ -140,10 +140,24 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-text guard: Spark size(NULL) = -1 (each NULL doc would
+    # SUBTRACT one token) while DuckDB SUM skips the NULL len — the
+    # same class span_removal_frame guards (r07 review); the when()
+    # makes the Spark sum skip NULLs identically.
+    nn = F.col("text").isNotNull()
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.expr(_TOKS_SPARK))).cast("bigint").alias("total_ws_tokens"),
-        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")))
+        F.sum(F.when(nn, F.size(F.expr(_TOKS_SPARK))))
+        .cast("bigint")
+        .alias("total_ws_tokens"),
+        F.sum(
+            F.when(
+                nn,
+                F.size(
+                    F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+                ),
+            )
+        )
         .cast("bigint")
         .alias("total_bpe_tokens"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
@@ -227,9 +241,15 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
-    Ranking happens on the score rounded to 6 decimals (libm ``ln``
-    may differ by 1 ulp between engines; rounding first makes the
-    ordering — with the term tie-break — engine-independent).
+    Ranking happens on the score rounded to 6 decimals with a term
+    tie-break: libm ``ln`` may differ by 1 ulp between engines, and
+    rounding collapses those ulps into the same 6-dp value in all but
+    one configuration — a score landing within ~tf·ulp of an exact
+    x.xxxxx5 boundary, where the engines' rounding can still split
+    (r07 review; same residual in text_bm25_topk). That residual is
+    irreducible while ``ln`` stays in the ranking (exact comparison of
+    tf₁·ln(N/df₁) vs tf₂·ln(N/df₂) needs unbounded-precision powers);
+    it is accepted and documented rather than hidden.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -372,23 +392,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     score high and fail the gate. Pure ratio of exact integers →
     bitwise identical cross-engine. One explode + two hash aggregates;
     no windows, no joins — linear at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok")
-    )
-    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    per_doc = cnt.groupBy("doc_id").agg(
-        F.max("c").alias("top_tok_count"),
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_types"),
-    )
-    frac = F.col("top_tok_count") * 1.0 / F.col("n_tokens")
+    # same metric pipeline as the quality funnel — ONE definition
+    # (r07 review: this was a verbatim third copy of the explode →
+    # per-(doc,tok) count → per-doc MAX/SUM/COUNT chain)
+    per_doc = _funnel_doc_metrics(load_table(spark, sf_dir, "documents"))
+    frac = F.col("topc") * 1.0 / F.col("n")
     return per_doc.select(
         "doc_id",
-        F.col("top_tok_count").cast("int").alias("top_tok_count"),
-        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("topc").cast("int").alias("top_tok_count"),
+        F.col("n").cast("int").alias("n_tokens"),
         frac.alias("top_tok_frac"),
-        ((F.col("n_tokens") > 0) & (frac <= REPETITION_MAX_FRAC))
+        ((F.col("n") > 0) & (frac <= REPETITION_MAX_FRAC))
         .cast("int")
         .alias("passes_repetition"),
     )
@@ -766,7 +780,12 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_pack_sequences",
     f"""
     WITH t AS (
-      SELECT doc_id, lang, CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens
+      -- COALESCE mirrors the Spark side's empty-array launder of a
+      -- NULL-text doc: len(NULL) is NULL here, and a NULL token count
+      -- would both emit NULL and silently drop out of the running
+      -- packing sum (r07 review)
+      SELECT doc_id, lang,
+             CAST(len(COALESCE({_TOKS_DUCK}, [])) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -796,7 +815,12 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         "lang",
-        F.size(F.expr(_TOKS_SPARK)).cast("bigint").alias("n_tokens"),
+        # coalesce the NULL-text token array: Spark size(NULL) = -1
+        # would shift every later doc's stream_offset/pack_id in the
+        # stream (r07 review); an empty array packs as a 0-token doc
+        F.size(F.expr(f"coalesce({_TOKS_SPARK}, array())"))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("lang")
