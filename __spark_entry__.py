@@ -38,18 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return gold_daily_join(spark, "/root/testdata/sf0.001")
 
 
-def _stamp_stats() -> tuple[dict[str, int], dict[str, int]]:
+def _stamp_stats(
+    root: str | None = None,
+) -> tuple[dict[str, int], dict[str, int]]:
     """Per-query (passing-stamp count, last passing round index).
 
     A row counts as a passing stamp when the value-hash matched, or —
     for deliberately oracle-less queries — when the rows-only check ran
     (``err == "no_oracle"`` with a recorded row count). Failed rows do
     NOT count, so a query that failed a round sorts back to the front
-    for a re-check.
+    for a re-check.  ``root`` overrides the stamp-file directory (tests
+    synthesize future-round files to pin the numeric sort).
     """
     counts: dict[str, int] = {}
     last: dict[str, int] = {}
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
 
     def _round_num(path: str) -> int:
         # numeric sort: lexicographic would put r100 before r11

@@ -198,6 +198,26 @@ def _bucket_pairs_sql(arr_col: str) -> str:
     )
 
 
+def _bucket_pairs_lenfilter_sql(arr_col: str, num: int, den: int) -> str:
+    """All ordered pairs (a < b) from a SORTED array of (doc_id, n)
+    structs that also pass the PPJoin LENGTH filter for t = num/den.
+
+    Jaccard >= t forces ``|A∩B| >= t·max(|A|,|B|)`` and the
+    intersection can never exceed the smaller set, so any qualifying
+    pair satisfies ``den·min(na,nb) >= num·max(na,nb)`` — pairs of
+    very different sizes are provably below threshold and are dropped
+    INSIDE the bucket expansion (codegen'd array lambda), before they
+    ever become join rows.  Lossless by the same pigeonhole argument
+    as the prefix itself; integer cross-multiplication, no floats."""
+    a = arr_col
+    return (
+        f"flatten(transform({a}, (x, i) -> "
+        f"transform(filter(slice({a}, i + 2, size({a})), "
+        f"y -> {den} * least(x.n, y.n) >= {num} * greatest(x.n, y.n)), "
+        f"y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b))))"
+    )
+
+
 def _melt_bands(sig: DataFrame) -> DataFrame:
     """Melt a signature frame to (doc_id, band_id, band_val) in ONE pass."""
     band_vals = F.array(
@@ -881,23 +901,29 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     candidate-sized join — the full postings are never self-joined.
     """
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))
-        ).alias("s"),
-    )
     # DISTINCT per (doc, hash): shingles are distinct per doc, but two
     # DISTINCT shingles can collide in the 32-bit hash (expected hits
     # at corpus scale). Without the dedup the oracle's self-join
     # counted the collision with multiplicity while array_intersect
     # below counts it once, and a doubled posting row could emit a
     # doc_a == doc_b self-pair (r07 review). Set semantics on BOTH
-    # sides make hash-collision behavior identical.
+    # sides make hash-collision behavior identical. The dedup is
+    # IN-ROW (array_distinct over the per-doc hash array) rather than
+    # a frame-level .distinct(): a doc's shingle set lives in one row,
+    # so collision removal needs no shuffle at all — the r07 fix paid
+    # a full posting-frame exchange for the same set semantics (r08,
+    # verdict #3: 6.09s -> back under the r06 4.55s at sf0.1).
     hx = _cached(
-        sh.select(
-            "doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h")
-        ).distinct()
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    + H.shingles_sql("toks", SHINGLE_N, duck=False)
+                    + ", s -> " + H.md5_int64("s", duck=False) + "))"
+                )
+            ).alias("h"),
+        )
     )
     dfreq = hx.groupBy("h").agg(F.count("*").alias("dfreq"))
     # One row per doc: shingle hashes in global rarity order plus the
@@ -918,13 +944,22 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
     )
     prefix = grouped.select(
-        "doc_id", F.explode(F.expr("slice(hs, 1, plen)")).alias("h")
+        "doc_id", "n", F.explode(F.expr("slice(hs, 1, plen)")).alias("h")
     )
+    # Bucket pairs carry each doc's set size so the PPJoin LENGTH
+    # filter (5·min >= 4·max, lossless at t = 4/5) prunes cross-size
+    # pairs inside the codegen'd expansion — at sf0.1 this cuts the
+    # candidate join from 119k to the size-compatible subset before
+    # the array_intersect verification ever sees a row.
     cand = (
         prefix.groupBy("h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .where(F.size("ds") >= 2)
-        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
+        .select(
+            F.explode(F.expr(_bucket_pairs_lenfilter_sql("ds", 4, 5))).alias(
+                "p"
+            )
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -942,6 +977,9 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
     # t = 4/5 as integer cross-multiplication (see docstring)
     passes = (F.lit(5) * c) >= (F.lit(4) * (F.col("na") + F.col("nb") - c))
+    # No forced broadcast: ``grouped`` is corpus-sized (one row per
+    # doc), so the verify joins must stay shuffle joins at 100 TB —
+    # AQE upgrades them to broadcast at test scale on its own.
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")

@@ -39,6 +39,31 @@ def test_stalest_stamps_sort_first():
         assert tier == sorted(tier)
 
 
+def test_stamp_round_sort_survives_double_digit_rounds(tmp_path):
+    """Commit 8b5fc8f made the stamp-file ordering numeric; the
+    existing invariant test covers recency over the REAL files, which
+    are all single-digit rounds today, so it cannot catch a
+    lexicographic regression at the r9→r10 and r99→r100 boundaries
+    ("r10" < "r9" and "r100" < "r11" as strings). Synthesize those
+    rounds and assert the last-stamp indices follow numeric round
+    order (r07 verdict #6)."""
+    import json
+
+    E = _entry()
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({"qa": ok}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"qa": ok, "qb": ok})
+    )
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps({"qc": ok}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps({"qd": ok}))
+    counts, last = E._stamp_stats(str(tmp_path))
+    # numeric order r9 < r10 < r11 < r100 → indices 0..3
+    assert last == {"qa": 1, "qb": 1, "qc": 2, "qd": 3}
+    assert counts == {"qa": 2, "qb": 1, "qc": 1, "qd": 1}
+
+
 def test_failed_rows_do_not_count_as_stamps():
     E = _entry()
     counts = E._passing_stamp_counts()

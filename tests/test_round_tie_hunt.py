@@ -1,0 +1,153 @@
+"""Tie-hunt for the ln-ranked TF-IDF/BM25 rounding residual.
+
+``text_tfidf`` and ``text_bm25_topk`` rank on ``ROUND(score, 6)``
+where the score is a float chain over exact int64 stats whose ONLY
+cross-engine divergence source is libm ``ln`` (≤1 ulp, so the two
+engines' raw scores differ by ≲1e-14 relative). The documented
+residual risk (operators/text.py, r07 verdict #5): a score landing
+within that ulp band of an exact x.xxxxx5 decimal boundary could
+round differently per engine and flip a rank or a displayed value.
+
+An exact integer/rational ranking is infeasible in-engine (comparing
+tf₁·ln(N/df₁) vs tf₂·ln(N/df₂) exactly needs unbounded-precision
+powers N^tf·df^tf), so instead this test PROVES the residual cannot
+bite on the actual test data: it recomputes every achievable score in
+Python from the exact integer stats (tf/df/dl/N/Σdl pulled straight
+from the parquet via DuckDB — the same libm family, within 1 ulp of
+both engines) and asserts
+
+that every raw score sits ≥ 1e-12 away from the nearest 0.5·10⁻⁶
+HALF boundary of the ranking round — two orders of magnitude wider
+than the worst engine disagreement, so both engines provably land on
+the same 6-dp decimal (and hence the same double: each computes the
+nearest double to that decimal).
+
+This test already earned its keep: the first run found 6-dp TF-IDF
+scores ending in exact "…50" decimals, which the then-present second
+ROUND(…, 4) display round would split between Spark (BigDecimal
+shortest-repr HALF_UP: 0.00015 → 0.0002) and DuckDB (binary-value
+round: → 0.0001) the moment such a row reached a top-3 rank. The
+double-round was removed (both queries now emit the 6-dp ranking
+score directly), deleting that divergence class instead of gating it.
+
+Runs at the driver's stamp scale (sf0.01) and bench scale (sf0.1):
+green here means the rounding residual is vacuous on every dataset
+the gates actually check. New fixture data that trips this test is
+the signal to revisit the scoring grid, not a bug in the operators.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from energy_data_pipeline_project_spark.functions import hashing as H
+from energy_data_pipeline_project_spark.operators.text import (
+    BM25_TERMS,
+    BM25_TOP,
+)
+
+SF_DIRS = [d for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+           if os.path.isdir(d)]
+
+pytestmark = pytest.mark.skipif(
+    not SF_DIRS, reason="testdata not generated"
+)
+
+# Scores must sit at least this far (in score units) from a rounding
+# boundary; engine ulp disagreement is ≲1e-14 on these magnitudes.
+# (1e-9 was tried first and tripped on a score a harmless 3e-10 from
+# a boundary — at 3e-10 both engines still agree with 4 orders of
+# margin, so the gate only needs to exclude the ulp band itself.)
+MARGIN = 1e-12
+
+_TOKS = H.tokens_sql("text", duck=True)
+
+
+def _boundary_distance(score: float, decimals: int) -> float:
+    """Distance (in score units) to the nearest x.xx…5 HALF boundary
+    of ``ROUND(score, decimals)``."""
+    y = score * 10**decimals
+    frac = y - math.floor(y)
+    return abs(frac - 0.5) / 10**decimals
+
+
+def _duck(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_tfidf_scores_clear_of_round_boundaries(sf_dir):
+    con = _duck(sf_dir)
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    combos = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        SELECT DISTINCT tf.tf, df.df FROM tf JOIN df USING (term)
+        """
+    ).fetchall()
+    assert combos
+    bad_rank = []
+    for tf, df in combos:
+        score = tf * math.log(n_docs * 1.0 / df)
+        if _boundary_distance(score, 6) < MARGIN:
+            bad_rank.append((tf, df, score))
+    assert not bad_rank, f"scores within {MARGIN} of 6-dp boundary: {bad_rank[:5]}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bm25_scores_clear_of_round_boundaries(sf_dir):
+    con = _duck(sf_dir)
+    n_docs, sdl = con.execute(
+        f"SELECT COUNT(*), SUM(len({_TOKS})) FROM documents"
+    ).fetchone()
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    has_any = " OR ".join(f"list_contains(toks, '{t}')" for t in BM25_TERMS)
+    rows = con.execute(
+        f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents)
+        SELECT DISTINCT {tf_cols}, len(toks) AS dl
+        FROM t WHERE {has_any}
+        """
+    ).fetchall()
+    assert rows
+    dfs = con.execute(
+        f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents)
+        SELECT {", ".join(
+            f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+            for t in BM25_TERMS)}
+        FROM t
+        """
+    ).fetchone()
+    k1, b = 1.2, 0.75
+    bad = []
+    for *tfs, dl in rows:
+        score = 0.0
+        for tf, df in zip(tfs, dfs):
+            if tf > 0:
+                idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                score += (
+                    idf
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * dl * n_docs / sdl))
+                )
+        if _boundary_distance(score, 6) < MARGIN:
+            bad.append((tfs, dl, score))
+    assert not bad, f"BM25 scores within {MARGIN} of 6-dp boundary: {bad[:5]}"
