@@ -35,3 +35,44 @@ def norm(a: str) -> Column:
 
 def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- DuckDB twins: the IDENTICAL IEEE expression tree as the Spark
+# fold above, op for op ---------------------------------------------
+#
+# ``list_cosine_similarity`` is a black box: its accumulation order
+# and sqrt placement (sqrt(na2*nb2) vs sqrt(na2)*sqrt(nb2)) are
+# unspecified, so its last ulps legitimately differ from the Spark
+# fold — which made every ranking on a raw float cosine a documented
+# residual risk (near-tied neighbors could order differently; the r07
+# advisor flagged the IVF cell assignment specifically). These twins
+# remove the whole class: ``list_reduce`` with a prepended 0.0
+# replays Spark's ``aggregate(…, 0.0D, (acc, v) -> acc + v)``
+# left-to-right, every product/cast/sqrt/divide appears in the same
+# position, and two correctly-rounded IEEE programs over the same
+# inputs are bit-identical — so rankings and ROUND()s can never
+# split, including exactly AT a rounding boundary.
+
+
+def dot_duck(a: str, b: str) -> str:
+    """DuckDB SQL: same fold as :func:`dot` (operands must already be
+    DOUBLE[]; the float→double cast is exact, so casting the column
+    once in a CTE matches Spark's per-element CAST)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] * {b}[i]))), (acc, v) -> acc + v)"
+    )
+
+
+def norm_duck(a: str) -> str:
+    """DuckDB SQL: same fold as :func:`norm` over a DOUBLE[] column."""
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> x * x)), (acc, x) -> acc + x))"
+    )
+
+
+def cosine_duck(a: str, b: str) -> str:
+    """DuckDB SQL twin of :func:`cosine` — bit-identical result."""
+    return f"({dot_duck(a, b)} / ({norm_duck(a)} * {norm_duck(b)}))"

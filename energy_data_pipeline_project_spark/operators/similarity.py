@@ -21,16 +21,20 @@ Four search paths plus corpus profiling:
 Both approximate paths carry recall@5 ≥ 0.8 gates vs brute force
 (tests/test_similarity_recall.py).
 
-Float-parity note: the emitted ``cosine`` columns keep ``ROUND(,4)``
-DELIBERATELY — unlike the integer-grid cosines in dedup/curation
-(raw-ratio since r07), this tier computes cosines with each engine's
-own float kernel (Spark zip_with fold vs DuckDB
-``list_cosine_similarity``), whose results differ in final ulps, so
-the round is load-bearing ulp absorption. The residual risk (a
-rounded half-tie splitting across engines) needs the TRUE cosine of
-random continuous vectors to land within an ulp of an exact
-x.xxxx5 — measure-zero for this data, unlike the discrete
-small-integer ratios that forced the raw-ratio rule elsewhere.
+Float-parity note: since r08 every oracle cosine in this tier is the
+IDENTICAL IEEE expression tree as the Spark fold
+(``V.cosine_duck``: a ``list_reduce`` replay of
+``aggregate(zip_with(…))``, same products, same two sqrts, same
+divide), so raw cosines are bit-identical across engines — verified
+empirically over all 3992 bruteforce pairs at sf0.01 — and rankings
+on the unrounded value can never split, even exactly AT a rounding
+boundary. The previous formulation ranked on each engine's own
+kernel (Spark fold vs DuckDB ``list_cosine_similarity``), which made
+``ROUND(,4)`` load-bearing ulp absorption with a documented near-tie
+residual (r07 advisor); the round is now cosmetic output shaping
+only. The ``embedding_norm_stats`` AVG keeps its own note: a float
+SUM across rows is partition-order-dependent in any engine, so its
+ROUND still absorbs re-association, not kernel, noise.
 """
 
 from __future__ import annotations
@@ -115,12 +119,16 @@ def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
 @query(
     "ann_topk_bruteforce",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
-    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
-          FROM embeddings),
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+                FROM embeddings),
+    q AS (SELECT vec_id AS query_id, de AS qe,
+                 {V.norm_duck('de')} AS qn
+          FROM e0 WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS neighbor_id, de AS ce,
+                 {V.norm_duck('de')} AS cn
+          FROM e0),
     s AS (SELECT query_id, neighbor_id,
-                 list_cosine_similarity(qe, ce) AS cos
+                 ({V.dot_duck('qe', 'ce')} / (qn * cn)) AS cos
           FROM q, c WHERE query_id != neighbor_id),
     r AS (SELECT query_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY query_id
@@ -165,6 +173,7 @@ def _lsh_oracle() -> str:
     )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+                      {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS nrm,
                       {bucket_cols}
                FROM embeddings),
     buckets AS (
@@ -178,7 +187,7 @@ def _lsh_oracle() -> str:
       WHERE q.vec_id < {N_QUERY_VECS}
     ),
     s AS (SELECT cand.query_id, cand.neighbor_id,
-                 list_cosine_similarity(qe.de, ce.de) AS cos
+                 ({V.dot_duck('qe.de', 'ce.de')} / (qe.nrm * ce.nrm)) AS cos
           FROM cand
           JOIN e qe ON cand.query_id = qe.vec_id
           JOIN e ce ON cand.neighbor_id = ce.vec_id),
@@ -261,9 +270,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
     scored AS (
       SELECT e.vec_id, carr.label,
-             list_cosine_similarity(e.qde, carr.cv) AS cos,
+             {V.cosine_duck('e.qde', 'carr.cv')} AS cos,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_cosine_similarity(e.qde, carr.cv) DESC,
+                  ORDER BY {V.cosine_duck('e.qde', 'carr.cv')} DESC,
                            carr.label) AS rn
       FROM e, carr
     ),
@@ -275,7 +284,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (SELECT e.vec_id AS neighbor_id, e.de AS ce, cells.cell
              FROM e JOIN cells USING (vec_id)),
     s AS (SELECT q.query_id, cand.neighbor_id,
-                 list_cosine_similarity(q.qe, cand.ce) AS cos
+                 {V.cosine_duck('q.qe', 'cand.ce')} AS cos
           FROM q JOIN cand ON q.cell = cand.cell
                           AND cand.neighbor_id != q.query_id),
     r AS (SELECT query_id, neighbor_id, cos,
@@ -309,12 +318,16 @@ def ann_topk_ivf(
         "label",
         V.as_double("embedding").alias("de"),
         # assignment copy on the 1e4 FLOOR grid: sums of integer-
-        # valued doubles are exact in any order, so centroids and the
-        # assignment cosine are bit-identical across engines — AVG
-        # over raw doubles was partition-order-dependent and the two
-        # engines' full-precision assignment kernels could disagree
-        # on near-tied cells (r07 review). The final re-rank cosine
-        # keeps the raw components.
+        # valued doubles are exact in any order, so the CENTROID
+        # values are bit-identical across engines (exact sum, exact
+        # count, one correctly-rounded division) — AVG over raw
+        # doubles was partition-order-dependent (r07 review). The
+        # assignment COSINE over those centroids is a float kernel;
+        # it is bit-identical too, but only because the oracle runs
+        # the same IEEE tree (V.cosine_duck, r08 — the r07 advisor
+        # correctly flagged that quantized inputs alone don't pin a
+        # kernel whose accumulation order differs). The final re-rank
+        # cosine keeps the raw components.
         F.expr(
             "transform(CAST(embedding AS ARRAY<DOUBLE>),"
             " x -> FLOOR(x * 10000.0))"
@@ -905,14 +918,17 @@ def _rrf_oracle() -> str:
                    JOIN sizes sc ON sc.doc_id = i.cand_id
     ),
     lex AS (SELECT * FROM lexr WHERE lex_rank <= {RRF_LEX_TOP}),
-    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                 {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS qn
           FROM embeddings WHERE vec_id < {nq}),
-    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
+                 {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS cn
           FROM embeddings),
     semr AS (
       SELECT query_id, cand_id,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                 list_cosine_similarity(qe, ce) DESC, cand_id) AS sem_rank
+                 ({V.dot_duck('qe', 'ce')} / (qn * cn)) DESC,
+                 cand_id) AS sem_rank
       FROM q, c WHERE query_id != cand_id
     ),
     sem AS (SELECT * FROM semr WHERE sem_rank <= {TOP_K}),

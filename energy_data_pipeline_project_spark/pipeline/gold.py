@@ -1,17 +1,23 @@
 """Silver → gold: daily aggregates + the date-keyed join.
 
-Reference semantics preserved exactly
-(/root/reference/src/transformations/silver_to_gold.py):
+Reference: /root/reference/src/transformations/silver_to_gold.py.
 
 - ``power_daily_by_type``: groupBy(to_date(timestamp), production_type)
   SUM(value) — the sum is over raw 15-min MW readings, deliberately
-  NOT converted to MWh (no ×0.25) — reference quirk A1, kept as-is.
-- ``price_daily``: groupBy(to_date(timestamp)) AVG(price_eur_mwh).
+  NOT converted to MWh (no ×0.25) — reference quirk A1, preserved
+  exactly.
+- ``price_daily``: groupBy(to_date(timestamp)) AVG(price_eur_mwh) —
+  preserved exactly.
 - ``power_price_daily``: offshore-wind rows selected with the
   normalized predicate lower(trim(production_type)) == 'wind offshore'
   (catches label variants like " Wind Offshore "), SUMMED per date so
   variant labels merge into one row per date, then inner join
-  USING(date) against price_daily.
+  USING(date) against price_daily.  The per-date SUM is a DELIBERATE
+  DEVIATION from the reference (silver_to_gold.py:105-115), which only
+  filters and joins — on an input with multiple surviving label
+  variants per date it emits one row per variant, duplicating the
+  price. Here variant labels merge into exactly one row per date (the
+  join-key contract); test-pinned in tests/test_gold.py.
 
 Both join inputs are day-grain aggregates (thousands of rows at most
 per year) → Catalyst broadcasts automatically; at 100 TB the

@@ -350,18 +350,35 @@ def upsert_table(
 
     Scale shape: with ``partition_by`` set, only the partitions the
     updates actually touch are read, merged, and overwritten (dynamic
-    partition overwrite — per-write option, not session conf), so
-    merge cost is proportional to touched partitions, not table size.
-    The fast path is only sound while every updated key STAYS in its
-    partition: an update that moves a key to a different partition
-    would leave the superseded row alive in the old partition (dynamic
-    overwrite never rewrites a partition the output doesn't land in),
-    duplicating the key (r07 review). A key-column semi-join scan —
-    the same matching-files pass Delta's MERGE pays — detects moved
-    keys, and the merge falls back to the full staged rewrite + swap
-    (layout preserved) in that case. Unpartitioned tables always take
-    the full rewrite + swap. The keep-latest dedup is one window over
-    the key — the same row_number idiom as dedup_latest_order.
+    partition overwrite — per-write option, not session conf). The
+    fast path is only sound while every updated key's rows live in ONE
+    partition: an update whose key also has rows in a different
+    partition leaves the superseded row alive there (dynamic overwrite
+    never rewrites a partition the output doesn't land in),
+    duplicating the key (r07 review). Soundness is established one of
+    two ways:
+
+    - ZERO-COST when the partition column is itself one of the key
+      columns: each key then has exactly one partition value by
+      definition and can never span, so the fast path engages with no
+      check at all (the common date-keyed merge shape).
+    - Otherwise a moved-key probe runs: existing rows of updated keys
+      (a column-pruned key+partition read of the table, semi-joined
+      against the update keys — the same matching-files pass Delta's
+      MERGE pays on a table without a key-partition constraint) are
+      checked for spanning. The REWRITE stays proportional to touched
+      partitions, but this probe reads the table's key/partition
+      columns in full each call; callers merging high-frequency
+      micro-batches into a huge table should either include the
+      partition column in the key or maintain an external
+      key→partition index — this function deliberately does not cache
+      one, because a stale cache recreates the exact silent-loss bug
+      the probe exists to prevent.
+
+    On any detected spanning, the merge falls back to the full staged
+    rewrite + swap (layout preserved). Unpartitioned tables always
+    take the full rewrite + swap. The keep-latest dedup is one window
+    over the key — the same row_number idiom as dedup_latest_order.
     """
     fmt = resolve_table_format(spark, fmt)
     import pyspark.sql.functions as F
@@ -377,37 +394,47 @@ def upsert_table(
     partition_scoped = False
     if partition_by:
         pcol = partition_by[0]
-        # The fast path is sound iff every updated key's rows —
-        # existing AND update — live in ONE partition: then the
-        # winning row lands in that partition, the dynamic overwrite
-        # rewrites it, and every loser is retired with it. A weaker
-        # input-partition-set comparison missed an update batch that
-        # itself carries the same key in two partitions (the losing
-        # row's partition gets no output and its stale row survives —
-        # r07 diff review). countDistinct skips NULLs, so a NULL
-        # partition contributes via the isNull max term.
-        # dedupe: the partition column may itself be part of the key
-        cand_cols = list(dict.fromkeys([*key_cols, pcol]))
-        cand = (
-            existing.join(
-                updates.select(*key_cols).distinct(),
-                list(key_cols),
-                "leftsemi",
+        if pcol in key_cols:
+            # partition column ∈ key → one partition value per key by
+            # definition, spanning is impossible: fast path with no
+            # probe job at all (r07 advisor: the probe was a full
+            # key-column table read on EVERY partitioned upsert, even
+            # for the date-keyed shape where it can never fire)
+            partition_scoped = True
+        else:
+            # The fast path is sound iff every updated key's rows —
+            # existing AND update — live in ONE partition: then the
+            # winning row lands in that partition, the dynamic
+            # overwrite rewrites it, and every loser is retired with
+            # it. A weaker input-partition-set comparison missed an
+            # update batch that itself carries the same key in two
+            # partitions (the losing row's partition gets no output
+            # and its stale row survives — r07 diff review).
+            # countDistinct skips NULLs, so a NULL partition
+            # contributes via the isNull max term. The existing-side
+            # read selects only key+partition columns, so the parquet
+            # scan is column-pruned to the narrow probe projection.
+            cand_cols = list(dict.fromkeys([*key_cols, pcol]))
+            cand = (
+                existing.join(
+                    updates.select(*key_cols).distinct(),
+                    list(key_cols),
+                    "leftsemi",
+                )
+                .select(*cand_cols)
+                .unionByName(updates.select(*cand_cols))
             )
-            .select(*cand_cols)
-            .unionByName(updates.select(*cand_cols))
-        )
-        spanning = (
-            cand.groupBy(*key_cols)
-            .agg(
-                (
-                    F.countDistinct(pcol)
-                    + F.max(F.col(pcol).isNull().cast("int"))
-                ).alias("n_parts")
+            spanning = (
+                cand.groupBy(*key_cols)
+                .agg(
+                    (
+                        F.countDistinct(pcol)
+                        + F.max(F.col(pcol).isNull().cast("int"))
+                    ).alias("n_parts")
+                )
+                .where(F.col("n_parts") > 1)
             )
-            .where(F.col("n_parts") > 1)
-        )
-        partition_scoped = spanning.isEmpty()
+            partition_scoped = spanning.isEmpty()
     if partition_scoped:
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
         # isin() evaluates to NULL (not True) for NULL partition rows,

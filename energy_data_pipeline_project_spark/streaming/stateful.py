@@ -37,6 +37,18 @@ SESSION_GAP_SECONDS = 30 * 60
 # twin when the bridge arrived in a later micro-batch (r07 review).
 # Parked runs are bounded by watermark_delay / gap per user (≤ 2 for
 # the 1h/30min defaults).
+#
+# UPGRADE NOTE (r07 grew this schema from 3 to 6 fields): Spark's
+# state store pins the state schema in checkpoint metadata and
+# refuses to restore a stream whose STATE_SCHEMA no longer matches
+# (STATE_SCHEMA_NOT_COMPATIBLE, raised JVM-side before any Python
+# handler runs — a legacy 3-field tuple can never reach _load_runs,
+# so there is deliberately no migration branch there). Upgrading a
+# RUNNING sessionizer across a state-schema change therefore needs a
+# fresh checkpointLocation; in-flight open sessions are lost unless
+# replayed, so either re-read the source from an earlier offset (the
+# watermark bounds how far back matters: delay + gap) or accept one
+# boundary session split at cutover.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -167,3 +167,37 @@ def test_read_table_serves_parked_pre_swap_nondestructively(spark, tmp_path):
     # non-destructive: still parked afterwards
     assert not os.path.exists(path)
     assert os.path.isdir(path + "._pre_swap")
+
+
+def test_upsert_partition_in_key_skips_moved_key_probe(
+    spark, tmp_path, monkeypatch
+):
+    """When the partition column is part of the key, spanning is
+    impossible by definition and the fast path must engage WITHOUT
+    the moved-key probe (r07 advisor: the probe was a full key-column
+    table read on every partitioned upsert). Pin it structurally:
+    poison DataFrame.isEmpty — the probe's only consumer in
+    upsert_table — and assert the merge still completes."""
+    from pyspark.sql import DataFrame
+
+    path = str(tmp_path / "np")
+    spark.createDataFrame(
+        [("d1", 1, 10, "a"), ("d2", 2, 10, "b")],
+        "day string, k long, ver long, v string",
+    ).write.partitionBy("day").parquet(path)
+
+    def _boom(self):
+        raise AssertionError("moved-key probe ran on pcol-in-key path")
+
+    monkeypatch.setattr(DataFrame, "isEmpty", _boom)
+    updates = spark.createDataFrame(
+        [("d1", 1, 20, "a2")], "day string, k long, ver long, v string"
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("day", "k"), order_col="ver",
+        partition_by=("day",),
+    )
+    got = {
+        (r["day"], r["k"]): r["v"] for r in read_table(spark, path).collect()
+    }
+    assert got == {("d1", 1): "a2", ("d2", 2): "b"}
