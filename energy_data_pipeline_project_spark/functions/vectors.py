@@ -50,8 +50,14 @@ def cosine(a: str, b: str) -> Column:
 # replays Spark's ``aggregate(…, 0.0D, (acc, v) -> acc + v)``
 # left-to-right, every product/cast/sqrt/divide appears in the same
 # position, and two correctly-rounded IEEE programs over the same
-# inputs are bit-identical — so rankings and ROUND()s can never
-# split, including exactly AT a rounding boundary.
+# inputs are bit-identical — so rankings on the raw value can never
+# split. NOTE: bit-identical inputs do NOT extend that guarantee
+# through ROUND(x, n) — Spark rounds the shortest decimal repr
+# HALF_UP while DuckDB rounds the binary value, so the SAME double
+# can round differently at an exact decimal half (0.00015 → 0.0002
+# vs 0.0001, r07, measured). Consumers therefore emit the raw
+# bit-identical cosine; identical doubles canonicalize identically
+# with no rounding step to diverge in.
 
 
 def dot_duck(a: str, b: str) -> str:

@@ -912,7 +912,12 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # a frame-level .distinct(): a doc's shingle set lives in one row,
     # so collision removal needs no shuffle at all — the r07 fix paid
     # a full posting-frame exchange for the same set semantics (r08,
-    # verdict #3: 6.09s -> back under the r06 4.55s at sf0.1).
+    # verdict #3: 6.09s -> back under the r06 4.55s at sf0.1). The
+    # oracle runs the same in-row list_distinct so the two engines
+    # also agree on degenerate inputs carrying a duplicated doc_id
+    # row (a frame-level SELECT DISTINCT would collapse across such
+    # rows while the in-row form cannot — r08 review); doc_id is a
+    # key in every supported corpus, where the forms are identical.
     hx = _cached(
         toks.select(
             "doc_id",
@@ -992,10 +997,11 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     "dedup_prefix_jaccard",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
+    hx AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      {H.shingles_sql("toks", SHINGLE_N, duck=True)},
+                      s -> {H.md5_int64("s", duck=True)}))) AS h
            FROM t),
-    hx AS (SELECT DISTINCT doc_id, {H.md5_int64("s", duck=True)} AS h
-           FROM sh),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c

@@ -27,14 +27,20 @@ IDENTICAL IEEE expression tree as the Spark fold
 ``aggregate(zip_with(…))``, same products, same two sqrts, same
 divide), so raw cosines are bit-identical across engines — verified
 empirically over all 3992 bruteforce pairs at sf0.01 — and rankings
-on the unrounded value can never split, even exactly AT a rounding
-boundary. The previous formulation ranked on each engine's own
-kernel (Spark fold vs DuckDB ``list_cosine_similarity``), which made
-``ROUND(,4)`` load-bearing ulp absorption with a documented near-tie
-residual (r07 advisor); the round is now cosmetic output shaping
-only. The ``embedding_norm_stats`` AVG keeps its own note: a float
-SUM across rows is partition-order-dependent in any engine, so its
-ROUND still absorbs re-association, not kernel, noise.
+on the unrounded value can never split. The oracled queries emit the
+RAW cosine: identical doubles canonicalize identically, whereas the
+previous ``ROUND(,4)`` emission was itself a divergence source even
+over bit-identical inputs (Spark rounds the shortest decimal repr
+HALF_UP, DuckDB rounds the binary value — they split at exact
+decimal halves, r07, measured). The previous formulation ranked on
+each engine's own kernel (Spark fold vs DuckDB
+``list_cosine_similarity``), which made the round load-bearing ulp
+absorption with a documented near-tie residual (r07 advisor); both
+the kernel mismatch and the round are now gone. ``ann_topk_numpy``
+(rows-only, BLAS kernel, no oracle) keeps its display round, and
+``embedding_norm_stats`` keeps its own note: a float SUM across rows
+is partition-order-dependent in any engine, so its ROUND absorbs
+re-association, not kernel, noise.
 """
 
 from __future__ import annotations
@@ -135,7 +141,7 @@ def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
                       ORDER BY cos DESC, neighbor_id) AS rn
           FROM s)
     SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
-           ROUND(cos, 4) AS cosine
+           cos AS cosine
     FROM r WHERE rn <= {TOP_K}
     """,
 )
@@ -158,7 +164,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
@@ -196,7 +202,7 @@ def _lsh_oracle() -> str:
                       ORDER BY cos DESC, neighbor_id) AS rn
           FROM s)
     SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
-           ROUND(cos, 4) AS cosine
+           cos AS cosine
     FROM r WHERE rn <= {TOP_K}
     """
 
@@ -252,7 +258,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 
@@ -292,7 +298,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY cos DESC, neighbor_id) AS rn
           FROM s)
     SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
-           ROUND(cos, 4) AS cosine
+           cos AS cosine
     FROM r WHERE rn <= {TOP_K}
     """,
 )
@@ -403,7 +409,7 @@ def ann_topk_ivf(
     return (
         s.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
     )
 
 

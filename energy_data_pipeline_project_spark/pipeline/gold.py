@@ -17,7 +17,8 @@ Reference: /root/reference/src/transformations/silver_to_gold.py.
   filters and joins — on an input with multiple surviving label
   variants per date it emits one row per variant, duplicating the
   price. Here variant labels merge into exactly one row per date (the
-  join-key contract); test-pinned in tests/test_gold.py.
+  join-key contract); test-pinned by
+  tests/test_pipeline.py::test_variant_labels_merge_into_one_date_row.
 
 Both join inputs are day-grain aggregates (thousands of rows at most
 per year) → Catalyst broadcasts automatically; at 100 TB the

@@ -55,15 +55,27 @@ def main() -> int:
     # bit-identical frames, and every query still runs its full
     # compare below. Failures here surface in the owning query's
     # timed run, so best-effort is safe.
+    # Gate on the selection: a targeted run (e.g. `parity_sf001.py dir
+    # text_`) must not pay LSH + two Lloyd chains it never consumes —
+    # the warm-up would then be slower than the queries it "helps"
+    # (r08 review). Substring heuristics only skip work (a miss just
+    # means the owning query pays its own build, exactly the pre-r08
+    # behavior), never correctness.
+    _MEMO_HINTS = ("dedup", "ann_", "pq", "lsh", "graph", "corpus",
+                   "embedding", "semantic", "split", "docs_dup")
+    warm = not prefixes or any(
+        h in n for n in names for h in _MEMO_HINTS
+    )
     t0 = time.perf_counter()
-    try:
-        from energy_data_pipeline_project_spark.operators import dedup, pq
+    if warm:
+        try:
+            from energy_data_pipeline_project_spark.operators import dedup, pq
 
-        dedup.shared_lsh_pairs(spark, sf_dir).count()
-        pq._trained_m(spark, sf_dir)
-        pq._trained_ivfpq(spark, sf_dir)
-    except Exception as e:  # noqa: BLE001 - owning query will re-raise
-        print(f"warm-up skipped: {e!r:.200}", file=sys.stderr)
+            dedup.shared_lsh_pairs(spark, sf_dir).count()
+            pq._trained_m(spark, sf_dir)
+            pq._trained_ivfpq(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 - owning query will re-raise
+            print(f"warm-up skipped: {e!r:.200}", file=sys.stderr)
     warmup_s = round(time.perf_counter() - t0, 2)
 
     failures: dict[str, str] = {}

@@ -16,11 +16,12 @@ Python from the exact integer stats (tf/df/dl/N/Σdl pulled straight
 from the parquet via DuckDB — the same libm family, within 1 ulp of
 both engines) and asserts
 
-that every raw score sits ≥ 1e-12 away from the nearest 0.5·10⁻⁶
-HALF boundary of the ranking round — two orders of magnitude wider
-than the worst engine disagreement, so both engines provably land on
-the same 6-dp decimal (and hence the same double: each computes the
-nearest double to that decimal).
+that every raw score sits at least max(1e-12, |score|·1e-13) away
+from the nearest 0.5·10⁻⁶ HALF boundary of the ranking round — more
+than two orders of magnitude wider than the worst engine
+disagreement at any score magnitude (err ≈ 2·|score|·2.2e-16), so
+both engines provably land on the same 6-dp decimal (and hence the
+same double: each computes the nearest double to that decimal).
 
 This test already earned its keep: the first run found 6-dp TF-IDF
 scores ending in exact "…50" decimals, which the then-present second
@@ -44,10 +45,7 @@ import os
 import pytest
 
 from energy_data_pipeline_project_spark.functions import hashing as H
-from energy_data_pipeline_project_spark.operators.text import (
-    BM25_TERMS,
-    BM25_TOP,
-)
+from energy_data_pipeline_project_spark.operators.text import BM25_TERMS
 
 SF_DIRS = [d for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
            if os.path.isdir(d)]
@@ -57,11 +55,17 @@ pytestmark = pytest.mark.skipif(
 )
 
 # Scores must sit at least this far (in score units) from a rounding
-# boundary; engine ulp disagreement is ≲1e-14 on these magnitudes.
-# (1e-9 was tried first and tripped on a score a harmless 3e-10 from
-# a boundary — at 3e-10 both engines still agree with 4 orders of
-# margin, so the gate only needs to exclude the ulp band itself.)
-MARGIN = 1e-12
+# boundary. The margin must DOMINATE the engines' worst disagreement,
+# which scales with the score: err ≈ tf·ulp(ln) + ulp(score) ≈
+# 2·|score|·2.2e-16, so a fixed absolute margin silently stops
+# dominating for large-tf scores (a tf≈600 rare-term score ≈ 5500 has
+# err ≈ 2.4e-12 — r08 review). Relative 1e-13 keeps >400× headroom at
+# every magnitude; the absolute floor covers scores near zero.
+# (1e-9 absolute was tried first and tripped on a score a harmless
+# 3e-10 from a boundary — the gate only needs to exclude the
+# disagreement band itself.)
+def _margin(score: float) -> float:
+    return max(1e-12, abs(score) * 1e-13)
 
 _TOKS = H.tokens_sql("text", duck=True)
 
@@ -103,9 +107,9 @@ def test_tfidf_scores_clear_of_round_boundaries(sf_dir):
     bad_rank = []
     for tf, df in combos:
         score = tf * math.log(n_docs * 1.0 / df)
-        if _boundary_distance(score, 6) < MARGIN:
+        if _boundary_distance(score, 6) < _margin(score):
             bad_rank.append((tf, df, score))
-    assert not bad_rank, f"scores within {MARGIN} of 6-dp boundary: {bad_rank[:5]}"
+    assert not bad_rank, f"scores too close to a 6-dp boundary: {bad_rank[:5]}"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
@@ -148,6 +152,6 @@ def test_bm25_scores_clear_of_round_boundaries(sf_dir):
                     * (tf * (k1 + 1.0))
                     / (tf + k1 * (1.0 - b + b * dl * n_docs / sdl))
                 )
-        if _boundary_distance(score, 6) < MARGIN:
+        if _boundary_distance(score, 6) < _margin(score):
             bad.append((tfs, dl, score))
-    assert not bad, f"BM25 scores within {MARGIN} of 6-dp boundary: {bad[:5]}"
+    assert not bad, f"BM25 scores too close to a 6-dp boundary: {bad[:5]}"
