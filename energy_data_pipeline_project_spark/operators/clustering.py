@@ -196,7 +196,27 @@ def label_spectrum(emb: DataFrame) -> DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values("vec_id")
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # Drop NULL / ragged embeddings BEFORE np.stack: one NULL cell
+        # (nullable by parquet default) or a truncated array raises
+        # inside the kernel and kills the whole job after task retries
+        # — the same degenerate-input class the n<2 / tr==0 branches
+        # already handle deliberately (r08 review; the text kernels
+        # got their NULL guards in r07). The modal length decides d so
+        # a single corrupt row cannot redefine the group's dimension.
+        arrs = [a for a in pdf["embedding"].to_numpy() if a is not None]
+        if arrs:
+            lens = pd.Series([len(a) for a in arrs])
+            d_mode = int(lens.mode().iloc[0])
+            arrs = [a for a in arrs if len(a) == d_mode]
+        if not arrs:
+            return pd.DataFrame(
+                [[int(pdf["label"].iloc[0]), 0, 0, 0.0, 0.0, 0.0]],
+                columns=[
+                    "label", "n_vectors", "dim",
+                    "cov_trace", "top_eigenvalue", "top_eig_share",
+                ],
+            )
+        m = np.stack(arrs).astype(np.float64)
         n, d = m.shape
         if n < 2:
             return pd.DataFrame(

@@ -60,11 +60,22 @@ def pagerank_exact(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
+        # DECIMAL(38,0) sum: per-node incoming mass is bounded only by
+        # the subgraph's TOTAL mass (n·RANK_SCALE — a hub can receive
+        # nearly everything), so 17·s wraps int64 once the near-dup
+        # subgraph passes ~5.4e5 nodes while the DuckDB oracle's SUM
+        # promotes to HUGEINT and stays exact — the same silent
+        # wrap-vs-promotion divergence as the r07 power-iteration gram
+        # sums (r08 review). Spark's decimal DIV is exact integral
+        # division returning BIGINT (verified: 1.581e20 DIV 20 exact),
+        # so ranks stay BIGINT between rounds; the final rank itself
+        # needs n ≲ 9e6 at this RANK_SCALE to fit int64 — shrink
+        # RANK_SCALE for larger dup subgraphs.
         contrib = (
             ed.join(ranks, "src")
             .select("dst", F.expr("rank DIV deg").alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("s"))
         )
         ranks = (
             contrib.select(

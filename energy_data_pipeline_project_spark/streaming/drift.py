@@ -33,6 +33,7 @@ from ..operators.warehouse import (
     psi_bucket_col,
     psi_from_counts,
 )
+from .sketches import fold_count_grid
 
 PSI_ALERT_THRESHOLD = 0.25
 
@@ -56,22 +57,27 @@ DRIFT_OUTPUT_SCHEMA = T.StructType(
 
 def _drift_fn(reference_counts: list[int]):
     ref = [int(c) for c in reference_counts]
+    # Fail fast at wiring time: psi_from_counts zips ref against the
+    # 16-bucket running grid, so a short reference (e.g. built from a
+    # groupBy that omitted empty buckets) would silently TRUNCATE the
+    # comparison — PSI understated every micro-batch, a real >0.25
+    # drift never alerting (r08 review). A misordered reference is the
+    # caller's contract (bucket index = list position), stated here.
+    if len(ref) != PSI_BUCKETS:
+        raise ValueError(
+            f"reference_counts must have exactly {PSI_BUCKETS} entries "
+            f"(bucket index = position), got {len(ref)} — a groupBy-"
+            "built reference must be densified over empty buckets"
+        )
 
     def fn(
         key: tuple,
         batches: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            counts, n_seen = state.get
-            counts = list(counts)
-        else:
-            counts, n_seen = [0] * PSI_BUCKETS, 0
-        for pdf in batches:
-            n_seen += len(pdf)
-            for b, c in pdf["bucket"].value_counts().items():
-                counts[int(b)] += int(c)
-        state.update((counts, n_seen))
+        counts, n_seen = fold_count_grid(
+            state, batches, PSI_BUCKETS, "bucket"
+        )
         psi = psi_from_counts(ref, counts)
         yield pd.DataFrame(
             {

@@ -50,18 +50,22 @@ def screen_batch(
     bench: DataFrame,
     bloom: DataFrame,
     *,
-    carve_benchmark: bool = True,
+    carve_benchmark: bool = False,
 ) -> DataFrame:
     """One micro-batch of documents → contamination verdicts.
 
-    ``carve_benchmark=True`` replays the hermetic fixture's key-carve:
-    benchmark-keyed documents appearing in the stream screen out of
-    the corpus side (they ARE the benchmark — correct when the fixture
-    replay contains the benchmark members themselves). Production
-    ingest of a crawl, where no arriving doc is a benchmark member,
-    should pass ``False`` so EVERY arriving document receives a
-    verdict; either way ``skipped_benchmark_docs`` accounts for what a
-    carving screen did not verdict."""
+    The default screens EVERY arriving document — the correct posture
+    for production crawl ingest, where nothing should silently bypass
+    the screen. ``carve_benchmark=True`` replays the hermetic
+    fixture's key-carve: benchmark-keyed documents appearing in the
+    stream screen out of the corpus side (they ARE the benchmark —
+    correct only when the replay contains the benchmark members
+    themselves, as the parity fixtures do). The carve was previously
+    the DEFAULT, which silently exempted the ~1/17 benchmark-keyed
+    slice of real ingest from screening with no verdict and no skipped
+    record (r08 review); a dangerous mode must be opt-in. With a
+    carve, ``skipped_benchmark_docs`` accounts for what the screen did
+    not verdict."""
     corp, _ = _contamination_postings(batch_docs, carve=carve_benchmark)
     survivors = bloom_prefilter(corp, bloom)
     return _contamination_report(survivors.join(bench, "h"))
@@ -80,7 +84,7 @@ def screen_stream(
     out_dir: str,
     checkpoint: str,
     *,
-    carve_benchmark: bool = True,
+    carve_benchmark: bool = False,
     skipped_dir: str | None = None,
 ):
     """Start the screening query: contamination verdicts for each

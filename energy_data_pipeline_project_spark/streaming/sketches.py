@@ -132,22 +132,43 @@ CMS_OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def fold_count_grid(
+    state: GroupState,
+    batches: Iterable[pd.DataFrame],
+    width: int,
+    col: str,
+) -> tuple[list[int], int]:
+    """Shared stateful fold for fixed-width integer count grids: resume
+    ``(counts[width], n_seen)`` from state, add each micro-batch's
+    ``value_counts`` over ``col``, persist, return the running pair.
+
+    One implementation for both the CMS row fold and the PSI bucket
+    fold (streaming/drift.py) — they had drifted into near-verbatim
+    copies, so a fix to dtype/NaN handling had to land twice (r08
+    review). ``value_counts`` skips NaN: NULL keys must be dropped (or
+    clamped) UPSTREAM so ``n_seen`` matches the batch twin — both
+    callers document how they guarantee that.
+    """
+    if state.exists:
+        counts, n_seen = state.get
+        counts = list(counts)
+    else:
+        counts, n_seen = [0] * width, 0
+    for pdf in batches:
+        n_seen += len(pdf)
+        for v, c in pdf[col].value_counts().items():
+            counts[int(v)] += int(c)
+    state.update((counts, n_seen))
+    return counts, n_seen
+
+
 def _cms_fn(
     key: tuple,
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (i,) = key
-    if state.exists:
-        counts, n_seen = state.get
-        counts = list(counts)
-    else:
-        counts, n_seen = [0] * CMS_WIDTH, 0
-    for pdf in batches:
-        n_seen += len(pdf)
-        for col, c in pdf["col"].value_counts().items():
-            counts[int(col)] += int(c)
-    state.update((counts, n_seen))
+    counts, n_seen = fold_count_grid(state, batches, CMS_WIDTH, "col")
     nonzero = [(c, cnt) for c, cnt in enumerate(counts) if cnt]
     yield pd.DataFrame(
         {

@@ -234,7 +234,12 @@ def test_screening_on_10k_docs(spark, big_dir):
 
     docs = load_table(spark, big_dir, "documents")
     bench, bloom = build_benchmark(spark, big_dir)
-    verdicts = screen_batch(docs, bench, bloom).collect()
+    # the replicated corpus CONTAINS the benchmark members - this is
+    # the carving-screen scenario (opt-in since r08; the default
+    # screens everything)
+    verdicts = screen_batch(
+        docs, bench, bloom, carve_benchmark=True
+    ).collect()
     assert verdicts, "replicated benchmark families must contaminate"
     flagged = {r["doc_id"] for r in verdicts}
     skipped = {r["doc_id"] for r in skipped_benchmark_docs(docs).collect()}

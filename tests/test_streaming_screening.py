@@ -31,7 +31,10 @@ def test_streamed_screening_matches_batch(spark, tmp_path_factory):
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
-    q = screen_stream(stream, bench, bloom, out, ckpt)
+    # the fixture replay CONTAINS the benchmark members, so this
+    # parity test opts into the carve (no longer the default - the
+    # production-safe default screens everything)
+    q = screen_stream(stream, bench, bloom, out, ckpt, carve_benchmark=True)
     q.awaitTermination()
 
     streamed = {
@@ -59,15 +62,18 @@ def test_screening_accounts_for_every_arriving_doc(spark, tmp_path_factory):
     bench, bloom = build_benchmark(spark, SF_SMOKE)
 
     skipped = {r.doc_id for r in skipped_benchmark_docs(docs).collect()}
-    carved = {r.doc_id for r in screen_batch(docs, bench, bloom).collect()}
+    carved = {
+        r.doc_id
+        for r in screen_batch(
+            docs, bench, bloom, carve_benchmark=True
+        ).collect()
+    }
     assert skipped, "fixture carve must be non-empty"
     assert not (carved & skipped), "carved screen never verdicts benchmark docs"
 
     full = {
         r.doc_id
-        for r in screen_batch(
-            docs, bench, bloom, carve_benchmark=False
-        ).collect()
+        for r in screen_batch(docs, bench, bloom).collect()  # default
     }
     # un-carved screening sees benchmark members self-match, and never
     # loses a verdict the carved screen produced
