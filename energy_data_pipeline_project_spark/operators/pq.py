@@ -404,9 +404,23 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = _melted(spark, sf_dir)
     codes, cent = _trained_m(spark, sf_dir)
     qm = melted.where(F.col("vec_id") < N_QUERY_VECS)
+    adist = adc_distances(
+        qm.withColumnRenamed("vec_id", "query_id"), codes, cent
+    )
+    return _refine_topk(adist, qm, melted, PQ_SHORTLIST)
+
+
+def adc_distances(
+    qm: DataFrame, codes: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """LUT + asymmetric distances for a melted query frame carrying
+    ``(query_id, dim, sub, val)``: per-query per-subspace lookup table
+    against the codebook, candidate distance = sum of M lookups over
+    the code frame. One spelling for the batch query (ann_topk_pq) and
+    the online server (streaming/serving.py), which had drifted into a
+    third copy of the block (r08 review)."""
     lut = (
-        qm.withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cent.drop("sub")), "dim")
+        qm.join(F.broadcast(cent.drop("sub")), "dim")
         .groupBy("query_id", "sub", "code")
         .agg(
             F.sum(
@@ -415,25 +429,36 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2")
         )
     )
-    adist = (
+    return (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
     )
-    return _refine_topk(adist, qm, melted, PQ_SHORTLIST)
 
 
 def _refine_topk(
-    adist: DataFrame, qm: DataFrame, melted: DataFrame, shortlist_n: int
+    adist: DataFrame,
+    qm: DataFrame,
+    melted: DataFrame,
+    shortlist_n: int,
+    *,
+    exclude_self: bool = True,
+    qm_query_col: str = "vec_id",
 ) -> DataFrame:
     """Shared refine stage: ADC shortlist → exact grid re-rank →
     top-k, the Spark twin of ``_refine_oracle_tail`` (r07 review: the
     ~45-line block was copy-pasted between plain PQ and IVF-PQ, so a
-    refine fix could land in only one of them)."""
+    refine fix could land in only one of them; r08 retired the third
+    copy in streaming/serving.py). ``exclude_self`` drops
+    query_id == neighbor_id matches — correct when queries ARE corpus
+    vectors, wrong for external request ids; ``qm_query_col`` names
+    the query-id column in ``qm`` (vec_id for the batch twins,
+    query_id for the server's already-melted batch)."""
+    if exclude_self:
+        adist = adist.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
     shortlist = (
-        adist.where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rn", F.row_number().over(w))
+        adist.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= shortlist_n)
         .select("query_id", "neighbor_id")
     )
@@ -441,7 +466,7 @@ def _refine_topk(
         shortlist.join(
             F.broadcast(
                 qm.select(
-                    F.col("vec_id").alias("query_id"),
+                    F.col(qm_query_col).alias("query_id"),
                     "dim",
                     F.col("val").alias("qval"),
                 )

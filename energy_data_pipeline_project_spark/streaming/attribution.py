@@ -58,7 +58,11 @@ def attribute_batch(
     ``(channel, purchase_id, attr_cents)``."""
     spark = batch_events.sparkSession
     bc = attribution_clicks(batch_events).localCheckpoint(eager=True)
-    bp = attribution_purchases(batch_events)
+    # checkpoint the purchase side too: the min(pts) bounds collect and
+    # the attribution_split join each re-scanned the micro-batch source
+    # for bp, a duplicate source read on the per-batch hot path (r08
+    # review; bc one line up got its checkpoint for the same reason)
+    bp = attribution_purchases(batch_events).localCheckpoint(eager=True)
 
     clicks = bc
     # cold-start semantics centralized in lake.read_parquet_index

@@ -32,7 +32,6 @@ duplicates of later-hot boilerplate were real duplicates when seen).
 
 from __future__ import annotations
 
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame

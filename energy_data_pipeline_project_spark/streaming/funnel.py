@@ -47,20 +47,14 @@ def merge_state(state_path: str, batch_mins: DataFrame) -> None:
     restores it on the next merge, and because the MIN-merge is
     idempotent the re-delivered batch then reconverges — no silent
     state loss."""
-    import shutil
-
-    from ..pipeline.lake import _atomic_swap
+    from ..pipeline.lake import _atomic_swap, _recover_pre_swap
 
     spark = batch_mins.sparkSession
-    pre = state_path.rstrip("/") + "._pre_swap"
-    if not os.path.exists(state_path) and os.path.exists(pre):
-        os.rename(pre, state_path)  # crashed mid-swap: restore
-    elif os.path.exists(pre):
-        # crash AFTER the second rename but before the old dir was
-        # removed: the live state is intact, the parked copy is
-        # stale — clear it or the next swap's first rename hits
-        # ENOTEMPTY and wedges every retry
-        shutil.rmtree(pre, ignore_errors=True)
+    # lake._recover_pre_swap owns the crash-window protocol (restore a
+    # parked state with no live table, clear a stale park next to a
+    # live one) — this function carried its own inline copy, which a
+    # future fix to the swap protocol would silently miss (r08 review)
+    _recover_pre_swap(state_path)
     if os.path.exists(state_path):
         prev = spark.read.parquet(state_path)
         merged = (
@@ -109,17 +103,16 @@ def funnel_report(spark: SparkSession, state_path: str) -> DataFrame:
     semantics as the batch ``events_funnel_steps``. Cold start (no
     non-empty batch processed yet) reports zero users, exactly as the
     batch query does on an empty events table."""
-    # _atomic_swap's two renames leave a window where state_path does
-    # not exist but the parked ._pre_swap copy does — reading the
-    # parked copy there returns the last COMMITTED state instead of a
-    # silent cold-start all-zero report (r06 review). A report that
-    # races the rmtree of the parked copy mid-scan still fails loudly
-    # (FileNotFound) rather than fabricating zeros.
+    # lake.read_table centralizes the parked-copy fallback this block
+    # pioneered (r06 here, generalized r07): a mid-swap state_path is
+    # served from ._pre_swap — the last COMMITTED state — instead of a
+    # silent cold-start all-zero report; only a genuinely-absent state
+    # (no live dir, no park) cold-starts.
+    from ..pipeline.lake import read_table
+
     pre = state_path.rstrip("/") + "._pre_swap"
-    if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
-    elif os.path.exists(pre):
-        state = spark.read.parquet(pre)
+    if os.path.exists(state_path) or os.path.exists(pre):
+        state = read_table(spark, state_path)
     else:
         state = spark.createDataFrame(
             [], "user_id bigint, mv bigint, mc bigint, mp bigint"

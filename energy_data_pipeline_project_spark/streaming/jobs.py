@@ -161,8 +161,14 @@ def windowed_distinct_users(events: DataFrame) -> DataFrame:
     # over-counting n_users (r06 review). The cost of exactness is
     # day-grain state lifetime and day-close emission lag; the cheap
     # alternative at extreme cardinality stays approx_count_distinct.
+    # NULL user_ids must not count as a user: dropDuplicatesWithinWatermark
+    # groups NULL keys together and keeps one row per (day, NULL), and the
+    # downstream count('*') would count it — while the batch twin's
+    # countDistinct(user_id) skips NULLs, a silent +1 per affected day
+    # (r08 review).
     deduped = (
-        events.select(
+        events.where(F.col("user_id").isNotNull())
+        .select(
             F.col("ts"),
             F.to_date("ts").alias("event_date"),
             "user_id",
@@ -197,20 +203,12 @@ def run_to_memory(
 CONVERSION_WINDOW = "30 minutes"
 
 
-def click_purchase_conversions(events: DataFrame) -> DataFrame:
-    """Stream-stream interval join: each click joined to the same
-    user's purchases within the next 30 minutes (conversion
-    attribution).
-
-    Both sides carry watermarks and the join condition bounds purchase
-    time relative to click time, so Spark can evict join state: a
-    click older than watermark + 30min can never match again and is
-    dropped. Without the time bound a stream-stream inner join would
-    buffer both streams forever — the interval IS the scale design.
-
-    Batch twin: the same range join on static frames
-    (tests/test_streaming.py::test_stream_stream_join_parity).
-    """
+def _conversion_interval_join(events: DataFrame, how: str) -> DataFrame:
+    """Watermarked click/purchase sides + the interval join condition —
+    the ONE spelling both the inner (click_purchase_conversions) and
+    left-outer (click_conversion_outcomes) forms build on; they had
+    drifted into verbatim copies of the projections and join predicate,
+    so a watermark or window change had to land twice (r08 review)."""
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(
@@ -229,7 +227,7 @@ def click_purchase_conversions(events: DataFrame) -> DataFrame:
         )
         .withWatermark("purchase_ts", WATERMARK)
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         F.expr(
             f"""
@@ -238,8 +236,25 @@ def click_purchase_conversions(events: DataFrame) -> DataFrame:
             purchase_ts <= click_ts + INTERVAL {CONVERSION_WINDOW}
             """
         ),
-        "inner",
+        how,
     )
+
+
+def click_purchase_conversions(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's purchases within the next 30 minutes (conversion
+    attribution).
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time relative to click time, so Spark can evict join state: a
+    click older than watermark + 30min can never match again and is
+    dropped. Without the time bound a stream-stream inner join would
+    buffer both streams forever — the interval IS the scale design.
+
+    Batch twin: the same range join on static frames
+    (tests/test_streaming.py::test_stream_stream_join_parity).
+    """
+    joined = _conversion_interval_join(events, "inner")
     # integer-micros gap, matching the batch events_conversion_join
     # operator exactly (unix_timestamp floors per-timestamp, which
     # differs on sub-second data)
@@ -314,35 +329,7 @@ def click_conversion_outcomes(events: DataFrame) -> DataFrame:
     interval condition lets eviction drop clicks older than
     watermark + window.
     """
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", WATERMARK)
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_id"),
-        )
-        .withWatermark("purchase_ts", WATERMARK)
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            f"""
-            c_user = p_user AND
-            purchase_ts > click_ts AND
-            purchase_ts <= click_ts + INTERVAL {CONVERSION_WINDOW}
-            """
-        ),
-        "leftOuter",
-    )
+    joined = _conversion_interval_join(events, "leftOuter")
     return joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",

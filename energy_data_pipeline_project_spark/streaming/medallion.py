@@ -28,22 +28,39 @@ from pyspark.sql import types as T
 from ..pipeline.config import DatasetSpec
 from ..pipeline.silver import extract_timeseries
 
-BRONZE_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("country", T.StringType()),
-        T.StructField("date", T.StringType()),
-        T.StructField("payload_json", T.StringType()),
-        T.StructField("ingested_at", T.TimestampType()),
-        T.StructField("source", T.StringType()),
-    ]
-)
+def bronze_stream_schema(key_column: str = "country") -> T.StructType:
+    """Bronze schema for a dataset keyed by ``key_column``.
+
+    The key column is per-dataset configuration ("country" for power,
+    "market" for price — pipeline/config.py); a hardcoded country
+    schema read the price table's market column back as all-NULL
+    country and then crashed ``stream_silver`` with an unresolved
+    market reference, so the streaming path silently only worked for
+    the power dataset (r08 review)."""
+    return T.StructType(
+        [
+            T.StructField(key_column, T.StringType()),
+            T.StructField("date", T.StringType()),
+            T.StructField("payload_json", T.StringType()),
+            T.StructField("ingested_at", T.TimestampType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+
+# the power-dataset shape, kept for existing callers
+BRONZE_STREAM_SCHEMA = bronze_stream_schema("country")
 
 
 def read_bronze_stream(
-    spark: SparkSession, bronze_dir: str, *, max_files_per_trigger: int = 2
+    spark: SparkSession,
+    bronze_dir: str,
+    *,
+    key_column: str = "country",
+    max_files_per_trigger: int = 2,
 ) -> DataFrame:
     return (
-        spark.readStream.schema(BRONZE_STREAM_SCHEMA)
+        spark.readStream.schema(bronze_stream_schema(key_column))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(bronze_dir)
     )

@@ -24,17 +24,17 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pq import (
     PQ_QUANT,
     PQ_SHORTLIST,
     PQ_SUBDIM,
     _melted,
-    _n_vecs,
-    _train_codes,
+    _refine_topk,
+    _trained_m,
+    adc_distances,
 )
-from ..operators.similarity import TOP_K
 
 
 @dataclass
@@ -51,13 +51,15 @@ class PQIndex:
 
 def build_pq_index(spark: SparkSession, sf_dir: str) -> PQIndex:
     melted = _melted(spark, sf_dir)
-    # n_vecs engages the PQ_TRAIN_SAMPLE cap exactly like the batch
-    # twin (ann_topk_pq) — without it the online codebook would train
-    # on the full corpus above the cap and silently diverge from the
-    # offline codes the row-for-row contract pins.
-    codes, cent = _train_codes(melted, n_vecs=_n_vecs(spark, sf_dir))
+    # _trained_m is the session-memoized Lloyd chain the batch twins
+    # train against (same melted frame, same PQ_TRAIN_SAMPLE cap), so
+    # a session that ran ann_topk_pq and then builds the serving index
+    # trains ONCE — calling _train_codes directly re-paid the full
+    # training the memo exists to eliminate (r08 review). Bit-identical
+    # either way; codes arrive already checkpointed.
+    codes, cent = _trained_m(spark, sf_dir)
     return PQIndex(
-        codes=codes.localCheckpoint(eager=True),
+        codes=codes,
         centroids=cent.localCheckpoint(eager=True),
         corpus_melted=melted,
     )
@@ -67,7 +69,8 @@ def _serve_batch(
     batch: DataFrame, index: PQIndex, *, queries_share_corpus_ids: bool = True
 ) -> DataFrame:
     """The batch ADC+refine pipeline applied to one micro-batch of
-    (query_id, embedding) rows. Identical math to ann_topk_pq.
+    (query_id, embedding) rows — literally the SAME code since r08
+    (pq.adc_distances + pq._refine_topk), not a maintained copy.
 
     ``queries_share_corpus_ids`` controls the self-match exclusion:
     the batch twin's queries ARE corpus vectors, so ``query_id ==
@@ -86,66 +89,14 @@ def _serve_batch(
         .cast("bigint")
         .alias("val"),
     )
-    lut = (
-        qm.join(F.broadcast(index.centroids.drop("sub")), "dim")
-        .groupBy("query_id", "sub", "code")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("cval"))
-                * (F.col("val") - F.col("cval"))
-            ).alias("d2")
-        )
-    )
-    adist = (
-        index.codes.join(F.broadcast(lut), ["sub", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d2").cast("bigint").alias("adist_sq"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
-    if queries_share_corpus_ids:
-        adist = adist.where(F.col("query_id") != F.col("neighbor_id"))
-    shortlist = (
-        adist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= PQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    refined = (
-        shortlist.join(
-            F.broadcast(
-                qm.select(
-                    "query_id", "dim", F.col("val").alias("qval")
-                )
-            ),
-            ["query_id"],
-        )
-        .join(
-            index.corpus_melted.select(
-                F.col("vec_id").alias("neighbor_id"),
-                "dim",
-                F.col("val").alias("nval"),
-            ),
-            ["neighbor_id", "dim"],
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(
-                (F.col("qval") - F.col("nval"))
-                * (F.col("qval") - F.col("nval"))
-            )
-            .cast("bigint")
-            .alias("dist_sq")
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
-    return (
-        refined.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rn").cast("int").alias("rank"),
-            "dist_sq",
-        )
+    adist = adc_distances(qm, index.codes, index.centroids)
+    return _refine_topk(
+        adist,
+        qm,
+        index.corpus_melted,
+        PQ_SHORTLIST,
+        exclude_self=queries_share_corpus_ids,
+        qm_query_col="query_id",
     )
 
 
@@ -167,6 +118,12 @@ def serve_ann_stream(
     from ..pipeline.lake import write_batch_partition
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        # every sibling foreachBatch handler guards the empty trigger;
+        # without it an empty recovery batch still built the LUT and
+        # probed the whole checkpointed code frame just for the sink's
+        # own isEmpty() to skip the write (r08 review)
+        if batch.isEmpty():
+            return
         write_batch_partition(
             _serve_batch(
                 batch,

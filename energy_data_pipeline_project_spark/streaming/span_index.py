@@ -33,7 +33,6 @@ is a plain equi-join on h.
 
 from __future__ import annotations
 
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame

@@ -671,3 +671,58 @@ def test_windowed_histogram_parity(spark, event_dir):
     g = {(r[0], r[1], r[2]): r[3] for r in got.collect()}
     b = {(r[0], r[1], r[2]): r[3] for r in batch.collect()}
     assert g == b
+
+
+def test_price_dataset_streams_through_silver(spark, tmp_path_factory):
+    """The PRICE dataset's bronze key column is 'market', not
+    'country': a hardcoded country stream schema read market back as
+    all-NULL country and stream_silver crashed with an unresolved
+    market reference — the streaming path silently only worked for the
+    power dataset (r08 review). Stream the price bronze and assert
+    row-for-row silver parity with the batch plan."""
+    import json as _json
+
+    from energy_data_pipeline_project_spark.pipeline.config import (
+        default_datasets,
+    )
+    from energy_data_pipeline_project_spark.pipeline.ingestion import (
+        bronze_schema,
+    )
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries,
+    )
+    from energy_data_pipeline_project_spark.sources.fixtures import (
+        fixture_payloads,
+    )
+    from energy_data_pipeline_project_spark.streaming import jobs, medallion
+
+    days = ["2025-03-01", "2025-03-02"]
+    price_ds = default_datasets()[1]
+    assert price_ds.key_column == "market"
+    payloads = fixture_payloads(days)
+    rows = [
+        ("DE-LU", d, _json.dumps(payloads[price_ds.name][d])) for d in days
+    ]
+    bronze = (
+        spark.createDataFrame(rows, schema=bronze_schema(price_ds))
+        .withColumn("ingested_at", F.current_timestamp())
+        .withColumn("source", F.lit("energy-charts"))
+    )
+    bdir = str(tmp_path_factory.mktemp("bronze-price-stream"))
+    bronze.repartition(3).write.mode("overwrite").parquet(bdir)
+
+    stream = medallion.read_bronze_stream(
+        spark, bdir, key_column=price_ds.key_column
+    )
+    silver_stream = medallion.stream_silver(stream, price_ds)
+    got = sorted(
+        (r["market"], str(r["timestamp"]), r["price_eur_mwh"])
+        for r in jobs.run_to_memory(
+            silver_stream, "silver_price", output_mode="append"
+        ).collect()
+    )
+    want = sorted(
+        (r["market"], str(r["timestamp"]), r["price_eur_mwh"])
+        for r in extract_timeseries(bronze, price_ds).collect()
+    )
+    assert got == want and got
