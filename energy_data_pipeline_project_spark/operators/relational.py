@@ -29,10 +29,15 @@ Cross-engine determinism rules (the DuckDB oracle must hash-match):
 - Every computed column is aliased identically in both engines.
 
 Scale posture (100 TB): filters are applied before joins so Catalyst
-pushes them into the parquet scan; fixed-size dims (nation, region) are
-explicitly broadcast; everything else is plain shuffled hash/sort-merge
-join territory where AQE picks the strategy; no Python UDFs anywhere in
-this module — all expressions are whole-stage-codegen'd.
+pushes them into the parquet scan; ONLY genuinely bounded frames carry
+an explicit broadcast hint — fixed-size dims (nation, region), 1-row
+scalar aggregates, and top-k/capped frames. sf-growing tables (part,
+supplier, orders, lineitem) are never hinted: F.broadcast is obeyed
+regardless of size and would OOM executors at scale, so those joins
+stay shuffled-join territory where AQE upgrades to broadcast at small
+scale on its own (r08 review removed four part/supplier hints that
+violated this). No Python UDFs anywhere in this module — all
+expressions are whole-stage-codegen'd.
 """
 
 from __future__ import annotations
@@ -1114,7 +1119,10 @@ def correlated_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(thr, li["l_partkey"] == thr["t_partkey"])
         .where(F.col("l_quantity") < F.col("qty_thr"))
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # no broadcast hint: part GROWS with sf (unlike nation/region) —
+        # a hard hint would OOM executors at 100 TB; AQE broadcasts it
+        # at test scale on its own (r08 review)
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_small_lines"),
@@ -1151,7 +1159,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint")
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part grows with sf: leave the strategy to AQE (r08 review)
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy(
             # F.trunc returns DATE (matching DuckDB's date_trunc on a
             # DATE); F.date_trunc would return a TIMESTAMP
@@ -1199,7 +1208,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of evaluating post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    # part grows with sf: leave the strategy to AQE (r08 review)
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     return joined.where(F.expr(_Q19_SQL)).agg(
         F.count("*").alias("n_lines"),
         F.sum(_cents(REVENUE_SQL)).alias("revenue_cents"),
@@ -1299,7 +1309,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes shuffling on l_orderkey so AQE aligns the exchanges; the
     25-row supplier dim is broadcast and the top-k compiles to
     TakeOrderedAndProject. 'Late' is exact integer date arithmetic
-    (date + {Q21_LATE_DAYS} days) in both engines."""
+    (date + 90 days, Q21_LATE_DAYS) in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -1331,7 +1341,9 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_late.join(
-            F.broadcast(supplier),
+            # supplier grows with sf (the old hint called it a 25-row
+            # dim — that is nation): AQE decides (r08 review)
+            supplier,
             sole_late["l_suppkey"] == supplier["s_suppkey"],
         )
         .groupBy("s_name")
@@ -1884,7 +1896,8 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_regexp_bucket",
     """
-    SELECT CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) % 10
+    SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*([0-9]+)', 1),
+                           '') AS INT) % 10
              AS k_bucket,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users
@@ -1894,9 +1907,18 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_regexp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp extraction from the raw JSON string (the pattern-probe
-    cousin of get_json_object), bucketed by modulus."""
+    cousin of get_json_object), bucketed by modulus.
+
+    No-match handling is NULL-safe on BOTH engines: regexp_extract
+    returns '' on a non-matching row and under ANSI a plain
+    CAST('' AS INT) would abort the whole job from one drifted props
+    row — exactly the schema-drift class proj_try_arithmetic and
+    json_coalesce_probe are designed around (r08 review). try_cast
+    buckets such rows to NULL instead; the oracle's TRY_CAST(NULLIF)
+    states the identical semantics (DuckDB regexp_extract also yields
+    '' on no match)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("int")
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).try_cast("int")
     return (
         ev.select((k % 10).alias("k_bucket"), "user_id")
         .groupBy("k_bucket")
@@ -2530,7 +2552,7 @@ def proj_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_xml_extract",
     """
     SELECT event_id,
-           event_type AS xml_type,
+           COALESCE(event_type, '') AS xml_type,
            CAST(user_id AS BIGINT) AS xml_user,
            value AS xml_value
     FROM events
@@ -2546,11 +2568,32 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     check certifies is the from_xml round-trip: typed extraction,
     escaping, and NULL propagation. Parsing is JVM-side (StaxXmlParser),
     schema explicit — same scale posture as from_json with a pinned
-    schema: one codegen'd map stage, no inference scan."""
+    schema: one codegen'd map stage, no inference scan.
+
+    The text field is XML-ESCAPED into the payload (& < > — exactly
+    what a real producer must do) and from_xml unescapes it back, so
+    the round-trip is lossless for metacharacter-bearing values; a raw
+    concat built ill-formed XML that PERMISSIVE-parsed to an all-NULL
+    struct while the oracle kept the raw value — a latent divergence
+    the fixture's clean enum values masked (r08 review). A NULL
+    event_type is emitted as an empty element (COALESCE to '' before
+    the concat — otherwise the NULL nulls the entire payload and takes
+    xml_user/xml_value with it); an empty element reads back as ''
+    (verified), the inherent NULL→'' normalization of XML without
+    xsi:nil, and the oracle states the same COALESCE."""
     ev = load_table(spark, sf_dir, "events")
+    escaped = F.replace(
+        F.replace(
+            F.replace(F.col("event_type"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     xml = F.concat(
         F.lit("<e><t>"),
-        F.col("event_type"),
+        F.coalesce(escaped, F.lit("")),
         F.lit("</t><u>"),
         F.col("user_id").cast("string"),
         F.lit("</u><v>"),
@@ -2613,7 +2656,7 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single Window node). Partition cardinality is bounded by the
     priority dimension — no single-partition global window."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+    cents = _cents("o_totalprice")
     w = Window.partitionBy("o_orderpriority").orderBy(
         cents.asc(), F.col("o_orderkey").asc()
     )
@@ -2673,7 +2716,7 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = F.map_from_arrays(
         F.array(F.lit("price"), F.lit("net"), F.lit("qty")),
         F.array(
-            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"),
+            _cents("l_extendedprice"),
             F.expr(
                 "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
                 " AS BIGINT)"
@@ -2913,9 +2956,9 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = higher-bands prefix + in-band cum. Only the band-total frame
     ever passes through a 1-partition window, and it is O(bands)."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.expr(
-        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
-    )
+    # the ONE cents spelling (identical IEEE tree: precedence already
+    # groups l_extendedprice*(1-l_discount) before the *100)
+    rev = _cents(REVENUE_SQL)
     r = li.groupBy("l_partkey").agg(F.sum(rev).cast("bigint").alias("rev"))
     r = r.withColumn("band", F.expr(f"rev DIV {ABC_BAND_CENTS}"))
     btot = r.groupBy("band").agg(F.sum("rev").alias("brev"))

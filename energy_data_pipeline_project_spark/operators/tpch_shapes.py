@@ -176,7 +176,7 @@ def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outer's o_orderdate to the inner's l_shipdate).
 
     Adaptation: no l_commitdate/l_receiptdate columns, so "late" is
-    shipped more than {Q4_SHIP_LATE_DAYS} days after the order date —
+    shipped more than 60 (Q4_SHIP_LATE_DAYS) days after the order date —
     same correlated-EXISTS-with-cross-table-comparison plan shape.
 
     Scale: the quarter filter reaches the orders scan before the join;
@@ -235,8 +235,8 @@ def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q8 — the target nation's share of {Q8_TYPE}-part trade
-    volume sold into {Q8_REGION} customers, per order year: a
+    """TPC-H q8 — the target nation's share of PROMO (Q8_TYPE)-part trade
+    volume sold into AMERICA (Q8_REGION) customers, per order year: a
     seven-table join where customer-nation-region filters one arm and
     supplier-nation labels the other, finished by a
     conditional-sum / total-sum ratio.
@@ -333,7 +333,7 @@ _Q9_AMOUNT_SQL = (
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q9 shape — profit on 'red' parts by supplier nation and
     order year. Adaptation: with no partsupp.ps_supplycost, cost is
-    p_retailprice * quantity * {Q9_COST_FRAC} — the same
+    p_retailprice * quantity * 0.1 (Q9_COST_FRAC) — the same
     join-then-compound-arithmetic plan (part attribute × lineitem
     measure), and the whole amount is computed per row as doubles
     (bitwise identical cross-engine) then summed as integer cents.
@@ -387,7 +387,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10 — customers who returned the most revenue in one
     quarter: returnflag filter on the fact scan, quarter filter on the
-    orders scan, nation broadcast for the label, top-{Q10_TOP_K} by
+    orders scan, nation broadcast for the label, top-20 (Q10_TOP_K) by
     summed cents with a unique-key tie-break (custkey) so the LIMIT is
     deterministic cross-engine.
 
@@ -753,7 +753,7 @@ def q18_large_volume_customers(
     Scale: the HAVING aggregate shuffles lineitem once on orderkey; the
     semi join and the final agg reuse that same key, so AQE lines the
     exchanges up; the qualifying-key set is tiny and broadcasts; the
-    top-{Q18_TOP_K} is TakeOrderedAndProject with o_orderkey as the
+    top-100 (Q18_TOP_K) is TakeOrderedAndProject with o_orderkey as the
     unique tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -823,8 +823,8 @@ def q20_dominant_share_suppliers(
     dominant share of some qualifying part: per-(part, supplier)
     quantity vs per-part total, thresholded, then IN → semi join to the
     supplier dim. Adaptation: partsupp.ps_availqty > ½·sum(qty) becomes
-    share > 1/{Q20_SHARE_MULT} of the part's shipped total; the
-    comparison is pure integer arithmetic (qty_cents × {Q20_SHARE_MULT}
+    share > 1/10 (Q20_SHARE_MULT) of the part's shipped total; the
+    comparison is pure integer arithmetic (qty_cents × 10 (Q20_SHARE_MULT)
     > total_cents) — no division, exact in both engines.
 
     Scale: the name-filtered part broadcast prunes lineitem before the
@@ -912,12 +912,12 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the scalar is a 1-row agg broadcast via crossJoin; the anti
     join's right side carries the date filter to its scan; output is
-    {Q22_MOD} rows."""
+    Q22_MOD rows."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit(Q22_CUTOFF)
     )
-    acct_cents = F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)")
+    acct_cents = _cents("c_acctbal")
     avg_pos = (
         customer.where(F.col("c_acctbal") > 0)
         .agg(
