@@ -31,7 +31,8 @@ QUERIES, ORACLES, query = make_registry()
 # single-source cents rule (r07 review: this module re-spelled it)
 from .timeseries import _CENTS_TPL as _CENTS  # noqa: E402
 from .timeseries import _cents  # noqa: E402,F401
-
+from .timeseries import _rank, _rank_expr  # noqa: E402
+from ..functions.hashing import md5_int64  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # CDC snapshot diff
@@ -535,7 +536,7 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1.5×IQR kept exact by scaling the comparison by 2 (no float halves).
 @query(
     "events_outlier_iqr",
-    """
+    f"""
     WITH v AS (
       SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
              COUNT(*) AS cnt
@@ -549,8 +550,10 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
-             MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN cents END) AS q1,
-             MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN cents END) AS q3
+             MIN(CASE WHEN cum >= {_rank_expr(25, duck=True)}
+                      THEN cents END) AS q1,
+             MIN(CASE WHEN cum >= {_rank_expr(75, duck=True)}
+                      THEN cents END) AS q3
       FROM c GROUP BY event_type
     )
     SELECT q.event_type, q.n, q.q1 AS q1_cents, q.q3 AS q3_cents,
@@ -580,11 +583,13 @@ def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wc).alias("cum"),
         F.sum("cnt").over(wn).alias("n"),
     )
-    rank = lambda q: F.expr(f"({q} * n + 99) DIV 100")  # noqa: E731
+    # quartile ranks via the ONE ceil-rank spelling (timeseries._rank,
+    # single-sourced in r07 precisely so the convention can't drift per
+    # copy — this was a fifth inline respelling, r08 review)
     qq = c.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.min(F.when(F.col("cum") >= rank(25), F.col("cents"))).alias("q1"),
-        F.min(F.when(F.col("cum") >= rank(75), F.col("cents"))).alias("q3"),
+        F.min(F.when(F.col("cum") >= _rank(25), F.col("cents"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= _rank(75), F.col("cents"))).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr) | (
@@ -1063,7 +1068,7 @@ _CF_TOP_K = 5
     ),
     scored AS (
       SELECT co.part_a, co.part_b, co.c,
-             ROUND(co.c / sqrt(CAST(fa.n AS DOUBLE) * fb.n), 6) AS cosine
+             co.c / sqrt(CAST(fa.n AS DOUBLE) * fb.n) AS cosine
       FROM co JOIN freq fa ON co.part_a = fa.l_partkey
               JOIN freq fb ON co.part_b = fb.l_partkey
     ),
@@ -1092,16 +1097,25 @@ def basket_part_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    # RAW cosine, no ROUND: c/na/nb are exact ints and both engines run
+    # the identical IEEE tree (cast, multiply, sqrt, divide), so the
+    # raw double is bit-identical — while ROUND(double, 6) itself
+    # diverges on decimal half-ties (Spark shortest-repr HALF_UP vs
+    # DuckDB binary round; the r07-confirmed class this repo removed
+    # from every ANN cosine in r08). The rounded value was also the
+    # RANKING key, so a half-tie could flip top-5 membership (r08
+    # review). freq is part-count sized (sf-GROWING): no broadcast
+    # hint — AQE upgrades at test scale.
     scored = (
-        co.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        co.join(fa, "part_a")
+        .join(fb, "part_b")
         .select(
             "part_a",
             "part_b",
             "c",
-            F.round(
-                F.col("c") / F.sqrt(F.col("na").cast("double") * F.col("nb")),
-                6,
+            (
+                F.col("c")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
             ).alias("cosine"),
         )
     )
@@ -1283,8 +1297,9 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (SELECT total_qty AS q0, n_lines AS n0 FROM g WHERE disc_pct = 0)
     SELECT g.disc_pct, g.n_lines, g.total_qty, g.revenue_cents,
            CAST(g.total_qty AS DOUBLE) / g.n_lines AS avg_qty,
-           CAST(g.total_qty * base.n0 AS DOUBLE)
-             / (base.q0 * g.n_lines) AS qty_lift_vs_base
+           (CAST(g.total_qty AS DOUBLE) * CAST(base.n0 AS DOUBLE))
+             / (CAST(base.q0 AS DOUBLE) * CAST(g.n_lines AS DOUBLE))
+             AS qty_lift_vs_base
     FROM g CROSS JOIN base
     """,
 )
@@ -1309,9 +1324,16 @@ def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty",
         "revenue_cents",
         (F.col("total_qty").cast("double") / F.col("n_lines")).alias("avg_qty"),
+        # each int64 is cast to DOUBLE BEFORE the multiplies: the int64
+        # cross-product total_qty*n0 (~7.7e12*sf^2) silently wraps in
+        # non-ANSI Spark past sf~1e3 while DuckDB raises on the BIGINT
+        # multiply — a silent-wrong vs hard-error split (r08 review).
+        # Double products of exact ints are correctly rounded and the
+        # trees are identical in both engines, so the emitted ratio
+        # stays bit-identical at every scale.
         (
-            (F.col("total_qty") * F.col("n0")).cast("double")
-            / (F.col("q0") * F.col("n_lines"))
+            (F.col("total_qty").cast("double") * F.col("n0").cast("double"))
+            / (F.col("q0").cast("double") * F.col("n_lines").cast("double"))
         ).alias("qty_lift_vs_base"),
     )
 
@@ -1331,9 +1353,7 @@ _SKEW_BUCKETS = 32
 
 
 def _skew_sql(*, duck: bool) -> str:
-    from ..functions import hashing as H
-
-    h = H.md5_int64("CAST(l_suppkey AS " + ("VARCHAR" if duck else "STRING") + ")", duck=duck)
+    h = md5_int64("CAST(l_suppkey AS " + ("VARCHAR" if duck else "STRING") + ")", duck=duck)
     return f"(({h}) % {_SKEW_BUCKETS})"
 
 
@@ -1629,7 +1649,6 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # width and let the scan skip everything else. Both layouts here are
 # pure map-side shard assignments (no global sort, unlike ntile-style
 # OPTIMIZE) so the measurement itself scales.
-from ..functions.hashing import md5_int64  # noqa: E402
 
 ZONE_HASH_SHARDS = 16
 ZONE_RANGE_BUCKET_DAYS = 128
