@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import hashing as H
 from ..sources.tables import load_table
 from ._registry import make_registry
+from . import dedup as D
+from .timeseries import _CENTS_TPL, _cents  # noqa: E402
 from .dedup import (
     COSINE_QUANT,
     SHINGLE_DOC_CAP,
@@ -326,7 +328,7 @@ RANGE_MIN_VALUE = 100
     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
     SELECT w.window_id, w.user_id,
            COUNT(*) AS n_clicks,
-           CAST(SUM(CAST(ROUND(c.value * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM({_CENTS_TPL.format("c.value")}) AS BIGINT)
              AS click_cents
     FROM w JOIN c
       ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts < w.w_end
@@ -381,7 +383,7 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # partition-order-dependent and decimal rounding of it
             # splits across engines on near-ties (r07 review; the
             # events_ab_lift class)
-            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            F.sum(_cents("value"))
             .cast("bigint")
             .alias("click_cents"),
         )
@@ -401,16 +403,7 @@ CONTAINMENT_THRESHOLD = 0.6
 
 @query(
     "text_containment",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
-           FROM t),
-    hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
-    hx AS (SELECT doc_id, h FROM (
-             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
-             FROM hx0
-           ) WHERE cnt <= {SHINGLE_DOC_CAP}),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    f"""{D.shingle_index_ctes()},
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -436,32 +429,11 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup.release_cached_frames()`` after consuming.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias(
-            "s"
-        ),
-    )
-    hx = _cached(
-        sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
-    )
-    ok_h = (
-        hx.groupBy("h")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") <= SHINGLE_DOC_CAP)
-        .select("h")
-    )
-    grouped = _cached(
-        hx.join(ok_h, "h")
-        .groupBy("h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-    )
-    sz = (
-        grouped.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    # the ONE capped-index core (dedup.py): in-row-distinct postings +
+    # hot-shingle cap + sizes — this function carried a ~25-line copy
+    # that a set-semantics or cap fix would silently miss (r08 review)
+    hx = _cached(D._shingle_hashes(docs))
+    grouped, sz = D.capped_posting_arrays(hx)
     common = (
         grouped.where(F.size("ds") >= 2)
         .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
@@ -917,7 +889,10 @@ def join_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     token would flood one reducer — compose with the hot-bucket caps
     from operators/dedup.py if the key can't be trusted)."""
     docs = load_table(spark, sf_dir, "documents")
-    p = docs.select(
+    # persisted: p feeds both self-join sides (different projections,
+    # no exchange to reuse) — unpersisted, documents was scanned and
+    # tokenized twice per run (r08 review)
+    p = _cached(docs.select(
         "doc_id",
         F.expr(f"substr(text, 1, {FUZZY_PREFIX_CHARS})").alias("pfx"),
         # try_element_at: under Spark 4 ANSI mode (default on, and the
@@ -927,7 +902,7 @@ def join_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # equi-join. NULL t1 rows fall out of the join on both engines.
         F.expr(f"try_element_at({_TOKS_SPARK}, 1)").alias("t1"),
         F.expr(f"length(text) DIV {FUZZY_BAND_CHARS}").alias("band"),
-    )
+    ))
     a = p.select(
         F.col("doc_id").alias("doc_a"),
         F.col("pfx").alias("pfx_a"),
@@ -1023,7 +998,7 @@ TRIM_FRACTION_DENOM = 10  # drop floor(n/10) rows from each tail
     f"""
     WITH c AS (
       SELECT event_type, event_id,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             {_CENTS_TPL.format("value")} AS cents
       FROM events
     ),
     r AS (
@@ -1066,10 +1041,15 @@ def agg_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(kept["c"].sum())
 
     ev = load_table(spark, sf_dir, "events")
-    c = ev.select(
-        "event_type",
-        "event_id",
-        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    # persisted: c feeds BOTH the UDAF aggregate and the JVM counts —
+    # different aggregates, no exchange reuse, so the events scan ran
+    # twice (r08 review; the countmin/IQR class)
+    c = _cached(
+        ev.select(
+            "event_type",
+            "event_id",
+            _cents("value").alias("cents"),
+        )
     )
     # Catalyst refuses GROUPED_AGG UDFs alongside JVM aggregates in one
     # Aggregate — counts run as a plain agg and join back on the tiny
@@ -1246,7 +1226,10 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     via lossless PassJoin blocking (naive all-pairs oracle)."""
     tau = EDJOIN_TAU
     part = load_table(spark, sf_dir, "part")
-    names = (
+    # persisted: names feeds the segment index AND the probe fan-out
+    # (two different explode subtrees) — unpersisted, part was scanned
+    # and DISTINCT-shuffled twice per run (r08 review)
+    names = _cached(
         part.select(F.col("p_name").alias("nm"))
         .where(F.length("nm") >= 3)
         .distinct()

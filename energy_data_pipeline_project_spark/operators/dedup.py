@@ -93,16 +93,95 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _shingle_hashes(docs: DataFrame) -> DataFrame:
     """``(doc_id, shingle-hash)`` postings — the shared first stage of
-    shingle-Jaccard, MinHash signatures, and the LSH quality audit.
-    The tokenize→shingle→md5 explode is the dominant scan of every
-    consumer, so callers that need both views pass ONE persisted copy
-    (r06 review: the quality audit ran it twice)."""
+    shingle-Jaccard, containment, MinHash signatures, and the LSH
+    quality audit. The tokenize→shingle→md5 explode is the dominant
+    scan of every consumer, so callers that need both views pass ONE
+    persisted copy (r06 review: the quality audit ran it twice).
+
+    Postings are SET-semantics per doc, deduped IN-ROW (array_distinct
+    over the per-doc hash array — no shuffle): shingles are already
+    distinct per doc, but two distinct shingles can collide in the
+    32-bit hash, and a doubled (doc, h) row put the doc twice in a
+    posting array, emitting a (d, d) self-pair the a < b oracles can
+    never produce (the r07 prefix-Jaccard bug — r08 fixed it at this
+    shared source for the Jaccard/containment consumers too; the
+    minhash MIN is multiplicity-blind either way)."""
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    sh = toks.select(
+    return toks.select(
         "doc_id",
-        F.explode(F.expr(H.shingles_sql("toks", SHINGLE_N, duck=False))).alias("s"),
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                + H.shingles_sql("toks", SHINGLE_N, duck=False)
+                + ", s -> " + H.md5_int64("s", duck=False) + "))"
+            )
+        ).alias("h"),
     )
-    return sh.select("doc_id", F.expr(H.md5_int64("s", duck=False)).alias("h"))
+
+
+# the in-row-distinct posting array, ONE spelling per engine (the
+# Spark twin lives in _shingle_hashes)
+_POSTINGS_ARRAY_DUCK = (
+    "list_distinct(list_transform("
+    + H.shingles_sql("toks", SHINGLE_N, duck=True)
+    + ", s -> " + H.md5_int64("s", duck=True) + "))"
+)
+
+
+def shingle_index_ctes(cap: int = SHINGLE_DOC_CAP) -> str:
+    """DuckDB twin of the capped shingle inverted index: CTEs
+    ``t → hx0 (in-row-distinct postings) → hx (hot shingles dropped)
+    → sz (per-doc sizes over the capped index)``. ONE spelling for the
+    dedup_shingle_jaccard and curation.text_containment oracles, which
+    had drifted into copies (r08 review) — and the in-row
+    list_distinct matches :func:`_shingle_hashes` exactly, so the
+    engines agree even on 32-bit within-doc hash collisions."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    hx0 AS (SELECT doc_id, unnest({_POSTINGS_ARRAY_DUCK}) AS h FROM t),
+    hx AS (SELECT doc_id, h FROM (
+             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
+             FROM hx0
+           ) WHERE cnt <= {cap}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id)"""
+
+
+def _prefix_index_ctes() -> str:
+    """Uncapped head of :func:`shingle_index_ctes` (``t → hx``, in-row
+    distinct postings, NO hot-shingle cap): the prefix-filter join is
+    lossless by construction and must see every posting, so only the
+    set-semantics spelling is shared — one source with the capped
+    variant (r08 review)."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    hx AS (SELECT doc_id, unnest({_POSTINGS_ARRAY_DUCK}) AS h FROM t)"""
+
+
+def capped_posting_arrays(
+    hx: DataFrame, cap: int = SHINGLE_DOC_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(grouped posting arrays, per-doc sizes) over a postings frame,
+    with hot shingles dropped BEFORE any array is collected — the
+    Spark core both shingle-Jaccard and containment build on (one
+    spelling, r08 review). ``grouped`` is persisted; call
+    release_cached_frames() once consumed."""
+    ok_h = (
+        hx.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") <= cap)
+        .select("h")
+    )
+    grouped = _cached(
+        hx.join(ok_h, "h")
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+    sz = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return grouped, sz
 
 
 def _minhash_signatures(
@@ -788,30 +867,11 @@ def shingle_jaccard_pairs(
     """
     if hx is None:
         hx = _cached(_shingle_hashes(docs))
-    # Cap pass: map-side combined count per shingle, then an equi-join
-    # that drops hot postings BEFORE any list is collected — no
-    # collect_list buffer can exceed cap ids even under adversarial
-    # skew, and the join output is already partitioned by h so the
-    # groupBy below reuses the exchange (the window formulation this
-    # replaces sorted the full postings frame).
-    ok_h = (
-        hx.groupBy("h")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") <= shingle_cap)
-        .select("h")
-    )
-    grouped = _cached(
-        hx.join(ok_h, "h")
-        .groupBy("h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-    )
-    # Doc sizes over the SAME capped index (explode of the grouped
-    # postings — no second scan of the raw corpus).
-    sz = (
-        grouped.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    # Cap pass + posting arrays + per-doc sizes: the shared
+    # capped_posting_arrays core (map-side combined count per shingle,
+    # hot postings dropped BEFORE any list is collected, sizes off the
+    # SAME capped index — no second corpus scan).
+    grouped, sz = capped_posting_arrays(hx, shingle_cap)
     common = (
         grouped.where(F.size("ds") >= 2)
         .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
@@ -831,16 +891,7 @@ def shingle_jaccard_pairs(
 
 @query(
     "dedup_shingle_jaccard",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
-           FROM t),
-    hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
-    hx AS (SELECT doc_id, h FROM (
-             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
-             FROM hx0
-           ) WHERE cnt <= {SHINGLE_DOC_CAP}),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    f"""{shingle_index_ctes()},
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -900,36 +951,16 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     the two docs' sorted hash arrays with array_intersect in a single
     candidate-sized join — the full postings are never self-joined.
     """
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    # DISTINCT per (doc, hash): shingles are distinct per doc, but two
-    # DISTINCT shingles can collide in the 32-bit hash (expected hits
-    # at corpus scale). Without the dedup the oracle's self-join
-    # counted the collision with multiplicity while array_intersect
-    # below counts it once, and a doubled posting row could emit a
-    # doc_a == doc_b self-pair (r07 review). Set semantics on BOTH
-    # sides make hash-collision behavior identical. The dedup is
-    # IN-ROW (array_distinct over the per-doc hash array) rather than
-    # a frame-level .distinct(): a doc's shingle set lives in one row,
-    # so collision removal needs no shuffle at all — the r07 fix paid
-    # a full posting-frame exchange for the same set semantics (r08,
-    # verdict #3: 6.09s -> back under the r06 4.55s at sf0.1). The
-    # oracle runs the same in-row list_distinct so the two engines
-    # also agree on degenerate inputs carrying a duplicated doc_id
-    # row (a frame-level SELECT DISTINCT would collapse across such
-    # rows while the in-row form cannot — r08 review); doc_id is a
-    # key in every supported corpus, where the forms are identical.
-    hx = _cached(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform("
-                    + H.shingles_sql("toks", SHINGLE_N, duck=False)
-                    + ", s -> " + H.md5_int64("s", duck=False) + "))"
-                )
-            ).alias("h"),
-        )
-    )
+    # Set-semantics postings from the ONE shared source
+    # (_shingle_hashes: in-row array_distinct, no shuffle — two
+    # DISTINCT shingles can collide in the 32-bit hash, and a doubled
+    # posting row emitted (d, d) self-pairs / multiplicity-counted
+    # intersections, r07 review; r08 verdict #3 moved the dedup
+    # in-row, 6.09s -> under the r06 4.55s at sf0.1, then centralized
+    # it here). The oracle's hx0 CTE runs the same in-row
+    # list_distinct, so the engines agree even on degenerate
+    # duplicated-doc_id inputs.
+    hx = _cached(_shingle_hashes(docs))
     dfreq = hx.groupBy("h").agg(F.count("*").alias("dfreq"))
     # One row per doc: shingle hashes in global rarity order plus the
     # exact prefix length p = n - ceil(n/2) + 1, ceil in INT arithmetic.
@@ -996,12 +1027,7 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
 @query(
     "dedup_prefix_jaccard",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    hx AS (SELECT doc_id,
-                  unnest(list_distinct(list_transform(
-                      {H.shingles_sql("toks", SHINGLE_N, duck=True)},
-                      s -> {H.md5_int64("s", duck=True)}))) AS h
-           FROM t),
+{_prefix_index_ctes()},
     sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -1476,16 +1502,13 @@ def _lsh_eval_oracle() -> str:
         f"MIN({H.minhash_expr(i, 'h')}) AS m{i}" for i in range(H.MINHASH_K)
     )
     band_rows = _band_melt_sql("sig")
-    return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
-           FROM t),
-    hx0 AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
-    hx AS (SELECT doc_id, h FROM (
-             SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
-             FROM hx0
-           ) WHERE cnt <= {SHINGLE_DOC_CAP}),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
+    # truth CTEs come from the SHARED set-semantics index spelling —
+    # the r08 in-row dedup changed _shingle_hashes for every Spark
+    # consumer, and this oracle's hand-built multiplicity copy would
+    # have diverged on within-doc hash collisions (r08 review caught
+    # it before it shipped); sig reads the same distinct hx0 (MIN is
+    # multiplicity-blind, so signatures are unchanged either way).
+    return f"""{shingle_index_ctes()},
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id

@@ -411,9 +411,8 @@ N_EXPORT_SHARDS = 16
     f"""
     WITH m AS (
       SELECT doc_id,
-             ((({H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)})
-               % {N_EXPORT_SHARDS}) + {N_EXPORT_SHARDS}) % {N_EXPORT_SHARDS}
-               AS shard,
+             ({H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)})
+               % {N_EXPORT_SHARDS} AS shard,
              octet_length(encode(text)) AS n_bytes
       FROM documents
     )
@@ -427,9 +426,13 @@ N_EXPORT_SHARDS = 16
 )
 def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_media(load_table(spark, sf_dir, "documents"))
+    # plain %: md5_int64 is constructed non-negative ([0, 2^32) —
+    # hashing.py's contract every other consumer relies on); the old
+    # sign-fix double-mod falsely signaled the hash could be negative
+    # (r08 review)
     shard = F.expr(
-        f"((({H.md5_int64('CAST(doc_id AS STRING)', duck=False)})"
-        f" % {N_EXPORT_SHARDS}) + {N_EXPORT_SHARDS}) % {N_EXPORT_SHARDS}"
+        f"({H.md5_int64('CAST(doc_id AS STRING)', duck=False)})"
+        f" % {N_EXPORT_SHARDS}"
     )
     n_bytes = F.octet_length(F.col("media.payload"))
     return (

@@ -158,7 +158,8 @@ BUDGET_EPOCHS = 2  # total budget = BUDGET_EPOCHS x corpus tokens
     f"""
     WITH p AS (
       SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(len({_TOKS_DUCK})) AS BIGINT) AS src_tokens
+             CAST(SUM(len(COALESCE({_TOKS_DUCK}, []))) AS BIGINT)
+               AS src_tokens
       FROM documents GROUP BY source
     ),
     t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
@@ -190,7 +191,14 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join, never a collect."""
     docs = load_table(spark, sf_dir, "documents")
     per_src = (
-        docs.select("source", F.size(F.expr(_TOKS_SPARK)).alias("nt"))
+        # NULL-text docs count 0 tokens in BOTH engines: unguarded,
+        # Spark's answer depends on the ANSI flag (size(NULL) is NULL
+        # under ANSI but -1 legacy — the r07 text.py lesson) while the
+        # oracle's SUM skips the NULL row (r08 review)
+        docs.select(
+            "source",
+            F.size(F.expr(f"coalesce({_TOKS_SPARK}, array())")).alias("nt"),
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -261,7 +269,8 @@ def _probe_chain_sql() -> str:
              CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
              CAST(LEAST(len(toks), {cap}) AS BIGINT) AS x1,
              CAST(LEAST(len(list_distinct(toks)), {cap}) AS BIGINT) AS x2
-      FROM (SELECT source, lang, {_TOKS_DUCK} AS toks FROM documents)
+      FROM (SELECT source, lang, COALESCE({_TOKS_DUCK}, []) AS toks
+            FROM documents)
     ),
     a1 AS (
       SELECT CAST(SUM(0 - y * {s}) AS BIGINT) AS s0,
@@ -314,7 +323,12 @@ def _probe_features(docs: DataFrame, *carry: str) -> DataFrame:
     (`train_linear_probe`) and the filter (`corpus_probe_filter`)
     cannot drift (r06 review: the filter had its own inline copy).
     ``carry`` names extra passthrough columns (e.g. ``source``)."""
-    toks = F.expr(_TOKS_SPARK)
+    # coalesce to array(): least()/LEAST() SKIP NULL args in BOTH
+    # engines, so an unguarded NULL-text doc scored x1 = x2 =
+    # FEATURE_CAP — the longest possible document instead of an empty
+    # one — identically on both sides, which is exactly the class the
+    # parity gate can never catch (r08 review)
+    toks = F.expr(f"coalesce({_TOKS_SPARK}, array())")
     return docs.select(
         *carry,
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("y"),
