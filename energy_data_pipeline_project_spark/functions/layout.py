@@ -26,6 +26,9 @@ from pyspark.sql import Column, DataFrame
 
 MORTON_BITS = 16  # per column; 2 cols × 16 bits = 32-bit key
 
+# collision-proof internal key column (see skew.py's __skew_salt__)
+_ZKEY = "__zorder_key__"
+
 
 def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
     """Scale [lo, hi] linearly onto [0, 2^bits - 1] as a BIGINT.
@@ -44,12 +47,18 @@ def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
     TOP tile (r07 advisor). Bottom is chosen to match the
     NULLS-FIRST ordering a plain ``sortWithinPartitions`` on the raw
     column would give; NULL rows co-locate in the lowest-key files
-    either way, keeping the other files' zone maps NULL-free."""
+    either way, keeping the other files' zone maps NULL-free.
+
+    NaN placement: ``nanvl`` maps NaN to NULL first — NaN arithmetic
+    yields NaN and the ANSI CAST of NaN to BIGINT kills the job
+    (verified, r08 review); one corrupt reading now lands in the
+    bottom tile with the NULLs instead of failing the layout pass."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
     return F.expr(
         f"GREATEST(0, LEAST({top}, "
-        f"NVL(CAST(((CAST({col} AS DOUBLE) - {lo}) / {span}) * {top} "
+        f"NVL(CAST(((nanvl(CAST({col} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        f" - {lo}) / {span}) * {top} "
         f"AS BIGINT), 0)))"
     )
 
@@ -104,9 +113,29 @@ def cluster_write(
     # keep the interleaved key inside the 63-bit signed-long budget for
     # any column count; fewer bits per column just means coarser tiles
     bits = min(bits, 63 // max(len(cluster_cols), 1))
+    if _ZKEY in df.columns:
+        # overwriting-then-dropping a caller-owned column would
+        # silently erase it from the written table (r08 review; the
+        # same collision guard skew.py carries for its salt column)
+        raise ValueError(
+            f"input already has a {_ZKEY} column — rename it before "
+            "cluster_write"
+        )
+    # NaN-safe bounds: F.max treats NaN as the largest double and the
+    # ANSI cast of NaN to BIGINT kills the job (verified, r08 review);
+    # one corrupt sensor reading must not fail the whole layout pass.
+    # nan-filtered per-column min/max keeps real bounds; NaN rows are
+    # mapped to the bottom tile with the NULLs by _normalize's nanvl.
+    def _finite(c: str):
+        # NOT col == col: Spark's SQL NaN semantics make NaN equal to
+        # itself (unlike IEEE), so that filter is a no-op — isnan is
+        # the real test (caught by this fix's own regression test)
+        col = F.col(c)
+        return F.when(F.isnan(col.cast("double")), None).otherwise(col)
+
     bounds = df.agg(
-        *[F.min(c).cast("bigint").alias(f"lo_{c}") for c in cluster_cols],
-        *[F.max(c).cast("bigint").alias(f"hi_{c}") for c in cluster_cols],
+        *[F.min(_finite(c)).cast("bigint").alias(f"lo_{c}") for c in cluster_cols],
+        *[F.max(_finite(c)).cast("bigint").alias(f"hi_{c}") for c in cluster_cols],
     ).collect()[0]
     if any(
         bounds[f"lo_{c}"] is None or bounds[f"hi_{c}"] is None
@@ -120,11 +149,11 @@ def cluster_write(
         _normalize(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits)
         for c in cluster_cols
     ]
-    keyed = df.withColumn("_zkey", morton_key(norm, bits))
+    keyed = df.withColumn(_ZKEY, morton_key(norm, bits))
     (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        keyed.repartitionByRange(n_files, _ZKEY)
+        .sortWithinPartitions(_ZKEY)
+        .drop(_ZKEY)
         .write.format(fmt)
         .mode("overwrite")
         .save(path)

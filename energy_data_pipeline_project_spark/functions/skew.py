@@ -48,6 +48,13 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if n_salt < 1:
+        # range(n_salt <= 0) is EMPTY, so the small side would be
+        # replicated zero times: an inner join silently returns 0 rows
+        # and a left join NULL-extends everything — silent row loss
+        # for a dynamically computed knob (r08 review; the same
+        # misconfiguration class as ingestion's days_per_task, r07)
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     for df, side in ((big, "big"), (small, "small")):
         if _SALT in df.columns:
             raise ValueError(f"{side} side already has a {_SALT} column")

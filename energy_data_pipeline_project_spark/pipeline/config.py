@@ -156,6 +156,20 @@ def load_config(path_or_dict: "str | dict") -> PipelineConfig:
                 f"dataset {d['name']!r} has no extract shape: set"
                 " extract.entity_array or extract.value_probes"
             )
+        if spec.entity_array and spec.value_probes:
+            # BOTH shapes set is ambiguous and was silently wrong:
+            # extraction prefers entity_array while the runner assigns
+            # the price ROLE to any dataset with value_probes, so
+            # entity-shaped silver rows flowed into price_daily and a
+            # wrong avg_price_eur_mwh published with no error (r08
+            # review). One shape per dataset, decided in config.
+            raise ValueError(
+                f"dataset {d['name']!r} sets BOTH extract.entity_array"
+                " and extract.value_probes: the shapes are mutually"
+                " exclusive (entity datasets feed power_daily, probe"
+                " datasets feed price_daily) — split it into two"
+                " datasets or drop one shape"
+            )
     return PipelineConfig(
         lake_root=raw.get("lake_root", "data"),
         start_date=run.get("start_date", "2025-01-01"),

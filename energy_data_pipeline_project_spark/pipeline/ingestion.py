@@ -106,9 +106,10 @@ def ingest_dataset_distributed(
 
     Same bronze contract as ``ingest_dataset``: empty-input guard
     (nothing written when no day yields a payload), identical schema,
-    audit columns, overwrite write. The fetched frame is persisted so
-    the guard's count and the write materialize each fetch exactly
-    once.
+    audit columns, overwrite write. The fetched frame is
+    ``localCheckpoint``ed (lineage cut, not best-effort caching) so
+    the guard's count and the write read the same materialized fetch
+    — a recompute that would re-hit the API cannot happen.
     """
     import math
 
@@ -144,19 +145,25 @@ def ingest_dataset_distributed(
                     rows, columns=[key_column, "date", "payload_json"]
                 )
 
+    # localCheckpoint(eager=True), not persist(): persist is
+    # BEST-EFFORT — an evicted block or lost executor re-runs the
+    # mapInPandas partition and re-hits the API mid-write, so the
+    # written table could differ from what the empty-guard counted
+    # (r08 review). Checkpointing cuts the lineage entirely: the count
+    # and the write both read materialized blocks, and a recompute is
+    # impossible (an executor loss fails loudly instead of silently
+    # refetching — on a cluster, point setCheckpointDir at reliable
+    # storage and use checkpoint() to survive that too).
     fetched = tasks.mapInPandas(
         fetch_partition, schema=bronze_schema(dataset)
-    ).persist()
-    try:
-        if fetched.count() == 0:
-            return None
-        df = fetched.withColumn(
-            "ingested_at", F.current_timestamp()
-        ).withColumn("source", F.lit(SOURCE_TAG))
-        path = table_path(config.lake_root, "bronze", dataset.name)
-        write_table(df, path, config.table_format)
-    finally:
-        fetched.unpersist()
+    ).localCheckpoint(eager=True)
+    if fetched.count() == 0:
+        return None
+    df = fetched.withColumn(
+        "ingested_at", F.current_timestamp()
+    ).withColumn("source", F.lit(SOURCE_TAG))
+    path = table_path(config.lake_root, "bronze", dataset.name)
+    write_table(df, path, config.table_format)
     # return the on-disk frame: actions on it re-scan parquet, never
     # re-run the fetch (the mapInPandas lineage would re-hit the API)
     return read_table(spark, path, config.table_format)

@@ -105,7 +105,17 @@ def extract_timeseries(bronze: DataFrame, dataset: DatasetSpec) -> DataFrame:
             F.from_json(time_json, T.ArrayType(T.DoubleType()))
             .cast("array<long>")
             .alias("_t"),
-            F.coalesce(*probes).alias("_vals"),
+            # first NON-EMPTY probe: plain coalesce skips only NULLs,
+            # so a present-but-empty front field ({"price": [],
+            # "prices": [1,2,3]}) masked a populated fallback and the
+            # whole day silently produced zero silver rows (r08
+            # review; deliberate hardening over the reference's plain
+            # coalesce — quarantine_predicate applies the same rule so
+            # a row is quarantined exactly when extraction yields
+            # nothing)
+            F.coalesce(
+                *[F.when(F.size(pr) > 0, pr) for pr in probes]
+            ).alias("_vals"),
         )
         entity_cols = []
 
@@ -152,6 +162,11 @@ def quarantine_predicate(dataset: DatasetSpec) -> F.Column:
         return (
             invalid
             | payload[spec.time_field].isNull()
+            # present-but-EMPTY time array: arrays_zip pads every value
+            # row with a NULL timestamp, so extraction yields zero
+            # silver rows — an inconsistency to surface, not policy
+            # (r08 review)
+            | (F.size(payload[spec.time_field]) == 0)
             | arr.isNull()
             | (F.size(usable) == 0)
         )
@@ -166,7 +181,16 @@ def quarantine_predicate(dataset: DatasetSpec) -> F.Column:
         )
         for p in spec.value_probes
     ]
-    return invalid | time_parsed.isNull() | F.coalesce(*probes).isNull()
+    # usable probe = first non-empty (matching extraction); empty time
+    # array quarantines for the same reason as the entity path
+    return (
+        invalid
+        | time_parsed.isNull()
+        | (F.size(time_parsed) == 0)
+        | F.coalesce(
+            *[F.when(F.size(pr) > 0, pr) for pr in probes]
+        ).isNull()
+    )
 
 
 def extract_timeseries_with_quarantine(

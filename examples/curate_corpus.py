@@ -68,9 +68,16 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     # would silently drop whole families whose raw-corpus winner
     # failed a quality gate — dedup what survived, keep the best of
     # each surviving family
-    keep_best = keep_best_per_component(
-        kept_docs, dedup.minhash_lsh_pairs(kept_docs)
-    ).select(F.col("kept_doc_id").alias("doc_id"))
+    # persisted: keep_best's lineage (funnel metrics + LSH + CC) feeds
+    # n2, the span screen, the survivors anti-joins, AND the stage-5
+    # write — unpersisted, the full-corpus tokenize/explode lineage
+    # re-ran ~4x per curation (r08 review; released with
+    # release_cached_frames below)
+    keep_best = dedup._cached(
+        keep_best_per_component(
+            kept_docs, dedup.minhash_lsh_pairs(kept_docs)
+        ).select(F.col("kept_doc_id").alias("doc_id"))
+    )
     n2 = keep_best.count()
 
     # 3. substring-span screen OVER THE DEDUP SURVIVORS: doc-level
@@ -116,7 +123,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         spark, sf_dir
     ).select("doc_id")
     bench_members = dedup.benchmark_keyed_docs(docs)
-    survivors = (
+    survivors = dedup._cached(
         span_ok.join(flagged, "doc_id", "left_anti")
         .join(bench_members, "doc_id", "left_anti")
     )

@@ -81,33 +81,39 @@ def refresh(spark, sf_dir: str, out_dir: str) -> dict[str, object]:
         _write_report(spark, report, out_dir)
         return report
 
-    # 2. refresh the revenue view through the delta-join algebra
-    view = join_incremental_maintenance(spark, sf_dir)
-    view.write.mode("overwrite").parquet(f"{out_dir}/store/view")
-    report["2_view_days"] = spark.read.parquet(
-        f"{out_dir}/store/view"
-    ).count()
-
-    # 3. point-in-time features for the label table
-    feats = training_feature_backfill(spark, sf_dir)
-    feats.write.mode("overwrite").parquet(f"{out_dir}/store/features")
-    report["3_features_rows"] = spark.read.parquet(
-        f"{out_dir}/store/features"
-    ).count()
-
-    # 4. drift gate: total PSI over the bucket terms. COALESCE: a
-    # zero-row drift frame (empty split populations) sums to NULL and
-    # `None <= threshold` crashed the refresh after its writes with no
-    # report — the stale-report hazard again (r07 review); no rows
-    # means no observed drift.
+    # 2. drift gate BEFORE any store write: PSI needs only sf_dir, and
+    # gating after the view/features overwrites meant a drift_alert
+    # report while consumers were already reading the drifted
+    # artifacts — the alert protected nothing (r08 review; stage 1's
+    # refuse-before-write is the pattern). COALESCE: a zero-row drift
+    # frame (empty split populations) sums to NULL and
+    # `None <= threshold` crashed the refresh with no report — the
+    # stale-report hazard (r07 review); no rows means no observed
+    # drift.
     psi = dq_distribution_drift(spark, sf_dir).agg(
         F.coalesce(F.sum("psi_term"), F.lit(0.0)).alias("psi")
     ).collect()[0].psi
-    report["4_psi_total"] = psi
-    report["status"] = (
-        "published" if psi <= PSI_ACTION_THRESHOLD else "drift_alert"
-    )
+    report["2_psi_total"] = psi
+    if psi > PSI_ACTION_THRESHOLD:
+        report["status"] = "abort_drift_alert"
+        _write_report(spark, report, out_dir)
+        return report
 
+    # 3. refresh the revenue view through the delta-join algebra
+    view = join_incremental_maintenance(spark, sf_dir)
+    view.write.mode("overwrite").parquet(f"{out_dir}/store/view")
+    report["3_view_days"] = spark.read.parquet(
+        f"{out_dir}/store/view"
+    ).count()
+
+    # 4. point-in-time features for the label table
+    feats = training_feature_backfill(spark, sf_dir)
+    feats.write.mode("overwrite").parquet(f"{out_dir}/store/features")
+    report["4_features_rows"] = spark.read.parquet(
+        f"{out_dir}/store/features"
+    ).count()
+
+    report["status"] = "published"
     _write_report(spark, report, out_dir)
     return report
 

@@ -58,6 +58,30 @@ def test_scalar_value_probes_rejected_loudly():
         )
 
 
+def test_both_extract_shapes_rejected_loudly():
+    """A dataset with BOTH entity_array and value_probes was silently
+    assigned the price ROLE (runner keys on value_probes) while its
+    silver rows were entity rows (extraction prefers entity_array) —
+    wrong gold with no error for a one-line config mistake (r08
+    review)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually"):
+        load_config(
+            {
+                "datasets": [
+                    {
+                        "name": "x",
+                        "extract": {
+                            "entity_array": "production_types",
+                            "value_probes": ["price"],
+                        },
+                    }
+                ]
+            }
+        )
+
+
 def test_programmatic_spec_without_shape_fails_loudly(spark):
     """A directly-constructed DatasetSpec with the default ExtractSpec
     (no entity_array, no value_probes) must get the named error from

@@ -279,3 +279,20 @@ def test_shared_lsh_pairs_matches_fresh_and_keys_on_mtime(spark, tmp_path):
     finally:
         dedup.release_shared_pairs()
         dedup.release_cached_frames()
+
+
+def test_salted_join_rejects_nonpositive_salt(spark):
+    """range(n_salt <= 0) is empty, so the small side replicated zero
+    times — an inner join silently lost every row (r08 review). The
+    knob now fails fast."""
+    import pytest
+
+    from energy_data_pipeline_project_spark.functions.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="n_salt"):
+            salted_join(big, small, "k", n_salt=bad)

@@ -128,3 +128,35 @@ def test_normalize_sends_null_to_bottom_tile(spark):
     by_a = {r["a"]: r["n"] for r in rows}
     assert by_a[None] == 0, by_a
     assert by_a[0] == 0 and by_a[999] == (1 << 16) - 1, by_a
+
+
+def test_cluster_write_survives_nan_and_guards_key_collision(
+    spark, tmp_path
+):
+    """One NaN sensor reading must not kill the layout pass: the ANSI
+    CAST of NaN to BIGINT aborted both the bounds collect and the key
+    build (r08 review); NaN now lands in the bottom tile with the
+    NULLs. And a caller-owned column matching the internal key name
+    must raise instead of being silently erased from the written
+    table."""
+    import math
+
+    import pytest
+
+    from energy_data_pipeline_project_spark.functions.layout import (
+        _ZKEY,
+        cluster_write,
+    )
+
+    path = str(tmp_path / "nan_tiles")
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, float("nan")), (3.0, 30.0), (None, 40.0)],
+        "a double, b double",
+    )
+    cluster_write(df, path, ["a", "b"], n_files=2)
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 4
+    assert sum(1 for r in got if r["b"] is not None and math.isnan(r["b"])) == 1
+
+    with pytest.raises(ValueError, match="rename"):
+        cluster_write(df.withColumn(_ZKEY, df.a), path, ["a"], n_files=1)

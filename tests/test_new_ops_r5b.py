@@ -336,11 +336,13 @@ def test_feature_store_refresh_example_runs(spark, tmp_path):
     out = str(tmp_path / "store")
     report = mod.refresh(spark, SF_SMOKE, out)
     assert report["1_cdc_mismatch"] == 0
-    assert report["status"] in ("published", "drift_alert")
-    assert report["2_view_days"] > 0
-    assert report["4_psi_total"] >= 0
+    # drift now gates BEFORE the store writes (r08): on this fixture
+    # the refresh publishes, so the view/features stages must have run
+    assert report["status"] == "published"
+    assert report["3_view_days"] > 0
+    assert report["2_psi_total"] >= 0
     feats = spark.read.parquet(f"{out}/store/features")
-    assert feats.count() == report["3_features_rows"] > 0
+    assert feats.count() == report["4_features_rows"] > 0
     # every published feature row is a purchase label
     ev = load_table(spark, SF_SMOKE, "events")
     purchases = {

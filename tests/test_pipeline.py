@@ -550,3 +550,51 @@ def test_incremental_backfill_fetches_only_missing_days(spark, tmp_path):
     rows = spark.read.parquet(f"{legacy_root}/bronze/{power.name}").collect()
     assert sorted({str(r["date"]) for r in rows}) == days7[:5]
     assert len(rows) == 5, "migration must not duplicate legacy rows"
+
+
+def test_quarantine_catches_empty_time_array_and_empty_probe(spark):
+    """Two r08 blind spots: a present-but-EMPTY time array yields zero
+    silver rows (arrays_zip pads every value with a NULL timestamp)
+    and must quarantine, and a present-but-empty FRONT value probe
+    must not mask a populated fallback probe — extraction picks the
+    first NON-EMPTY probe and quarantine agrees, so a bronze row is
+    quarantined exactly when extraction yields nothing."""
+    from energy_data_pipeline_project_spark.pipeline.silver import (
+        extract_timeseries_with_quarantine,
+    )
+
+    power, price = default_datasets()
+
+    # empty time array, power (entity) shape
+    bronze_p = spark.createDataFrame(
+        [("de", "2024-01-01",
+          '{"unix_seconds": [],'
+          ' "production_types": [{"name": "solar", "data": [1.0]}]}')],
+        "country string, date string, payload_json string",
+    )
+    silver, quarantined = extract_timeseries_with_quarantine(bronze_p, power)
+    assert silver.count() == 0
+    assert quarantined.count() == 1
+
+    # empty front probe + populated fallback, price (probe) shape
+    bronze_q = spark.createDataFrame(
+        [("DE-LU", "2024-01-01",
+          '{"unix_seconds": [1700000000, 1700003600],'
+          ' "price": [], "prices": [10.5, 11.5]}'),
+         ("DE-LU", "2024-01-02",
+          '{"unix_seconds": [1700086400], "price": []}')],
+        "market string, date string, payload_json string",
+    )
+    silver, quarantined = extract_timeseries_with_quarantine(bronze_q, price)
+    vals = sorted(r["price_eur_mwh"] for r in silver.collect())
+    assert vals == [10.5, 11.5], "fallback probe must win over empty front"
+    # the all-empty row quarantines instead of silently vanishing
+    assert quarantined.count() == 1
+    # empty time array on the probe shape quarantines too
+    bronze_t = spark.createDataFrame(
+        [("DE-LU", "2024-01-03",
+          '{"unix_seconds": [], "prices": [1.0]}')],
+        "market string, date string, payload_json string",
+    )
+    silver, quarantined = extract_timeseries_with_quarantine(bronze_t, price)
+    assert silver.count() == 0 and quarantined.count() == 1
