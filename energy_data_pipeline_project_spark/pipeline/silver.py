@@ -205,11 +205,17 @@ def extract_timeseries_with_quarantine(
     spec = dataset.extract
     bad = quarantine_predicate(dataset)
     invalid = F.get_json_object("payload_json", "$").isNull()
+    # reason mapping mirrors every quarantine clause: an empty time
+    # array is a time defect, not "missing_values" — the r08 empty-
+    # array clauses landed without their reason and an operator
+    # replaying quarantine saw values blamed on a row whose values
+    # were fine (tests now pin the reasons, not just the counts)
     if spec.entity_array:
         payload = F.from_json("payload_json", _payload_schema(spec))
         reason = (
             F.when(invalid, "unparseable_json")
             .when(payload[spec.time_field].isNull(), "missing_time_array")
+            .when(F.size(payload[spec.time_field]) == 0, "empty_time_array")
             .otherwise("missing_values")
         )
     else:
@@ -220,6 +226,7 @@ def extract_timeseries_with_quarantine(
         reason = (
             F.when(invalid, "unparseable_json")
             .when(time_parsed.isNull(), "missing_time_array")
+            .when(F.size(time_parsed) == 0, "empty_time_array")
             .otherwise("missing_values")
         )
     good = extract_timeseries(bronze.where(~bad), dataset)

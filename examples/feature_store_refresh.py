@@ -128,7 +128,13 @@ def main() -> int:
         spark.stop()
     for k, v in sorted(report.items()):
         print(f"{k}: {v}")
-    return 0 if report.get("status") in ("published", "drift_alert") else 1
+    # published = 0; every abort_* refusal (CDC mismatch, drift) = 1 so
+    # a scheduler retries/alerts. The pre-r08 tuple kept a stale
+    # 'drift_alert' member after the rename to abort_drift_alert,
+    # silently flipping the drift exit code (r08 tests review); drift
+    # now aborts BEFORE any write, so a nonzero exit is the correct
+    # signal, stated explicitly instead of via a dead tuple.
+    return 0 if report.get("status") == "published" else 1
 
 
 if __name__ == "__main__":

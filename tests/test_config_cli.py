@@ -64,9 +64,7 @@ def test_both_extract_shapes_rejected_loudly():
     silver rows were entity rows (extraction prefers entity_array) —
     wrong gold with no error for a one-line config mistake (r08
     review)."""
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="mutually"):
+    with pytest.raises(ValueError, match="mutually"):
         load_config(
             {
                 "datasets": [

@@ -143,10 +143,7 @@ def test_cluster_write_survives_nan_and_guards_key_collision(
 
     import pytest
 
-    from energy_data_pipeline_project_spark.functions.layout import (
-        _ZKEY,
-        cluster_write,
-    )
+    from energy_data_pipeline_project_spark.functions.layout import _ZKEY
 
     path = str(tmp_path / "nan_tiles")
     df = spark.createDataFrame(

@@ -574,7 +574,9 @@ def test_quarantine_catches_empty_time_array_and_empty_probe(spark):
     )
     silver, quarantined = extract_timeseries_with_quarantine(bronze_p, power)
     assert silver.count() == 0
-    assert quarantined.count() == 1
+    assert [r["quarantine_reason"] for r in quarantined.collect()] == [
+        "empty_time_array"
+    ]
 
     # empty front probe + populated fallback, price (probe) shape
     bronze_q = spark.createDataFrame(
@@ -588,8 +590,11 @@ def test_quarantine_catches_empty_time_array_and_empty_probe(spark):
     silver, quarantined = extract_timeseries_with_quarantine(bronze_q, price)
     vals = sorted(r["price_eur_mwh"] for r in silver.collect())
     assert vals == [10.5, 11.5], "fallback probe must win over empty front"
-    # the all-empty row quarantines instead of silently vanishing
-    assert quarantined.count() == 1
+    # the all-empty row quarantines instead of silently vanishing,
+    # blamed on its actual defect
+    assert [r["quarantine_reason"] for r in quarantined.collect()] == [
+        "missing_values"
+    ]
     # empty time array on the probe shape quarantines too
     bronze_t = spark.createDataFrame(
         [("DE-LU", "2024-01-03",
@@ -597,4 +602,7 @@ def test_quarantine_catches_empty_time_array_and_empty_probe(spark):
         "market string, date string, payload_json string",
     )
     silver, quarantined = extract_timeseries_with_quarantine(bronze_t, price)
-    assert silver.count() == 0 and quarantined.count() == 1
+    assert silver.count() == 0
+    assert [r["quarantine_reason"] for r in quarantined.collect()] == [
+        "empty_time_array"
+    ]
