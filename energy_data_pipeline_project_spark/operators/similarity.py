@@ -127,12 +127,14 @@ def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
     f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
                 FROM embeddings),
-    q AS (SELECT vec_id AS query_id, de AS qe,
-                 {V.norm_duck('de')} AS qn
-          FROM e0 WHERE vec_id < {N_QUERY_VECS}),
-    c AS (SELECT vec_id AS neighbor_id, de AS ce,
-                 {V.norm_duck('de')} AS cn
-          FROM e0),
+    q AS (SELECT * FROM (
+            SELECT vec_id AS query_id, de AS qe,
+                   {V.norm_duck('de')} AS qn
+            FROM e0 WHERE vec_id < {N_QUERY_VECS}) WHERE qn > 0.0),
+    c AS (SELECT * FROM (
+            SELECT vec_id AS neighbor_id, de AS ce,
+                   {V.norm_duck('de')} AS cn
+            FROM e0) WHERE cn > 0.0),
     s AS (SELECT query_id, neighbor_id,
                  ({V.dot_duck('qe', 'ce')} / (qn * cn)) AS cos
           FROM q, c WHERE query_id != neighbor_id),
@@ -146,7 +148,15 @@ def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
     """,
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # positive-norm gates on BOTH engines (r07 applied them to every
+    # integer-grid cosine; the raw-float rankings missed them): a
+    # zero-norm vector's 0/0 cosine is Spark NULL (sorts LAST under
+    # cos DESC) but DuckDB NaN (total order ranks it ABOVE every
+    # number — rank 1 for every query) — latent only because the
+    # fixture has no zero vectors (r08 review)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        V.norm("embedding") > 0.0
+    )
     q = F.broadcast(
         emb.where(F.col("vec_id") < N_QUERY_VECS).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -196,7 +206,8 @@ def _lsh_oracle() -> str:
                  ({V.dot_duck('qe.de', 'ce.de')} / (qe.nrm * ce.nrm)) AS cos
           FROM cand
           JOIN e qe ON cand.query_id = qe.vec_id
-          JOIN e ce ON cand.neighbor_id = ce.vec_id),
+          JOIN e ce ON cand.neighbor_id = ce.vec_id
+          WHERE qe.nrm > 0.0 AND ce.nrm > 0.0),
     r AS (SELECT query_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY cos DESC, neighbor_id) AS rn
@@ -245,10 +256,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qe = e.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("de").alias("qe")
+    # positive-norm gate at the RE-RANK stage only (matching the
+    # oracle): a zero-norm vector's 0/0 cosine is Spark NULL vs DuckDB
+    # NaN-ranks-first (r08 review). Gating the bucket stage instead
+    # would shift capped bucket counts and change candidate sets.
+    qe = e.where(
+        (F.col("vec_id") < N_QUERY_VECS) & (V.norm("de") > 0.0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("de").alias("qe"))
+    ce = e.where(V.norm("de") > 0.0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("de").alias("ce")
     )
-    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("de").alias("ce"))
     s = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ce, "neighbor_id")
@@ -443,6 +460,12 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk_batches(it):
         ids, qm = bq.value
         for pdf in it:
+            if len(pdf) == 0:
+                # an empty Arrow batch stacks to a 1-D shape-(0,)
+                # array and norm(axis=1) raises AxisError, killing
+                # the task (r08 review; partial_grams has the same
+                # guard)
+                continue
             c_ids = pdf["vec_id"].to_numpy()
             c = np.array(list(pdf["embedding"]), dtype=np.float64)
             c /= np.linalg.norm(c, axis=1, keepdims=True)
@@ -568,10 +591,22 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x.cast("double") * HOF_Q_SCALE, 0).cast("bigint"),
     )
     zero = F.lit(0).cast("bigint")
+    # dim/n_pos NULL-guarded like the folds: Spark size(NULL) is -1
+    # under legacy sizeOfNull (and NULL under ANSI) while the oracle's
+    # len(NULL) is NULL — the one unguarded column pair in a query
+    # whose siblings were CASE-guarded for exactly this row (r08
+    # review). IF makes it NULL under BOTH Spark semantics.
     return emb.select(
         "vec_id",
-        F.size("embedding").cast("int").alias("dim"),
-        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.expr("IF(embedding IS NULL, NULL, size(embedding))")
+        .cast("int")
+        .alias("dim"),
+        F.expr(
+            "IF(embedding IS NULL, NULL,"
+            " size(filter(embedding, x -> x > 0)))"
+        )
+        .cast("int")
+        .alias("n_pos"),
         F.aggregate(quant, zero, lambda a, x: a + x).alias("q_sum"),
         F.aggregate(
             quant, zero, lambda a, x: a + F.abs(x)
@@ -804,7 +839,7 @@ OUTLIER_TOP_K = 5
       FROM d2
     )
     SELECT label, vec_id, CAST(rn AS INT) AS rank,
-           ROUND(sqrt(CAST(d2n2 AS DOUBLE)) / (n * {DRIFT_Q}.0e0), 6)
+           sqrt(CAST(d2n2 AS DOUBLE)) / (n * {DRIFT_Q}.0e0)
              AS centroid_dist
     FROM ranked WHERE rn <= {OUTLIER_TOP_K}
     """,
@@ -849,10 +884,15 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "vec_id",
             F.col("rn").cast("int").alias("rank"),
-            F.round(
+            # RAW value, no ROUND: d2n2/n are exact ints and both
+            # engines run the identical sqrt/multiply/divide tree, so
+            # the double is bit-identical — while ROUND(,6) itself
+            # splits at exact decimal halves over bit-identical inputs
+            # (the r08 rule; this was the tier's last rounded ranking
+            # emission, r08 review)
+            (
                 F.sqrt(F.col("d2n2").cast("double"))
-                / (F.col("n") * float(DRIFT_Q)),
-                6,
+                / (F.col("n") * float(DRIFT_Q))
             ).alias("centroid_dist"),
         )
     )
@@ -935,7 +975,7 @@ def _rrf_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
                  ({V.dot_duck('qe', 'ce')} / (qn * cn)) DESC,
                  cand_id) AS sem_rank
-      FROM q, c WHERE query_id != cand_id
+      FROM q, c WHERE query_id != cand_id AND qn > 0.0 AND cn > 0.0
     ),
     sem AS (SELECT * FROM semr WHERE sem_rank <= {TOP_K}),
     fused AS (
@@ -1011,8 +1051,13 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "lex_rank")
     )
 
+    # positive-norm gate on the semantic arm (r08 review: Spark NULL
+    # vs DuckDB NaN-ranks-first on a zero vector's 0/0 cosine)
     q = F.broadcast(
-        emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        emb.where(
+            (F.col("vec_id") < N_QUERY_VECS)
+            & (V.norm("embedding") > 0.0)
+        ).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
     )
@@ -1020,8 +1065,9 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos"), "cand_id"
     )
     sem = (
-        emb.select(F.col("vec_id").alias("cand_id"),
-                   F.col("embedding").alias("ce"))
+        emb.where(V.norm("embedding") > 0.0)
+        .select(F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("ce"))
         .crossJoin(q)
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", V.cosine("qe", "ce").alias("cos"))

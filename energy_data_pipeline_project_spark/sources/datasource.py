@@ -126,24 +126,25 @@ class EnergyPayloadReader(DataSourceReader):
             # the fixture dir is a CACHE in front of the API, not an
             # exclusive backend: a day missing from the dir falls
             # through to the API when one is configured (an `elif`
-            # here silently dropped such days — r07 review)
+            # here silently dropped such days — r07 review). The GET
+            # itself is payloads.fetch_day_http — the one spelling of
+            # the param quirk AND the transient-retry ladder; this
+            # reader's own copy had dropped the retries, so one 429
+            # failed the whole day-chunk task and each Spark task
+            # retry re-fetched every day from the start (r08 review).
             if payload is None and base is not None:
-                import requests
+                from .payloads import fetch_day_http
 
-                p = dict(params)
-                if key_column == "market":
-                    # Reference quirk: bidding zones upper-cased
-                    # (api_client.py:69)
-                    p["bzn"] = key_value.upper()
-                else:
-                    p[key_column] = key_value
-                p["start"] = d
-                p["end"] = d
-                resp = requests.get(
-                    f"{base.rstrip('/')}/{endpoint}", params=p,
+                payload = fetch_day_http(
+                    base,
+                    endpoint,
+                    key_column,
+                    key_value,
+                    params,
+                    d,
                     timeout=timeout,
+                    retries=int(o.get("retries", "2")),
+                    backoff_s=float(o.get("backoff_s", "1.0")),
                 )
-                resp.raise_for_status()
-                payload = resp.json()
             if payload is not None:
                 yield (key_value, d, json.dumps(payload, ensure_ascii=False))

@@ -45,14 +45,88 @@ class LocalJsonSource:
         self._root = root_dir
 
     def fetch(self, dataset: DatasetSpec, day: str) -> dict[str, Any] | None:
+        # the dict is a CACHE in front of the directory, not an
+        # exclusive backend: a day missing from the dict falls through
+        # to root_dir (mere key presence used to shadow the directory
+        # entirely, recording on-disk fixture days as unavailable —
+        # r08 review; the same elif→fall-through fix datasource.read
+        # got in r07)
         if dataset.name in self._payloads:
-            return self._payloads[dataset.name].get(day)
+            hit = self._payloads[dataset.name].get(day)
+            if hit is not None:
+                return hit
         if self._root:
             path = os.path.join(self._root, dataset.name, f"{day}.json")
             if os.path.exists(path):
                 with open(path) as f:
                     return json.load(f)
         return None
+
+
+def day_request_params(
+    key_column: str, key_value: str, params: dict, day: str
+) -> dict:
+    """The reference's per-day param contract, ONE spelling: the
+    market/bidding-zone upper-case quirk (api_client.py:69) plus the
+    start/end day bounds. Shared by RestSource and the DSv2 reader,
+    which had drifted into a re-implementation (r08 review)."""
+    p = dict(params)
+    if key_column == "market":
+        p["bzn"] = key_value.upper()
+    else:
+        p[key_column] = key_value
+    p["start"] = day
+    p["end"] = day
+    return p
+
+
+def fetch_day_http(
+    base_url: str,
+    endpoint: str,
+    key_column: str,
+    key_value: str,
+    params: dict,
+    day: str,
+    *,
+    timeout: float,
+    retries: int = 0,
+    backoff_s: float = 1.0,
+    _sleep=None,
+) -> dict[str, Any]:
+    """One GET with the reference's request semantics and the retry
+    ladder: transient failures (connection errors, 5xx, 429) retry
+    with linear backoff; other 4xx stay fatal immediately. The single
+    spelling both RestSource and sources/datasource.py call — the
+    DSv2 reader's own copy had silently dropped the retries, so one
+    transient 429 failed a whole day-chunk task and each task retry
+    re-fetched every day from the start (r08 review)."""
+    import time
+
+    import requests
+
+    p = day_request_params(key_column, key_value, params, day)
+    sleep = _sleep or time.sleep
+    last_err: Exception | None = None
+    for attempt in range(int(retries) + 1):
+        if attempt:
+            sleep(float(backoff_s) * attempt)
+        try:
+            resp = requests.get(
+                f"{base_url.rstrip('/')}/{endpoint}",
+                params=p,
+                timeout=timeout,
+            )
+            resp.raise_for_status()
+            return resp.json()
+        except requests.exceptions.HTTPError as e:
+            status = getattr(e.response, "status_code", None)
+            if status is not None and 400 <= status < 500 and status != 429:
+                raise  # real client error — retrying can't help
+            last_err = e
+        except requests.exceptions.RequestException as e:
+            last_err = e  # connection/timeout: transient
+    assert last_err is not None
+    raise last_err
 
 
 class RestSource:
@@ -83,40 +157,15 @@ class RestSource:
         self._sleep = _sleep
 
     def fetch(self, dataset: DatasetSpec, day: str) -> dict[str, Any] | None:
-        import time
-
-        import requests
-
-        params = dict(dataset.params)
-        key = dataset.key_value
-        if dataset.key_column == "market":
-            # Reference quirk: bidding-zone codes are upper-cased
-            # before the request (api_client.py:69).
-            params["bzn"] = key.upper()
-        else:
-            params[dataset.key_column] = key
-        params["start"] = day
-        params["end"] = day
-
-        sleep = self._sleep or time.sleep
-        last_err: Exception | None = None
-        for attempt in range(self._retries + 1):
-            if attempt:
-                sleep(self._backoff * attempt)
-            try:
-                resp = requests.get(
-                    f"{self._base}/{dataset.endpoint}",
-                    params=params,
-                    timeout=self._timeout,
-                )
-                resp.raise_for_status()
-                return resp.json()
-            except requests.exceptions.HTTPError as e:
-                status = getattr(e.response, "status_code", None)
-                if status is not None and 400 <= status < 500 and status != 429:
-                    raise  # real client error — retrying can't help
-                last_err = e
-            except requests.exceptions.RequestException as e:
-                last_err = e  # connection/timeout: transient
-        assert last_err is not None
-        raise last_err
+        return fetch_day_http(
+            self._base,
+            dataset.endpoint,
+            dataset.key_column,
+            dataset.key_value,
+            dataset.params,
+            day,
+            timeout=self._timeout,
+            retries=self._retries,
+            backoff_s=self._backoff,
+            _sleep=self._sleep,
+        )
