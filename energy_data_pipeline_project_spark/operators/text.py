@@ -320,10 +320,8 @@ def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine (here: DuckDB) derives the identical assignment.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(_SPLIT_BUCKET_SPARK)
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
+    # the ONE split rule (split_label_sql) — see corpus_curation_e2e
+    split = F.expr(split_label_sql())
     return docs.groupBy("source", split.alias("split")).agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
@@ -417,7 +415,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_char_entropy",
     """
-    WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+    WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS ch
                FROM documents),
     g AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
     a AS (SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS s
@@ -443,7 +441,14 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         docs.select(
             "doc_id",
-            F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+            # '[^\n]', not '.': Java-regex '.' excludes ALL line
+            # terminators (\r, U+2028/2029) while RE2's '.' excludes
+            # only \n — a document containing \r counted differently
+            # per engine (r08 review). The negated class means exactly
+            # "everything but newline" in both dialects.
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[^\n]', 0)")
+            ).alias("ch"),
         )
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("cnt"))
@@ -493,7 +498,7 @@ WEIGHTED_SAMPLE_UNIT = 2**32  # md5_int64 range
     f"""
     WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
     SELECT doc_id, lang, n_chars,
-           ROUND(CAST(n_chars AS DOUBLE) / max_chars, 4) AS weight
+           CAST(n_chars AS DOUBLE) / max_chars AS weight
     FROM documents, mx
     WHERE CAST({_key_duck} AS DOUBLE) / {WEIGHTED_SAMPLE_UNIT}
           < CAST(n_chars AS DOUBLE) / max_chars
@@ -519,7 +524,11 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_chars",
-            F.round(weight, 4).alias("weight"),
+            # RAW quotient: n_chars/max_chars are exact ints and the
+            # division tree is identical in both engines, so the double
+            # is bit-identical — ROUND(,4) itself splits at decimal
+            # halves over bit-identical inputs (r08 policy)
+            weight.alias("weight"),
         )
     )
 
@@ -632,7 +641,7 @@ def _funnel_gates() -> tuple[F.Column, F.Column, F.Column]:
                   AND topc * 1.0 / n <= {FUNNEL_REP_MAX} AS INT) AS g_rep
       FROM pd
     )
-    SELECT COUNT(*) AS n_total,
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
            CAST(SUM(g_len) AS BIGINT) AS n_len_ok,
            CAST(SUM(g_ttr) AS BIGINT) AS n_diverse,
            CAST(SUM(g_rep) AS BIGINT) AS n_clean
@@ -650,11 +659,23 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pd = _funnel_doc_metrics(docs)
     g_len, g_ttr, g_rep = _funnel_gates()
-    return pd.agg(
-        F.count("*").alias("n_total"),
-        F.sum(g_len.cast("int")).alias("n_len_ok"),
-        F.sum(g_ttr.cast("int")).alias("n_diverse"),
-        F.sum(g_rep.cast("int")).alias("n_clean"),
+    # n_total counts DOCUMENTS, not metric rows: zero-token and
+    # NULL-text docs fall out of the explode before the metric
+    # aggregate in BOTH engines, so the old COUNT(*) over metrics
+    # under-reported the corpus and the first-gate removal slice
+    # silently omitted exactly the docs the min-length gate exists to
+    # remove — both engines agreed on the wrong number, the
+    # parity-invisible class (r08 review). 1-row broadcast, no
+    # second aggregation pass over tokens.
+    tot = docs.agg(F.count("*").alias("n_total"))
+    return (
+        pd.agg(
+            F.sum(g_len.cast("int")).alias("n_len_ok"),
+            F.sum(g_ttr.cast("int")).alias("n_diverse"),
+            F.sum(g_rep.cast("int")).alias("n_clean"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("n_total", "n_len_ok", "n_diverse", "n_clean")
     )
 
 
@@ -868,8 +889,14 @@ def _segments_sql(*, duck: bool) -> str:
             f"i -> array_to_string(toks[(i-1)*{n}+1 : i*{n}], ' '))"
         )
     # Spark sequence(1,0) counts DOWN — guard empty docs explicitly.
+    # coalesce(size, 0) <= 0 covers BOTH Spark semantics for a NULL
+    # array (legacy sizeOfNull = -1, ANSI = NULL): the bare = 0 test
+    # missed NULL under legacy (-1), where ceil(-1/2.0) = 0 made
+    # sequence(1, 0) count DOWN and emit two phantom '' segments while
+    # the DuckDB oracle unnests zero rows (r08 review; the sibling
+    # helpers' size < n guards cover -1 the same way).
     return (
-        f"IF(size(toks) = 0, array(), "
+        f"IF(coalesce(size(toks), 0) <= 0, array(), "
         f"transform(sequence(1, CAST(ceil(size(toks) / {n}.0) AS BIGINT)), "
         f"i -> concat_ws(' ', slice(toks, CAST((i-1)*{n}+1 AS INT), {n}))))"
     )
@@ -1146,7 +1173,7 @@ SOURCE_CAP_SALT = 8
       SELECT doc_id, source,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY {H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)},
+               ORDER BY {_key_duck},
                         doc_id) AS INT) AS source_rank
       FROM documents
     ) WHERE source_rank <= {SOURCE_CAP_N}
@@ -1156,7 +1183,7 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.expr(H.md5_int64("CAST(doc_id AS STRING)", duck=False)).alias("rk"),
+        F.expr(_key_spark).alias("rk"),
     )
     salted = docs.withColumn("salt", F.col("rk") % SOURCE_CAP_SALT)
     w1 = Window.partitionBy("source", "salt").orderBy("rk", "doc_id")
@@ -1295,10 +1322,9 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.select(
         "doc_id",
         "n_tokens",
-        F.when(F.expr(_SPLIT_BUCKET_SPARK) < 90, "train")
-        .when(F.expr(_SPLIT_BUCKET_SPARK) < 95, "val")
-        .otherwise("test")
-        .alias("split"),
+        # the ONE split rule (split_label_sql) — hand-written copies of
+        # the 90/5/5 CASE drifted across three call sites (r08 review)
+        F.expr(split_label_sql()).alias("split"),
     )
 
 
@@ -1565,7 +1591,8 @@ _BM25_NTERMS = " + ".join(
 @query(
     "text_bm25_topk",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, COALESCE({_TOKS_DUCK}, []) AS toks
+               FROM documents),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sdl FROM t),
     tf AS (
       SELECT doc_id,
@@ -1588,7 +1615,15 @@ _BM25_NTERMS = " + ".join(
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    # NULL-text coalesced to []: Spark size(NULL) = -1 under legacy
+    # sizeOfNull SUBTRACTED a token per NULL doc from sdl while the
+    # oracle's SUM skipped the row (the r07 text_token_stats class,
+    # missed here — r08 review); with the coalesce both engines count
+    # 0 for such docs under every semantics flag
+    t = docs.select(
+        "doc_id",
+        F.expr(f"coalesce({_TOKS_SPARK}, array())").alias("toks"),
+    )
     stats = t.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("sdl"),
