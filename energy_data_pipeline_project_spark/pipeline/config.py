@@ -170,10 +170,22 @@ def load_config(path_or_dict: "str | dict") -> PipelineConfig:
                 " datasets feed price_daily) — split it into two"
                 " datasets or drop one shape"
             )
+    if raw.get("datasets") == []:
+        # an EXPLICITLY empty list is a decision, not an omission:
+        # silently substituting the defaults would ingest two datasets
+        # against the live API that nobody asked for (r08 review) —
+        # omit the key entirely to get the defaults
+        raise ValueError(
+            "datasets: [] is explicit — omit the key for the default"
+            " datasets, or list at least one dataset"
+        )
     return PipelineConfig(
         lake_root=raw.get("lake_root", "data"),
-        start_date=run.get("start_date", "2025-01-01"),
-        end_date=run.get("end_date", "2025-01-07"),
+        # str(): YAML parses an UNQUOTED 2025-01-01 into datetime.date,
+        # which crashed dates()'s fromisoformat far from the config
+        # layer (r08 review); str(date) is the ISO form either way
+        start_date=str(run.get("start_date", "2025-01-01")),
+        end_date=str(run.get("end_date", "2025-01-07")),
         timezone=(raw.get("project") or {}).get("timezone", "UTC"),
         table_format=raw.get("table_format", "parquet"),
         api_base_url=(raw.get("api") or {}).get(

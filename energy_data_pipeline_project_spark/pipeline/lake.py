@@ -393,58 +393,67 @@ def upsert_table(
 
     partition_scoped = False
     if partition_by:
-        pcol = partition_by[0]
-        if pcol in key_cols:
-            # partition column ∈ key → one partition value per key by
-            # definition, spanning is impossible: fast path with no
-            # probe job at all (r07 advisor: the probe was a full
-            # key-column table read on EVERY partitioned upsert, even
-            # for the date-keyed shape where it can never fire)
+        pcols = list(partition_by)
+        if all(p in key_cols for p in pcols):
+            # EVERY partition column ∈ key → one partition tuple per
+            # key by definition, spanning is impossible: fast path
+            # with no probe job at all (r07 advisor; r08 review
+            # tightened the test from partition_by[0] to ALL columns —
+            # with ("date","region") partitioning and only date in
+            # the key, a key could still span region values and the
+            # old first-column shortcut stranded the loser's row)
             partition_scoped = True
         else:
             # The fast path is sound iff every updated key's rows —
-            # existing AND update — live in ONE partition: then the
-            # winning row lands in that partition, the dynamic
+            # existing AND update — live in ONE partition tuple: then
+            # the winning row lands in that partition, the dynamic
             # overwrite rewrites it, and every loser is retired with
             # it. A weaker input-partition-set comparison missed an
             # update batch that itself carries the same key in two
             # partitions (the losing row's partition gets no output
             # and its stale row survives — r07 diff review).
-            # countDistinct skips NULLs, so a NULL partition
-            # contributes via the isNull max term. The existing-side
-            # read selects only key+partition columns, so the parquet
-            # scan is column-pruned to the narrow probe projection.
-            cand_cols = list(dict.fromkeys([*key_cols, pcol]))
+            # Spanning is measured over the FULL partition tuple
+            # (countDistinct of the struct — a struct is never NULL
+            # itself, so NULL-bearing tuples are counted distinctly,
+            # replacing the old isNull max term), and the updated-key
+            # semi-join is NULL-SAFE: a plain leftsemi never matches
+            # NULL keys, so a NULL-keyed moved row slipped past the
+            # probe while the merge window (which groups NULLs) would
+            # have retired it on the slow path (r08 review). The
+            # existing-side read selects only key+partition columns,
+            # so the parquet scan is column-pruned.
+            cand_cols = list(dict.fromkeys([*key_cols, *pcols]))
+            upd_keys = updates.select(*key_cols).distinct()
+            key_cond = None
+            for k in key_cols:
+                c = existing[k].eqNullSafe(upd_keys[k])
+                key_cond = c if key_cond is None else (key_cond & c)
             cand = (
-                existing.join(
-                    updates.select(*key_cols).distinct(),
-                    list(key_cols),
-                    "leftsemi",
-                )
+                existing.join(upd_keys, key_cond, "leftsemi")
                 .select(*cand_cols)
                 .unionByName(updates.select(*cand_cols))
             )
             spanning = (
                 cand.groupBy(*key_cols)
                 .agg(
-                    (
-                        F.countDistinct(pcol)
-                        + F.max(F.col(pcol).isNull().cast("int"))
-                    ).alias("n_parts")
+                    F.countDistinct(F.struct(*pcols)).alias("n_parts")
                 )
                 .where(F.col("n_parts") > 1)
             )
             partition_scoped = spanning.isEmpty()
     if partition_scoped:
-        touched = [r[0] for r in updates.select(pcol).distinct().collect()]
-        # isin() evaluates to NULL (not True) for NULL partition rows,
-        # which would EXCLUDE the existing null-partition rows from the
-        # merge while the dynamic overwrite still rewrites that
-        # partition — silent data loss. Null-safe membership instead.
-        cond = F.col(pcol).isin([v for v in touched if v is not None])
-        if any(v is None for v in touched):
-            cond = cond | F.col(pcol).isNull()
-        tagged_old = tagged_old.where(cond)
+        # null-safe touched-partition semi join over the FULL tuple
+        # (isin() evaluates to NULL for NULL partition rows, silently
+        # EXCLUDING existing null-partition rows from the merge while
+        # the dynamic overwrite still rewrites that partition; and the
+        # old single-column filter read every second-level partition
+        # of a touched first level)
+        touched = updates.select(*pcols).distinct()
+        part_cond = None
+        for pc in pcols:
+            c = tagged_old[pc].eqNullSafe(touched[pc])
+            part_cond = c if part_cond is None else (part_cond & c)
+        tagged_old = tagged_old.join(touched, part_cond, "leftsemi")
 
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(order_col), F.desc("_upd")
@@ -491,6 +500,7 @@ def upsert_table(
 
 _VERSIONS_DIR = "_versions"
 _LATEST_FILE = "_LATEST"
+_PUBLISHED_LOG = "_PUBLISHED"
 
 
 def _version_dir(path: str, version: int) -> str:
@@ -517,6 +527,27 @@ def latest_table_version(path: str) -> int | None:
             return int(f.read().strip())
     except (OSError, ValueError):
         return None
+
+
+def published_table_versions(path: str) -> set[int]:
+    """Every version number that was ever PUBLISHED (pointer landed).
+
+    The pointer alone cannot distinguish a crashed writer's orphan
+    from once-published history after the pointer moves PAST the
+    orphan's number (r08 review: retention then counted the partial
+    dir as history and deleted a valid snapshot instead). Each publish
+    appends to a `_PUBLISHED` log (atomic rewrite+replace, same
+    single-writer assumption as the pointer swap). Legacy tables with
+    no log fall back to the old pointer rule (everything <= pointer),
+    preserving their previous behavior."""
+    try:
+        with open(os.path.join(path, _PUBLISHED_LOG)) as f:
+            return {int(line) for line in f.read().split() if line}
+    except (OSError, ValueError):
+        published = latest_table_version(path)
+        if published is None:
+            return set()
+        return {v for v in list_table_versions(path) if v <= published}
 
 
 def write_table_versioned(
@@ -546,22 +577,27 @@ def write_table_versioned(
     writer.save(target)
     # publish: write-then-rename is atomic on POSIX (os.replace), a
     # single small-object PUT on an object store
+    # the publish-log append comes FIRST: a crash between the two
+    # writes leaves a logged-but-unpointed version — harmless history
+    # — while the reverse order would leave a pointed-but-unlogged
+    # version that retention could then vacuum (r08 review)
+    log = published_table_versions(path) | {version}
+    log_tmp = os.path.join(path, _PUBLISHED_LOG + ".tmp")
+    with open(log_tmp, "w") as f:
+        f.write("\n".join(str(v) for v in sorted(log)))
+    os.replace(log_tmp, os.path.join(path, _PUBLISHED_LOG))
     ptr_tmp = os.path.join(path, _LATEST_FILE + ".tmp")
     with open(ptr_tmp, "w") as f:
         f.write(str(version))
     os.replace(ptr_tmp, os.path.join(path, _LATEST_FILE))
     if keep_versions is not None:
-        import shutil
-
-        # [:-0] is the EMPTY slice, so keep_versions=0 (the most
-        # aggressive retention: keep only the just-published version)
-        # pruned nothing and retained every snapshot forever
-        # (r07 review; vacuum_table_versions already special-cased 0)
-        versions = list_table_versions(path)
-        stale = versions if keep_versions == 0 else versions[:-keep_versions]
-        for v in stale:
-            if v != version:
-                shutil.rmtree(_version_dir(path, v), ignore_errors=True)
+        # delegate to the orphan-aware vacuum: the old inline prune
+        # counted crashed-writer orphan dirs as retained history, so
+        # it could delete a valid published snapshot while KEEPING a
+        # half-written orphan as "history" (r08 review); vacuum
+        # counts retention over published-or-older versions only and
+        # clears orphans as a bonus
+        vacuum_table_versions(path, keep_versions)
     return version
 
 
@@ -576,6 +612,15 @@ def read_table_versioned(
         version = latest_table_version(path)
         if version is None:
             raise FileNotFoundError(f"no published version at {path}")
+    elif version not in published_table_versions(path):
+        # a dir the publish log never recorded is a crashed writer's
+        # partial orphan, not a snapshot — scanning it returned
+        # silently truncated data despite the module contract that
+        # half-written versions are unreachable (r08 review)
+        raise FileNotFoundError(
+            f"version {version} was never published at {path}"
+            f" (published: {sorted(published_table_versions(path))})"
+        )
     target = _version_dir(path, version)
     if not os.path.isdir(target):
         raise FileNotFoundError(f"version {version} not found at {path}")
@@ -592,9 +637,12 @@ def vacuum_table_versions(path: str, keep_versions: int = 2) -> list[int]:
 
     published = latest_table_version(path)
     versions = list_table_versions(path)
-    # orphans newer than the pointer are crashed writes, not retained
-    # history — only published-or-older versions count toward retention
-    history = [v for v in versions if published is None or v <= published]
+    # only versions the publish log records count as history: an
+    # orphan below a later pointer is still a crashed write, not a
+    # snapshot (r08 review — the <=-pointer rule kept such a partial
+    # dir while deleting real history)
+    logged = published_table_versions(path)
+    history = [v for v in versions if v in logged]
     keep = set(history[-keep_versions:]) if keep_versions > 0 else set()
     if published is not None:
         keep.add(published)

@@ -139,35 +139,32 @@ def run_pipeline(
     if power_ds is None or price_ds is None:
         return result  # nothing ingested for one of the roles → no gold
 
-    pdaily = G.power_daily_by_type(
-        result.silver[power_ds.name],
-        entity_col=power_ds.entity_column or "entity",
-        value_col=power_ds.value_column,
-    )
-    result.observed["gold/power_daily_by_type"] = write_table_observed(
-        pdaily, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
-    )
-    result.gold["power_daily_by_type"] = read_table(
-        spark, table_path(config.lake_root, "gold", "power_daily_by_type"), fmt
-    )
+    def _gold(name: str, df) -> None:
+        # one write-observe / read-back spelling for every gold table —
+        # the 6-line pattern had drifted into three verbatim copies
+        # with table_path computed twice each (r08 review)
+        path = table_path(config.lake_root, "gold", name)
+        result.observed[f"gold/{name}"] = write_table_observed(df, path, fmt)
+        result.gold[name] = read_table(spark, path, fmt)
 
-    prdaily = G.price_daily(
-        result.silver[price_ds.name], value_col=price_ds.value_column
+    _gold(
+        "power_daily_by_type",
+        G.power_daily_by_type(
+            result.silver[power_ds.name],
+            entity_col=power_ds.entity_column or "entity",
+            value_col=power_ds.value_column,
+        ),
     )
-    result.observed["gold/price_daily"] = write_table_observed(
-        prdaily, table_path(config.lake_root, "gold", "price_daily"), fmt
+    _gold(
+        "price_daily",
+        G.price_daily(
+            result.silver[price_ds.name], value_col=price_ds.value_column
+        ),
     )
-    result.gold["price_daily"] = read_table(
-        spark, table_path(config.lake_root, "gold", "price_daily"), fmt
-    )
-
-    joined = G.power_price_daily(
-        result.gold["power_daily_by_type"], result.gold["price_daily"]
-    )
-    result.observed["gold/power_price_daily"] = write_table_observed(
-        joined, table_path(config.lake_root, "gold", "power_price_daily"), fmt
-    )
-    result.gold["power_price_daily"] = read_table(
-        spark, table_path(config.lake_root, "gold", "power_price_daily"), fmt
+    _gold(
+        "power_price_daily",
+        G.power_price_daily(
+            result.gold["power_daily_by_type"], result.gold["price_daily"]
+        ),
     )
     return result

@@ -58,6 +58,26 @@ def test_scalar_value_probes_rejected_loudly():
         )
 
 
+def test_unquoted_yaml_dates_and_empty_datasets():
+    """YAML parses unquoted 2025-01-01 into datetime.date, which used
+    to crash dates() far from the config layer; and an explicit
+    datasets: [] was silently replaced by the two default datasets —
+    a live-API ingest nobody asked for (r08 review)."""
+    import datetime
+
+    import pytest as _p
+
+    cfg = load_config(
+        {"run": {"backfill": {"start_date": datetime.date(2025, 1, 1),
+                              "end_date": datetime.date(2025, 1, 2)}}}
+    )
+    assert [d.isoformat() for d in cfg.dates()] == [
+        "2025-01-01", "2025-01-02"
+    ]
+    with _p.raises(ValueError, match="datasets"):
+        load_config({"datasets": []})
+
+
 def test_both_extract_shapes_rejected_loudly():
     """A dataset with BOTH entity_array and value_probes was silently
     assigned the price ROLE (runner keys on value_probes) while its

@@ -201,3 +201,53 @@ def test_upsert_partition_in_key_skips_moved_key_probe(
         (r["day"], r["k"]): r["v"] for r in read_table(spark, path).collect()
     }
     assert got == {("d1", 1): "a2", ("d2", 2): "b"}
+
+
+def test_upsert_key_moving_across_second_partition_column(spark, tmp_path):
+    """Multi-column partitioning: with ("day","region") partitions and
+    only day in the key, a key can still MOVE across region — the old
+    first-column-only soundness shortcut engaged the fast path with no
+    probe and stranded the loser's (day, regionA) row (r08 review).
+    The spanning probe now measures the FULL partition tuple."""
+    path = str(tmp_path / "mc")
+    spark.createDataFrame(
+        [("d1", "A", 1, 10, "a"), ("d1", "B", 2, 10, "b")],
+        "day string, region string, k long, ver long, v string",
+    ).write.partitionBy("day", "region").parquet(path)
+    # key (d1, 1) moves region A -> B
+    updates = spark.createDataFrame(
+        [("d1", "B", 1, 20, "a2")],
+        "day string, region string, k long, ver long, v string",
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("day", "k"), order_col="ver",
+        partition_by=("day", "region"),
+    )
+    rows = read_table(spark, path).collect()
+    got = {(r["region"], r["k"]): (r["ver"], r["v"]) for r in rows}
+    assert got == {("B", 1): (20, "a2"), ("B", 2): (10, "b")}, got
+    assert len(rows) == 2, "the region=A copy of key (d1,1) must be retired"
+
+
+def test_upsert_null_key_moved_partition_is_retired(spark, tmp_path):
+    """A NULL-keyed row is a legal key group (the merge window groups
+    NULLs), but the moved-key probe's plain leftsemi never matched
+    NULL keys, so a NULL-keyed update that moved partitions slipped
+    past the probe and the stale row survived (r08 review; the probe
+    join is now null-safe)."""
+    path = str(tmp_path / "nullkey")
+    spark.createDataFrame(
+        [("d1", None, 10, "a"), ("d2", 2, 10, "b")],
+        "day string, k long, ver long, v string",
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [("d3", None, 20, "a2")], "day string, k long, ver long, v string"
+    )
+    upsert_table(
+        spark, path, updates, key_cols=("k",), order_col="ver",
+        partition_by=("day",),
+    )
+    rows = read_table(spark, path).collect()
+    got = {(r["day"], r["k"]): (r["ver"], r["v"]) for r in rows}
+    assert got == {("d3", None): (20, "a2"), ("d2", 2): (10, "b")}, got
+    assert len(rows) == 2

@@ -91,3 +91,68 @@ def test_keep_versions_zero_prunes_all_history(spark, tmp_path):
     v3 = write_table_versioned(df, path, keep_versions=0)
     assert list_table_versions(path) == [v3]
     assert read_table_versioned(spark, path).count() == 3
+
+
+def test_explicit_version_read_rejects_unpublished_orphans(
+    spark, tmp_path
+):
+    """A crashed writer's partial version dir newer than the pointer
+    must not be servable: read_table_versioned(version=orphan) used to
+    pass the isdir check and silently return truncated data (r08
+    review)."""
+    import os
+
+    import pytest
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        _version_dir,
+        read_table_versioned,
+        write_table_versioned,
+    )
+
+    path = str(tmp_path / "orphan")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    v1 = write_table_versioned(df, path)
+    # simulate a crashed writer: a partial v2 dir with no pointer move
+    orphan = _version_dir(path, v1 + 1)
+    os.makedirs(orphan)
+    df.limit(0).write.mode("overwrite").parquet(orphan)
+
+    with pytest.raises(FileNotFoundError, match="never published"):
+        read_table_versioned(spark, path, version=v1 + 1)
+    # the published snapshot still reads fine
+    assert read_table_versioned(spark, path, version=v1).count() == 1
+
+
+def test_inline_prune_keeps_history_not_orphans(spark, tmp_path):
+    """write_table_versioned(keep_versions=N) used to count crashed-
+    writer orphans toward retention — deleting a valid published
+    snapshot while keeping a partial orphan as 'history' (r08 review;
+    it now delegates to the orphan-aware vacuum)."""
+    import os
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        _version_dir,
+        list_table_versions,
+        read_table_versioned,
+        write_table_versioned,
+    )
+
+    path = str(tmp_path / "prune")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    v1 = write_table_versioned(df1, path)
+    # orphan between the publishes
+    orphan = _version_dir(path, v1 + 1)
+    os.makedirs(orphan)
+    df1.limit(0).write.mode("overwrite").parquet(orphan)
+    v3 = write_table_versioned(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        path,
+        keep_versions=2,
+    )
+    versions = list_table_versions(path)
+    # retention counted over PUBLISHED versions: v1 and v3 survive,
+    # the orphan is vacuumed
+    assert v1 in versions and v3 in versions
+    assert (v1 + 1) not in versions, "orphan must be vacuumed, not retained"
+    assert read_table_versioned(spark, path, version=v1).count() == 1
