@@ -49,15 +49,22 @@ def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
     column would give; NULL rows co-locate in the lowest-key files
     either way, keeping the other files' zone maps NULL-free.
 
-    NaN placement: ``nanvl`` maps NaN to NULL first — NaN arithmetic
-    yields NaN and the ANSI CAST of NaN to BIGINT kills the job
-    (verified, r08 review); one corrupt reading now lands in the
-    bottom tile with the NULLs instead of failing the layout pass."""
+    Non-finite placement: NaN AND ±Infinity are nulled first — both
+    propagate through the scaling arithmetic and the ANSI CAST of a
+    non-finite double to BIGINT kills the job (NaN verified in the
+    r08 review, Inf flagged by the r08 advisor); one corrupt reading
+    now lands in the bottom tile with the NULLs instead of failing
+    the layout pass."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
+    finite = (
+        f"CASE WHEN isnan(CAST({col} AS DOUBLE))"
+        f" OR abs(CAST({col} AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
+        f" THEN CAST(NULL AS DOUBLE) ELSE CAST({col} AS DOUBLE) END"
+    )
     return F.expr(
         f"GREATEST(0, LEAST({top}, "
-        f"NVL(CAST(((nanvl(CAST({col} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        f"NVL(CAST((({finite}"
         f" - {lo}) / {span}) * {top} "
         f"AS BIGINT), 0)))"
     )
@@ -129,9 +136,13 @@ def cluster_write(
     def _finite(c: str):
         # NOT col == col: Spark's SQL NaN semantics make NaN equal to
         # itself (unlike IEEE), so that filter is a no-op — isnan is
-        # the real test (caught by this fix's own regression test)
-        col = F.col(c)
-        return F.when(F.isnan(col.cast("double")), None).otherwise(col)
+        # the real test (caught by this fix's own regression test).
+        # ±Infinity needs the same guard (r08 advisor): Inf survives
+        # isnan, becomes the max/min bound, and the ANSI BIGINT cast
+        # of Inf aborts the pass exactly like NaN did.
+        col = F.col(c).cast("double")
+        bad = F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
+        return F.when(bad, None).otherwise(F.col(c))
 
     bounds = df.agg(
         *[F.min(_finite(c)).cast("bigint").alias(f"lo_{c}") for c in cluster_cols],

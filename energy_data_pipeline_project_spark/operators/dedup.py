@@ -33,6 +33,13 @@ QUERIES, ORACLES, query = make_registry()
 SHINGLE_N = 3
 MINHASH_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.5
+# PPJoin threshold t = NUM/DEN as an exact integer fraction — the ONE
+# source for the prefix length, the bucket-expansion length filter,
+# the verify predicate, and the oracle SQL (r08 advisor: three
+# independent spellings meant a future threshold change could silently
+# break the lossless-filter guarantee by missing one copy).
+JACCARD_NUM = 4
+JACCARD_DEN = 5
 COSINE_DUP_THRESHOLD = 0.3  # calibrated: testdata embeddings max out ~0.4
 COSINE_SUBSET = 200  # bound the O(n²) pair space for the oracle query
 COSINE_QUANT = 10_000  # integer grid for exact dp/n2 sums (house idiom)
@@ -976,7 +983,11 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
         .withColumn(
             "plen",
-            F.expr("CAST(n - ((4 * n + 4) DIV 5) + 1 AS INT)"),
+            # ceil((NUM/DEN)·n) = (NUM·n + DEN − 1) DIV DEN, exact ints
+            F.expr(
+                f"CAST(n - (({JACCARD_NUM} * n + {JACCARD_DEN - 1})"
+                f" DIV {JACCARD_DEN}) + 1 AS INT)"
+            ),
         )
     )
     prefix = grouped.select(
@@ -992,9 +1003,11 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .where(F.size("ds") >= 2)
         .select(
-            F.explode(F.expr(_bucket_pairs_lenfilter_sql("ds", 4, 5))).alias(
-                "p"
-            )
+            F.explode(
+                F.expr(
+                    _bucket_pairs_lenfilter_sql("ds", JACCARD_NUM, JACCARD_DEN)
+                )
+            ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -1011,8 +1024,10 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     )
     c = F.size(F.array_intersect("hsa", "hsb")).cast("bigint")
     jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
-    # t = 4/5 as integer cross-multiplication (see docstring)
-    passes = (F.lit(5) * c) >= (F.lit(4) * (F.col("na") + F.col("nb") - c))
+    # t = NUM/DEN as integer cross-multiplication (see docstring)
+    passes = (F.lit(JACCARD_DEN) * c) >= (
+        F.lit(JACCARD_NUM) * (F.col("na") + F.col("nb") - c)
+    )
     # No forced broadcast: ``grouped`` is corpus-sized (one row per
     # doc), so the verify joins must stay shuffle joins at 100 TB —
     # AQE upgrades them to broadcast at test scale on its own.
@@ -1039,7 +1054,7 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     FROM common
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
-    WHERE 5 * c >= 4 * (sa.n + sb.n - c)
+    WHERE {JACCARD_DEN} * c >= {JACCARD_NUM} * (sa.n + sb.n - c)
     """,
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

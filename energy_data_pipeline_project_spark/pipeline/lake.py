@@ -539,15 +539,29 @@ def published_table_versions(path: str) -> set[int]:
     appends to a `_PUBLISHED` log (atomic rewrite+replace, same
     single-writer assumption as the pointer swap). Legacy tables with
     no log fall back to the old pointer rule (everything <= pointer),
-    preserving their previous behavior."""
+    preserving their previous behavior. A log that EXISTS but fails
+    to parse raises instead of falling back (r08 advisor): silently
+    reverting to pointer-counting would reintroduce the exact
+    orphan-vs-history confusion the log was added to fix — vacuum
+    could delete real history — with no signal the log is damaged."""
+    log_path = os.path.join(path, _PUBLISHED_LOG)
     try:
-        with open(os.path.join(path, _PUBLISHED_LOG)) as f:
-            return {int(line) for line in f.read().split() if line}
-    except (OSError, ValueError):
+        with open(log_path) as f:
+            raw = f.read()
+    except OSError:
         published = latest_table_version(path)
         if published is None:
             return set()
         return {v for v in list_table_versions(path) if v <= published}
+    try:
+        return {int(line) for line in raw.split() if line}
+    except ValueError as exc:
+        raise ValueError(
+            f"corrupt publish log at {log_path}: {exc}. Refusing to "
+            "fall back to pointer-counting (it cannot tell a crashed "
+            "writer's orphan from published history); repair or remove "
+            "the log explicitly."
+        ) from exc
 
 
 def write_table_versioned(

@@ -20,6 +20,8 @@ stream side is stateless; the benchmark state is static.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline.lake import write_batch_partition as _write_batch_partition
@@ -45,14 +47,29 @@ def build_benchmark(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return bench, bloom
 
 
+# Sentinel: distinguishes "caller omitted carve_benchmark" (warn once
+# about the r08 default flip, then behave as False) from an explicit
+# False. Remove with the warning after one release.
+_CARVE_UNSET: object = object()
+
+
 def screen_batch(
     batch_docs: DataFrame,
     bench: DataFrame,
     bloom: DataFrame,
     *,
-    carve_benchmark: bool = False,
+    carve_benchmark: bool | object = _CARVE_UNSET,
 ) -> DataFrame:
     """One micro-batch of documents → contamination verdicts.
+
+    .. versionchanged:: r08
+       ``carve_benchmark`` now defaults to ``False`` (screen
+       everything). It previously defaulted to ``True``, which
+       silently exempted benchmark-keyed ingest from screening;
+       callers relying on the old default must now pass
+       ``carve_benchmark=True`` explicitly. Omitting the parameter
+       emits a one-release ``DeprecationWarning`` (r08 advisor:
+       flag the semantic flip to existing external callers).
 
     The default screens EVERY arriving document — the correct posture
     for production crawl ingest, where nothing should silently bypass
@@ -66,7 +83,16 @@ def screen_batch(
     record (r08 review); a dangerous mode must be opt-in. With a
     carve, ``skipped_benchmark_docs`` accounts for what the screen did
     not verdict."""
-    corp, _ = _contamination_postings(batch_docs, carve=carve_benchmark)
+    if carve_benchmark is _CARVE_UNSET:
+        warnings.warn(
+            "screen_batch: carve_benchmark's default flipped True->False"
+            " in r08 (everything is screened now). Pass it explicitly;"
+            " this warning disappears after one release.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        carve_benchmark = False
+    corp, _ = _contamination_postings(batch_docs, carve=bool(carve_benchmark))
     survivors = bloom_prefilter(corp, bloom)
     return _contamination_report(survivors.join(bench, "h"))
 

@@ -147,13 +147,25 @@ def test_cluster_write_survives_nan_and_guards_key_collision(
 
     path = str(tmp_path / "nan_tiles")
     df = spark.createDataFrame(
-        [(1.0, 10.0), (2.0, float("nan")), (3.0, 30.0), (None, 40.0)],
+        [
+            (1.0, 10.0),
+            (2.0, float("nan")),
+            (3.0, 30.0),
+            (None, 40.0),
+            (float("inf"), 50.0),
+            (4.0, float("-inf")),
+        ],
         "a double, b double",
     )
     cluster_write(df, path, ["a", "b"], n_files=2)
     got = spark.read.parquet(path).collect()
-    assert len(got) == 4
+    assert len(got) == 6
     assert sum(1 for r in got if r["b"] is not None and math.isnan(r["b"])) == 1
+    # ±Inf rows survive the pass too (r08 advisor: Inf passed the
+    # isnan-only filter, became the bound, and the ANSI BIGINT cast
+    # aborted the write exactly like NaN used to)
+    assert sum(1 for r in got if r["a"] == float("inf")) == 1
+    assert sum(1 for r in got if r["b"] == float("-inf")) == 1
 
     with pytest.raises(ValueError, match="rename"):
         cluster_write(df.withColumn(_ZKEY, df.a), path, ["a"], n_files=1)

@@ -156,3 +156,33 @@ def test_inline_prune_keeps_history_not_orphans(spark, tmp_path):
     assert v1 in versions and v3 in versions
     assert (v1 + 1) not in versions, "orphan must be vacuumed, not retained"
     assert read_table_versioned(spark, path, version=v1).count() == 1
+
+
+def test_corrupt_publish_log_raises_not_falls_back(spark, tmp_path):
+    """A _PUBLISHED log that EXISTS but fails to parse must raise, not
+    silently revert to the <=-pointer rule (r08 advisor): pointer
+    counting cannot tell a crashed writer's orphan from superseded
+    history, so a silent fallback would let vacuum delete real history
+    with no signal the log is damaged. Missing log (legacy table)
+    still falls back."""
+    import pytest
+
+    from energy_data_pipeline_project_spark.pipeline.lake import (
+        _PUBLISHED_LOG,
+        published_table_versions,
+    )
+
+    path = str(tmp_path / "t")
+    write_table_versioned(_mk(spark, [1]), path)
+    write_table_versioned(_mk(spark, [2]), path)
+    assert published_table_versions(path) == {1, 2}
+
+    log = os.path.join(path, _PUBLISHED_LOG)
+    with open(log, "w") as f:
+        f.write("1\ngarbage\n2\n")
+    with pytest.raises(ValueError, match="corrupt publish log"):
+        published_table_versions(path)
+
+    # legacy table (no log at all): pointer fallback still works
+    os.remove(log)
+    assert published_table_versions(path) == {1, 2}
