@@ -32,7 +32,13 @@ QUERIES, ORACLES, query = make_registry()
 
 SHINGLE_N = 3
 MINHASH_THRESHOLD = 0.5
-JACCARD_THRESHOLD = 0.5
+# Shingle-Jaccard threshold t = T_NUM/T_DEN, kept as an exact integer
+# fraction so the in-expansion PPJoin length filter (den·min ≥ num·max,
+# lossless only at exactly this t) can never drift from the float
+# ratio compare the output filter and the oracle share.
+JACCARD_T_NUM = 1
+JACCARD_T_DEN = 2
+JACCARD_THRESHOLD = JACCARD_T_NUM / JACCARD_T_DEN
 # PPJoin threshold t = NUM/DEN as an exact integer fraction — the ONE
 # source for the prefix length, the bucket-expansion length filter,
 # the verify predicate, and the oracle SQL (r08 advisor: three
@@ -284,7 +290,9 @@ def _bucket_pairs_sql(arr_col: str) -> str:
     )
 
 
-def _bucket_pairs_lenfilter_sql(arr_col: str, num: int, den: int) -> str:
+def _bucket_pairs_lenfilter_sql(
+    arr_col: str, num: int, den: int, *, with_sizes: bool = False
+) -> str:
     """All ordered pairs (a < b) from a SORTED array of (doc_id, n)
     structs that also pass the PPJoin LENGTH filter for t = num/den.
 
@@ -294,13 +302,23 @@ def _bucket_pairs_lenfilter_sql(arr_col: str, num: int, den: int) -> str:
     very different sizes are provably below threshold and are dropped
     INSIDE the bucket expansion (codegen'd array lambda), before they
     ever become join rows.  Lossless by the same pigeonhole argument
-    as the prefix itself; integer cross-multiplication, no floats."""
+    as the prefix itself; integer cross-multiplication, no floats.
+
+    ``with_sizes=True`` emits ``(doc_a, doc_b, na, nb)`` so a
+    multiplicity-counting consumer can aggregate straight to the
+    Jaccard ratio with NO size joins afterwards (r08 verdict #4)."""
     a = arr_col
+    payload = (
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " x.n AS na, y.n AS nb)"
+        if with_sizes
+        else "struct(x.doc_id AS doc_a, y.doc_id AS doc_b)"
+    )
     return (
         f"flatten(transform({a}, (x, i) -> "
         f"transform(filter(slice({a}, i + 2, size({a})), "
         f"y -> {den} * least(x.n, y.n) >= {num} * greatest(x.n, y.n)), "
-        f"y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b))))"
+        f"y -> {payload})))"
     )
 
 
@@ -869,30 +887,59 @@ def shingle_jaccard_pairs(
     ratio stays internally consistent. Intersection counts come from
     expanding pairs inside each (bounded) posting array rather than a
     postings self-join — see minhash_lsh_pairs for why that plan
-    shape wins. Call release_cached_frames() once the result is
-    consumed.
+    shape wins — and since r09 each posting carries its doc's capped
+    size so the PPJoin length filter prunes inside the expansion and
+    the final ratio needs no size joins. Call release_cached_frames()
+    once the result is consumed.
     """
     if hx is None:
         hx = _cached(_shingle_hashes(docs))
-    # Cap pass + posting arrays + per-doc sizes: the shared
-    # capped_posting_arrays core (map-side combined count per shingle,
-    # hot postings dropped BEFORE any list is collected, sizes off the
-    # SAME capped index — no second corpus scan).
-    grouped, sz = capped_posting_arrays(hx, shingle_cap)
+    # Cap pass: map-side-combined count per shingle, hot postings
+    # dropped BEFORE anything is collected.
+    ok_h = (
+        hx.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") <= shingle_cap)
+        .select("h")
+    )
+    capped = hx.join(ok_h, "h")
+    # Per-doc capped size rides WITH every posting (r08 verdict #4,
+    # following the prefix-Jaccard rewrite): ONE doc-grouping yields
+    # (hs, n), the in-row re-explode rebuilds the postings carrying n
+    # with no extra corpus scan, and the h-grouping collects
+    # (doc_id, n) structs. The PPJoin LENGTH filter — lossless at the
+    # exact fraction t = 1/2 = JACCARD_THRESHOLD: den·min ≥ num·max —
+    # then prunes cross-size pairs inside the codegen'd bucket
+    # expansion, and the surviving pair rows already carry (na, nb),
+    # so the multiplicity count aggregates straight to the ratio with
+    # NO size joins afterwards (the old plan joined sz twice).
+    per_doc = capped.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.count("*").alias("n")
+    )
+    postings_n = per_doc.select(
+        "doc_id", "n", F.explode("hs").alias("h")
+    )
+    grouped = (
+        postings_n.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     common = (
-        grouped.where(F.size("ds") >= 2)
-        .select(F.explode(F.expr(_bucket_pairs_sql("ds"))).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    _bucket_pairs_lenfilter_sql(
+                        "ds", JACCARD_T_NUM, JACCARD_T_DEN, with_sizes=True
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count("*").alias("c"))
     )
-    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        common.join(sza, "doc_a")
-        .join(szb, "doc_b")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    return common.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 
