@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..pipeline import artifacts as A
 from ..sources.tables import load_table
 from ._registry import make_registry
 from .similarity import N_QUERY_VECS, TOP_K
@@ -360,19 +361,40 @@ def _train_codes(
 
 
 def _trained_m(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Memoized `(codes, centroids)` trained on the full melted frame
-    — `embedding_pq_codes` and `ann_topk_pq` run the identical Lloyd
+    """`(codes, centroids)` trained on the full melted frame —
+    `embedding_pq_codes` and `ann_topk_pq` run the identical Lloyd
     chain, so in a single-session parity pass the second consumer
-    reuses the first's checkpointed codes."""
+    reuses the first's frames.
+
+    Tiering (r08 verdict #3): session memo → published lake artifact
+    (pipeline/artifacts.py, keyed by corpus fingerprint) → Lloyd
+    training. A COLD process reads the code table + codebook published
+    by an earlier run instead of retraining; the chain is integer-
+    exact and deterministic, so read-back equals retraining bit for
+    bit and the replayed-SQL oracle stays hash-identical."""
     key = _emb_key(spark, sf_dir)
     hit = _TRAINED_M_MEMO.get(key)
     if hit is not None:
         return hit
     _evict(_TRAINED_M_MEMO, key)
-    codes, cent = _train_codes(
-        _melted(spark, sf_dir), n_vecs=_n_vecs(spark, sf_dir)
+
+    def _build() -> dict[str, DataFrame]:
+        codes, cent = _train_codes(
+            _melted(spark, sf_dir), n_vecs=_n_vecs(spark, sf_dir)
+        )
+        return {
+            "codes": codes.localCheckpoint(eager=True),
+            "centroids": cent,
+        }
+
+    art = A.get_or_build(
+        spark,
+        "pq_m",
+        A.corpus_fingerprint(sf_dir),
+        ("codes", "centroids"),
+        _build,
     )
-    pair = (codes.localCheckpoint(eager=True), cent)
+    pair = (art["codes"], art["centroids"])
     _TRAINED_M_MEMO[key] = pair
     return pair
 
@@ -625,15 +647,41 @@ def _ivfpq_oracle() -> str:
 def _trained_ivfpq(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Session-memoized IVFADC training: (coarse centroids, cell
-    assignment, residual codes, residual codebook). Deterministic
-    Lloyd chains over checkpointed frames, keyed app+path+mtime like
-    the melt/codebook memos — bit-identical to retraining."""
+    """IVFADC training artifacts: (coarse centroids, cell assignment,
+    residual codes, residual codebook). Deterministic Lloyd chains
+    over checkpointed frames.
+
+    Tiering (r08 verdict #3): session memo → published lake artifact →
+    training. At 100 TB these four frames ARE the index a serving
+    fleet reads — coarse centroids + codebook broadcast-sized, cells +
+    codes the per-vector inverted file (partition by cell there) — so
+    a cold session reads the published tables (~1s) instead of paying
+    the ~3.6s Lloyd chain the session memo could only amortize within
+    one process. Integer-exact training makes read-back bit-identical
+    to retraining, which is why the replayed-SQL oracle needs no
+    changes."""
     key = _emb_key(spark, sf_dir)
     hit = _TRAINED_IVFPQ_MEMO.get(key)
     if hit is not None:
         return hit
     _evict(_TRAINED_IVFPQ_MEMO, key)
+
+    art = A.get_or_build(
+        spark,
+        "ivfpq",
+        A.corpus_fingerprint(sf_dir),
+        ("coarse", "cells", "codes", "codebook"),
+        lambda: _train_ivfpq_chain(spark, sf_dir),
+    )
+    out = (art["coarse"], art["cells"], art["codes"], art["codebook"])
+    _TRAINED_IVFPQ_MEMO[key] = out
+    return out
+
+
+def _train_ivfpq_chain(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The actual IVFADC Lloyd chain (artifact-store build callback)."""
     melted = _melted(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cm = IVFPQ_CELL_MULT
@@ -699,9 +747,12 @@ def _trained_ivfpq(
         .localCheckpoint(eager=True)
     )
     codes, cb = _train_codes(rm, n_vecs=_n_vecs(spark, sf_dir))
-    out = (coarse, cells, codes, cb)
-    _TRAINED_IVFPQ_MEMO[key] = out
-    return out
+    return {
+        "coarse": coarse,
+        "cells": cells,
+        "codes": codes.localCheckpoint(eager=True),
+        "codebook": cb,
+    }
 
 
 @query("ann_topk_ivfpq", _ivfpq_oracle())

@@ -279,6 +279,53 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(label, cv)`` coarse-centroid arrays on the exact integer-sum
+    grid — the IVF training artifact.
+
+    Lake-artifact-backed (pipeline/artifacts.py, r08 verdict #3): at
+    100 TB the centroid table is a published artifact an ANN serving
+    tier reads, not a per-query full-corpus aggregation; a cold
+    session reads the published frame and pays only the assignment
+    join. The derivation is exact (integer sums, one correctly-rounded
+    division per component), so read-back is bit-identical to
+    recomputation and the oracle's replayed CTE chain stays
+    hash-identical."""
+
+    def _build() -> dict[str, DataFrame]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        ep = emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                    " x -> FLOOR(x * 10000.0))"
+                )
+            ).alias("pos0", "qv"),
+        ).select("label", (F.col("pos0") + 1).alias("pos"), "qv")
+        cent = ep.groupBy("label", "pos").agg(
+            (F.sum("qv") / F.count("*")).alias("c")
+        )
+        carr = cent.groupBy("label").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))),"
+                " x -> x.c)"
+            ).alias("cv")
+        )
+        return {"centroids": carr}
+
+    from ..pipeline import artifacts as A
+
+    return A.get_or_build(
+        spark,
+        "ivf_coarse",
+        A.corpus_fingerprint(sf_dir),
+        ("centroids",),
+        _build,
+    )["centroids"]
+
+
 @query(
     "ann_topk_ivf",
     f"""
@@ -357,17 +404,7 @@ def ann_topk_ivf(
         ).alias("qde"),
     )
 
-    ep = e.select(
-        "vec_id", "label", F.posexplode("qde").alias("pos0", "qv")
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "qv")
-    cent = ep.groupBy("label", "pos").agg(
-        (F.sum("qv") / F.count("*")).alias("c")
-    )
-    carr = cent.groupBy("label").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
-        ).alias("cv")
-    )
+    carr = _ivf_centroid_arrays(spark, sf_dir)
     # One row holding all k centroids: cell assignment becomes a pure
     # per-row EXPRESSION (sort k (−cos, label) structs, take the head)
     # instead of a crossJoin + row_number window — no assignment

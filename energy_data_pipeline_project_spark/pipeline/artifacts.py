@@ -1,0 +1,129 @@
+"""Train-once/serve-many lake artifacts for deterministic index chains.
+
+At 100 TB, ANN index structures — IVF coarse centroids, PQ codebooks,
+cell assignments, code tables — are published lake tables refreshed by
+an offline training job, not per-session derivations: retraining Lloyd
+per analysis session re-shuffles the corpus to reproduce a result that
+is bit-identical every time (the chains are integer-exact and
+deterministic by construction). This module content-addresses those
+artifacts by a corpus fingerprint so a COLD process finds the published
+tables and skips training entirely (r08 verdict #3: cold
+``ann_topk_ivfpq`` should cost what a warm call costs).
+
+Layering:
+
+1. operator session memos (``pq._TRAINED_*``) — in-process cache;
+2. THIS store — cross-process tier on the lake
+   (``lake.write_table_versioned`` snapshots, published atomically);
+3. the deterministic training chain — fallback that populates 2.
+
+Because training is bit-exact, a read-back artifact equals a fresh
+derivation, so DuckDB oracles that replay the chain in SQL stay
+hash-identical whichever tier answered.
+
+Store layout: ``<root>/<kind>/<fingerprint>/<frame>/`` versioned
+tables plus a ``_COMPLETE`` marker written LAST (atomic rename), so a
+crashed publisher leaves a partial dir that cold readers ignore and
+the next builder overwrites. Corrupt markers also just retrain —
+unlike the lake's ``_PUBLISHED`` log, every byte here is reproducible,
+so the safe response to damage is rebuild, not refusal.
+
+The root defaults to ``<repo>/spark-warehouse/_artifacts`` (gitignored,
+survives across driver/bench/parity processes within a round);
+``SPARK_GRAFT_ARTIFACTS`` overrides it, and the value ``off`` (or
+``0``) disables the tier so every call trains in-session — the knob
+tests use to pin the training path itself.
+
+At this container's scale artifacts are a few MB; at 100 TB the code
+table is the 4-byte/vector compressed store and would additionally be
+partitioned by cell (see ``operators/pq.ann_topk_ivfpq``'s plan notes).
+
+Reference repo: no counterpart (807-LoC two-table ETL); this serves
+SURVEY.md §2.10's similarity-search extension surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .lake import read_table_versioned, write_table_versioned
+
+_MARKER = "_COMPLETE"
+
+
+def artifact_root() -> str | None:
+    """Store root, or ``None`` when the tier is disabled."""
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS", "")
+    if env.lower() in ("off", "0"):
+        return None
+    if env:
+        return env
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), "spark-warehouse", "_artifacts")
+
+
+def corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content address of one corpus table: absolute path + mtime_ns +
+    size (the same staleness key the session memos use, hashed so it
+    is filesystem-safe). A rewritten fixture gets a new fingerprint
+    and therefore a cold retrain; a missing table gets a sentinel
+    fingerprint rather than an error so the build step surfaces the
+    real failure."""
+    path = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    try:
+        st = os.stat(path)
+        sig = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        sig = (path, -1, -1)
+    return hashlib.sha256(repr(sig).encode()).hexdigest()[:16]
+
+
+def get_or_build(
+    spark: SparkSession,
+    kind: str,
+    fingerprint: str,
+    names: tuple[str, ...],
+    build: Callable[[], dict[str, DataFrame]],
+) -> dict[str, DataFrame]:
+    """Read the published ``names`` frames for (kind, fingerprint), or
+    run ``build()`` once, publish every frame, and serve the read-back
+    copies — so cold-build and warm-hit callers consume the SAME
+    physical artifact. With the tier disabled, returns ``build()``'s
+    frames directly (pure in-session behavior)."""
+    root = artifact_root()
+    if root is None:
+        return build()
+    base = os.path.join(root, kind, fingerprint)
+    marker = os.path.join(base, _MARKER)
+    try:
+        with open(marker) as f:
+            recorded = json.load(f)
+        if isinstance(recorded, list) and set(recorded) >= set(names):
+            return {
+                n: read_table_versioned(spark, os.path.join(base, n))
+                for n in names
+            }
+    except (OSError, ValueError):
+        pass  # absent/partial/corrupt: deterministic rebuild is safe
+    frames = build()
+    missing = [n for n in names if n not in frames]
+    if missing:
+        raise ValueError(
+            f"artifact builder for {kind} returned no frame(s) {missing}"
+        )
+    for n in names:
+        write_table_versioned(
+            frames[n], os.path.join(base, n), keep_versions=1
+        )
+    tmp = marker + "._tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(names), f)
+    os.replace(tmp, marker)
+    return {
+        n: read_table_versioned(spark, os.path.join(base, n)) for n in names
+    }

@@ -50,13 +50,14 @@ class PQIndex:
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str) -> PQIndex:
+    # _trained_m is the tiered Lloyd chain the batch twins train
+    # against (same melted frame, same PQ_TRAIN_SAMPLE cap): session
+    # memo → published lake artifact → training. Since r09 the server
+    # therefore reads the SAME persisted index the batch queries
+    # serve from (r08 verdict #3's unification) — a cold serving
+    # process trains nothing if any prior run published the chain.
+    # Bit-identical either way.
     melted = _melted(spark, sf_dir)
-    # _trained_m is the session-memoized Lloyd chain the batch twins
-    # train against (same melted frame, same PQ_TRAIN_SAMPLE cap), so
-    # a session that ran ann_topk_pq and then builds the serving index
-    # trains ONCE — calling _train_codes directly re-paid the full
-    # training the memo exists to eliminate (r08 review). Bit-identical
-    # either way; codes arrive already checkpointed.
     codes, cent = _trained_m(spark, sf_dir)
     return PQIndex(
         codes=codes,
@@ -143,10 +144,15 @@ def serve_ann_stream(
 
 
 def save_pq_index(index: PQIndex, path: str) -> None:
-    """Persist the serving index: the code frame and its codebook.
-    The refine-side vector store is the corpus itself and is NOT
-    duplicated into the index (at 100 TB the index is the 4-byte/row
-    artifact; vectors stay in their own table)."""
+    """Persist the serving index to an EXPLICIT path: the code frame
+    and its codebook. The refine-side vector store is the corpus
+    itself and is NOT duplicated into the index (at 100 TB the index
+    is the 4-byte/row artifact; vectors stay in their own table).
+
+    Note: ``build_pq_index`` already persists through the shared
+    content-addressed artifact store (pipeline/artifacts.py) — this
+    pair exists for shipping an index to a location the store doesn't
+    govern (another cluster's lake, an export)."""
     index.codes.write.mode("overwrite").parquet(f"{path}/codes")
     index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 

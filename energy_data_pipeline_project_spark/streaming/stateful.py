@@ -41,9 +41,11 @@ SESSION_GAP_SECONDS = 30 * 60
 # UPGRADE NOTE (r07 grew this schema from 3 to 6 fields): Spark's
 # state store pins the state schema in checkpoint metadata and
 # refuses to restore a stream whose STATE_SCHEMA no longer matches
-# (STATE_SCHEMA_NOT_COMPATIBLE, raised JVM-side before any Python
-# handler runs — a legacy 3-field tuple can never reach _load_runs,
-# so there is deliberately no migration branch there). Upgrading a
+# (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE, raised JVM-side before
+# any Python handler runs — a legacy 3-field tuple can never reach
+# _load_runs, so there is deliberately no migration branch there;
+# the loud failure is pinned by test_stateful_streaming.py::
+# test_state_schema_upgrade_fails_loudly_not_silently). Upgrading a
 # RUNNING sessionizer across a state-schema change therefore needs a
 # fresh checkpointLocation; in-flight open sessions are lost unless
 # replayed, so either re-read the source from an earlier offset (the

@@ -1,0 +1,131 @@
+"""Lake-artifact tier for deterministic training chains
+(pipeline/artifacts.py): train-once/serve-many across processes.
+
+The contract (r08 verdict #3): a cold session finds artifacts a prior
+run published and skips training; read-back frames are bit-identical
+to a fresh derivation; a rewritten corpus (new fingerprint) retrains;
+``SPARK_GRAFT_ARTIFACTS=off`` restores pure in-session behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from energy_data_pipeline_project_spark.pipeline import artifacts as A
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture
+def art_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", root)
+    yield root
+
+
+def test_get_or_build_builds_once_then_reads(spark, art_root):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"t": spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")}
+
+    fp = A.corpus_fingerprint(SF_SMOKE)
+    got1 = A.get_or_build(spark, "k", fp, ("t",), build)["t"]
+    got2 = A.get_or_build(spark, "k", fp, ("t",), build)["t"]
+    assert len(calls) == 1, "second call must be a store hit"
+    assert sorted(map(tuple, got1.collect())) == sorted(
+        map(tuple, got2.collect())
+    ) == [(1, 2), (3, 4)]
+    # the marker exists and the versioned table is published
+    assert os.path.exists(os.path.join(art_root, "k", fp, "_COMPLETE"))
+
+
+def test_partial_publish_is_ignored_and_rebuilt(spark, art_root):
+    """A crashed publisher (frames written, marker missing) must read
+    as a miss — the marker is written LAST for exactly this reason."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"t": spark.range(3)}
+
+    fp = "fixedfp"
+    A.get_or_build(spark, "k2", fp, ("t",), build)
+    os.remove(os.path.join(art_root, "k2", fp, "_COMPLETE"))
+    A.get_or_build(spark, "k2", fp, ("t",), build)
+    assert len(calls) == 2
+
+
+def test_fingerprint_tracks_rewrites(tmp_path):
+    p = tmp_path / "embeddings.parquet"
+    p.write_bytes(b"v1")
+    f1 = A.corpus_fingerprint(str(tmp_path))
+    os.utime(p, ns=(1, 2))
+    f2 = A.corpus_fingerprint(str(tmp_path))
+    assert f1 != f2
+    missing = A.corpus_fingerprint(str(tmp_path / "nope"))
+    assert missing and missing != f1
+
+
+def test_disabled_tier_trains_every_call(spark, monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", "off")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"t": spark.range(2)}
+
+    A.get_or_build(spark, "k3", "fp", ("t",), build)
+    A.get_or_build(spark, "k3", "fp", ("t",), build)
+    assert len(calls) == 2
+    assert A.artifact_root() is None
+
+
+def test_builder_missing_frame_raises(spark, art_root):
+    with pytest.raises(ValueError, match="no frame"):
+        A.get_or_build(spark, "k4", "fp", ("t", "u"), lambda: {"t": spark.range(1)})
+
+
+def test_ivfpq_artifact_equals_fresh_training(spark, art_root):
+    """The real chain: publish via one cold call, then verify a
+    second cold call (memo released) reads the store and produces the
+    IDENTICAL code table — and that the store actually holds the four
+    frames."""
+    import energy_data_pipeline_project_spark.operators.pq as pq
+
+    pq.release_pq_memos()
+    c1 = pq.embedding_pq_codes(spark, SF_SMOKE)
+    rows1 = sorted(map(tuple, c1.collect()))
+
+    fp = A.corpus_fingerprint(SF_SMOKE)
+    assert os.path.exists(os.path.join(art_root, "pq_m", fp, "_COMPLETE"))
+
+    pq.release_pq_memos()  # simulate a cold process
+    rows2 = sorted(map(tuple, pq.embedding_pq_codes(spark, SF_SMOKE).collect()))
+    assert rows1 == rows2
+
+    # ivfpq: four frames published, cold read matches
+    pq.release_pq_memos()
+    r1 = sorted(map(tuple, pq.ann_topk_ivfpq(spark, SF_SMOKE).collect()))
+    for frame in ("coarse", "cells", "codes", "codebook"):
+        assert os.path.exists(
+            os.path.join(art_root, "ivfpq", fp, frame)
+        ), frame
+    pq.release_pq_memos()
+    r2 = sorted(map(tuple, pq.ann_topk_ivfpq(spark, SF_SMOKE).collect()))
+    assert r1 == r2
+
+
+def test_ivf_centroid_artifact_matches_inline(spark, art_root, monkeypatch):
+    """ann_topk_ivf through the artifact tier returns the same rows as
+    with the tier disabled (pure inline derivation)."""
+    from energy_data_pipeline_project_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    with_store = sorted(map(tuple, ann_topk_ivf(spark, SF_SMOKE).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", "off")
+    inline = sorted(map(tuple, ann_topk_ivf(spark, SF_SMOKE).collect()))
+    assert with_store == inline

@@ -337,3 +337,99 @@ def test_chained_late_events_merge_into_open_session(
     assert [(r["n_events"], r["duration_s"]) for r in closed] == [
         (3, 2400.0)
     ], closed
+
+
+def test_state_schema_upgrade_fails_loudly_not_silently(
+    spark, tmp_path_factory
+):
+    """Checkpoint-upgrade pin for the r07 3→6-field STATE_SCHEMA growth
+    (r08 verdict #6): restoring a checkpoint written with the LEGACY
+    3-field state schema under the current sessionizer must raise the
+    documented STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE error — never silently
+    restore/corrupt state. The upgrade path (fresh checkpointLocation)
+    is documented at streaming/stateful.py's UPGRADE NOTE; this test
+    pins that the failure mode backing that note is loud."""
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from energy_data_pipeline_project_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+    )
+
+    src = str(tmp_path_factory.mktemp("ev-upg"))
+    ckpt = str(tmp_path_factory.mktemp("ev-upg-ckpt"))
+    out = str(tmp_path_factory.mktemp("ev-upg-out"))
+
+    def write_events(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # The pre-r07 sessionizer shape: 3-field state, same grouping and
+    # watermark, trivial handler (state content is irrelevant — only
+    # the schema recorded in checkpoint metadata matters here).
+    legacy_state = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_start", T.DoubleType()),
+            T.StructField("last_seen", T.DoubleType()),
+        ]
+    )
+
+    def legacy_fn(key, batches, state):
+        n = sum(len(pdf) for pdf in batches)
+        prev = state.get[0] if state.exists else 0
+        state.update((prev + n, 0.0, 0.0))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "duration_s": pd.Series([], dtype="float64"),
+            }
+        )
+
+    d = dt.datetime(1995, 6, 1)
+    write_events([(1, d.replace(hour=10), 11, "view", 1.0, "{}")])
+    q = (
+        jobs.read_event_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            legacy_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=legacy_state,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # New data + the CURRENT 6-field sessionizer over the legacy
+    # checkpoint: the restore must abort before any handler runs.
+    write_events([(2, d.replace(hour=11), 11, "view", 1.0, "{}")])
+    q2 = (
+        sessionize_with_state(jobs.read_event_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as exc:
+        q2.awaitTermination()
+    msg = str(exc.value)
+    assert "SCHEMA_NOT_COMPATIBLE" in msg, msg
