@@ -187,6 +187,11 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
 def label_spectrum(emb: DataFrame) -> DataFrame:
     import pandas as pd
 
+    # a NULL label is not a profileable group: it reaches the kernel
+    # as NaN and int(NaN) kills the task (r09 degenerate sweep) — the
+    # same quarantine posture as the NULL/ragged embedding drop below
+    emb = emb.where("label IS NOT NULL")
+
     schema = (
         "label int, n_vectors long, dim int, "
         "cov_trace double, top_eigenvalue double, top_eig_share double"

@@ -939,9 +939,17 @@ def _dup_rate_oracle() -> str:
 
     return f"""
     WITH cc AS ({_cc_oracle()}),
+    -- DISTINCT on both sides: a duplicated doc_id row multiplied
+    -- through the join with its (also duplicated) component label,
+    -- quadrupling one doc's weight in the rate; keyless docs cannot
+    -- join to a component at all. The metric is over DISTINCT doc
+    -- ids (r09 degenerate sweep).
     j AS (
-      SELECT d.source, cc.component_size
-      FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+      SELECT DISTINCT d.doc_id, d.source, cc.component_size
+      FROM (SELECT DISTINCT doc_id, source FROM documents
+            WHERE doc_id IS NOT NULL) d
+      JOIN (SELECT DISTINCT doc_id, component_size FROM cc) cc
+        ON d.doc_id = cc.doc_id
     )
     SELECT source, COUNT(*) AS n_docs,
            CAST(COUNT(CASE WHEN component_size >= 2 THEN 1 END) AS BIGINT)
@@ -965,9 +973,12 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     comps = duplicate_components(docs, shared_lsh_pairs(spark, sf_dir))
     dup = F.count(F.when(F.col("component_size") >= 2, F.lit(1)))
+    # DISTINCT both sides of the rejoin: see the oracle's j comment
     return (
         docs.select("doc_id", "source")
-        .join(comps, "doc_id")
+        .where("doc_id IS NOT NULL")
+        .distinct()
+        .join(comps.select("doc_id", "component_size").distinct(), "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1038,6 +1049,12 @@ def agg_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = pd.DataFrame({"c": cents, "e": eid}).sort_values(["c", "e"])
         k = len(df) // TRIM_FRACTION_DENOM
         kept = df.iloc[k : len(df) - k] if k else df
+        # SQL SUM semantics: NULL cents (arriving as NaN) are skipped,
+        # and an all-NULL kept range sums to NULL, not 0 — pandas
+        # .sum() would otherwise return 0.0 where the oracle's SUM
+        # returns NULL (r09 degenerate sweep)
+        if kept["c"].count() == 0:
+            return None
         return int(kept["c"].sum())
 
     ev = load_table(spark, sf_dir, "events")
@@ -1065,8 +1082,14 @@ def agg_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_kept"),
     )
-    return counts.join(trimmed, "event_type").select(
-        "event_type", "n", "n_kept", "trimmed_sum_cents"
+    # null-safe join: a NULL event_type is a legitimate group in both
+    # engines' GROUP BY, but a plain equi-join between the two
+    # aggregates silently dropped it (r09 degenerate sweep — the r08
+    # upsert lesson again: every group-key rejoin must be eqNullSafe)
+    return counts.join(
+        trimmed, counts["event_type"].eqNullSafe(trimmed["event_type"])
+    ).select(
+        counts["event_type"], "n", "n_kept", "trimmed_sum_cents"
     )
 
 

@@ -1219,10 +1219,20 @@ def duplicate_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("comp").alias("component_id"),
         "csize",
     )
-    return docs.select("doc_id").join(clustered, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("component_id", "doc_id").alias("component_id"),
-        F.coalesce("csize", F.lit(1)).cast("bigint").alias("component_size"),
+    # distinct: components are over the SET of doc ids — a duplicated
+    # doc_id row emitted two identical membership rows where the
+    # oracle's recursive UNION kept one (r09 degenerate sweep)
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            F.coalesce("csize", F.lit(1))
+            .cast("bigint")
+            .alias("component_size"),
+        )
     )
 
 

@@ -343,9 +343,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (float32→double is exact; x*10000 is the same IEEE double in both
 # engines; both round ties away from zero).
 _Q = 10000
+# CASE len>0: DuckDB's list_aggregate sums an EMPTY list to NULL while
+# Spark's aggregate folds it to the 0 init — pin both engines to NULL
+# for empty/NULL embeddings (no mass measured; SUM skips; r09 sweep)
 _QABS_DUCK = (
-    f"list_aggregate(list_transform(embedding,"
+    f"CASE WHEN len(embedding) > 0 THEN"
+    f" list_aggregate(list_transform(embedding,"
     f" x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT))), 'sum')"
+    f" END"
 )
 
 
@@ -373,13 +378,20 @@ def multimodal_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the average is an exact int/int ratio."""
     docs = attach_media(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
-    qabs = F.aggregate(
-        F.transform(
-            "embedding",
-            lambda x: F.abs(F.round(x.cast("double") * _Q, 0).cast("bigint")),
+    # when(size>0): the empty-vs-NULL pin described at _QABS_DUCK
+    # (Spark size(NULL) is -1, so one predicate covers both)
+    qabs = F.when(
+        F.expr("size(embedding) > 0"),
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.abs(
+                    F.round(x.cast("double") * _Q, 0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
         ),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
     )
     j = docs.join(emb, emb["vec_id"] == docs["doc_id"])
     return j.groupBy("source", "label").agg(
@@ -410,11 +422,16 @@ N_EXPORT_SHARDS = 16
     "multimodal_shard_manifest",
     f"""
     WITH m AS (
+      -- keyless (NULL doc_id) items cannot be manifested: they hash
+      -- to a NULL shard whose members_fp diverged between engines
+      -- (Spark collect_list skips the NULL id -> md5(''), DuckDB's
+      -- array_to_string nulls the whole fp; r09 degenerate sweep)
       SELECT doc_id,
              ({H.md5_int64("CAST(doc_id AS VARCHAR)", duck=True)})
                % {N_EXPORT_SHARDS} AS shard,
              octet_length(encode(text)) AS n_bytes
       FROM documents
+      WHERE doc_id IS NOT NULL
     )
     SELECT shard,
            COUNT(*) AS n_items,
@@ -425,7 +442,9 @@ N_EXPORT_SHARDS = 16
     """,
 )
 def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = attach_media(load_table(spark, sf_dir, "documents"))
+    docs = attach_media(
+        load_table(spark, sf_dir, "documents").where("doc_id IS NOT NULL")
+    )
     # plain %: md5_int64 is constructed non-negative ([0, 2^32) —
     # hashing.py's contract every other consumer relies on); the old
     # sign-fix double-mod falsely signaled the hash could be negative

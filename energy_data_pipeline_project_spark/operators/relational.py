@@ -51,13 +51,22 @@ from ._registry import make_registry
 QUERIES, ORACLES, query = make_registry()
 
 
+from ..functions import money as _money
+
+
 def _cents(expr_sql: str) -> F.Column:
-    return F.expr(f"CAST(ROUND(({expr_sql}) * 100, 0) AS BIGINT)")
+    # non-finite-hardened since r09 (functions/money.py): one NaN/Inf
+    # reading NULLs out instead of aborting the ANSI BIGINT cast. A
+    # no-op for the fixed-decimal money columns; load-bearing for the
+    # continuous events.value measure (degenerate-corpus sweep).
+    return _money.cents(f"({expr_sql})")
 
 
 REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
 _REV_CENTS_DUCK = f"CAST(ROUND(({REVENUE_SQL}) * 100, 0) AS BIGINT)"
 _QTY_CENTS_DUCK = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
+# the continuous measure's oracle spelling carries the same guard
+_VAL_CENTS_DUCK = _money.cents_sql("value")
 
 
 # ---------------------------------------------------------------------------
@@ -556,7 +565,11 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2
     )
     SELECT l_returnflag, ship_date, day_cents,
-           CAST(SUM(day_cents) OVER (PARTITION BY l_returnflag ORDER BY ship_date
+           -- NULLS FIRST pins the undated bucket's position: Spark
+           -- windows default NULLS FIRST, DuckDB NULLS LAST (r09
+           -- degenerate sweep)
+           CAST(SUM(day_cents) OVER (PARTITION BY l_returnflag
+                ORDER BY ship_date NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_cents
     FROM daily
@@ -590,7 +603,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT order_date, avg_price,
-           avg_price - LAG(avg_price) OVER (ORDER BY order_date)
+           -- NULLS FIRST: see window_running_sum (r09 degenerate sweep)
+           avg_price - LAG(avg_price) OVER (ORDER BY order_date NULLS FIRST)
              AS delta_vs_prev
     FROM daily
     """,
@@ -723,16 +737,21 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS min_k,
+           MAX(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
     """,
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # try_cast: a non-scalar $.k (nested object/array in a degenerate
+    # payload) must extract as NULL, not abort the ANSI string->int
+    # cast — mirrored by TRY_CAST + a json_valid() guard in the oracle
+    # (DuckDB's json functions THROW on malformed JSON where Spark's
+    # yield NULL; r09 degenerate sweep)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).cast("bigint").alias("sum_k"),
@@ -745,9 +764,9 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_coalesce_probe",
     """
     SELECT event_type,
-           CAST(SUM(CAST(COALESCE(json_extract_string(props, '$.k'),
-                                  json_extract_string(props, '$.key'),
-                                  json_extract_string(props, '$.data'),
+           CAST(SUM(TRY_CAST(COALESCE(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
+                                  json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.key'),
+                                  json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.data'),
                                   '-1') AS BIGINT)) AS BIGINT) AS sum_probed
     FROM events
     GROUP BY event_type
@@ -758,12 +777,14 @@ def json_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate JSON paths, take the first non-null
     # (/root/reference/src/transformations/bronze_to_silver.py:124-132).
     ev = load_table(spark, sf_dir, "events")
-    probed = F.coalesce(
-        F.get_json_object("props", "$.k"),
-        F.get_json_object("props", "$.key"),
-        F.get_json_object("props", "$.data"),
-        F.lit("-1"),
-    ).cast("bigint")
+    probed = F.expr(
+        # try_cast for the same degenerate-payload reason as
+        # json_extract_events: a nested $.k probes as its JSON text
+        # and must sum as NULL, not abort the cast
+        "try_cast(coalesce(get_json_object(props, '$.k'),"
+        " get_json_object(props, '$.key'),"
+        " get_json_object(props, '$.data'), '-1') AS BIGINT)"
+    )
     return ev.groupBy("event_type").agg(
         F.sum(probed).cast("bigint").alias("sum_probed")
     )
@@ -772,10 +793,10 @@ def json_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_variant_agg",
     """
-    SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10)
+    SELECT (TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) % 10)
              AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+           CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER))
              AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
@@ -792,7 +813,10 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one.  The oracle speaks plain JSON SQL; results match because
     variant extraction is lossless for JSON scalars."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    # try_ forms: malformed JSON parses to NULL variant, and a
+    # non-scalar $.k extracts as NULL instead of aborting the cast
+    # (r09 degenerate sweep; oracle mirrors with json_valid+TRY_CAST)
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return ev.select(k.alias("k")).groupBy(
         (F.col("k") % 10).alias("k_bucket")
     ).agg(
@@ -803,12 +827,12 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly",
-    """
+    f"""
     SELECT CAST(ts AS DATE) AS event_date,
            CAST(extract(hour FROM ts) AS INT) AS event_hour,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+           CAST(SUM({_VAL_CENTS_DUCK}) AS DOUBLE)
              / 100.0 / COUNT(*) AS avg_value
     FROM events
     GROUP BY 1, 2, 3
@@ -831,11 +855,11 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_daily",
-    """
+    f"""
     SELECT CAST(ts AS DATE) AS event_date,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(SUM({_VAL_CENTS_DUCK}) AS DOUBLE) / 100.0
              AS sum_value
     FROM events
     GROUP BY 1
@@ -1167,9 +1191,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trunc(F.to_date("l_shipdate"), "month").alias("ship_month")
         )
         .agg(
-            (
-                (F.lit(100.0) * F.sum(promo_cents).cast("double"))
-                / F.sum(rev_cents).cast("double")
+            # try_divide: a month whose revenue nets to 0 cents has an
+            # undefined promo share — NULL, matching DuckDB's /0
+            # (r09 degenerate sweep)
+            F.try_divide(
+                F.lit(100.0) * F.sum(promo_cents).cast("double"),
+                F.sum(rev_cents).cast("double"),
             ).alias("promo_pct"),
             F.count("*").alias("n_lines"),
         )
@@ -1409,7 +1436,10 @@ def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(p_name, 1, 5) AS name_prefix,
            replace(p_type, ' ', '_') AS type_snake,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-           split_part(p_brand, '_', 1) AS brand_head,
+           -- DuckDB split_part(NULL,...) returns '' where Spark
+           -- returns NULL; pin NULL-in-NULL-out (r09 degenerate sweep)
+           CASE WHEN p_brand IS NULL THEN NULL
+                ELSE split_part(p_brand, '_', 1) END AS brand_head,
            CAST(strpos(p_name, 'a') AS INT) AS first_a,
            reverse(p_brand) AS brand_rev,
            CAST(length(p_name) AS INT) AS name_len
@@ -1472,6 +1502,10 @@ def proj_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY o_totalprice) - 1 AS rn,
              COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM orders
+      -- percentiles are over MEASURED prices only: a NULL price in
+      -- the rank domain skewed n while contributing no value, and
+      -- ranked NULLS FIRST in Spark vs LAST in DuckDB (r09 sweep)
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority,
     """
@@ -1502,7 +1536,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND implementations split (r07 review). At 100 TB exact
     percentiles require a per-group sort either way — switch to
     ``approx_percentile`` (KLL/GK sketch) when groups stop fitting."""
-    orders = load_table(spark, sf_dir, "orders")
+    # measured prices only: see the oracle's WHERE comment (r09 sweep)
+    orders = load_table(spark, sf_dir, "orders").where(
+        "o_totalprice IS NOT NULL"
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     wn = Window.partitionBy("o_orderpriority")
     ranked = orders.select(
@@ -1709,6 +1746,10 @@ def agg_conditional_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
               c := CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
               nk := -o_orderkey)).c AS best_price_cents
     FROM orders
+    -- unpriced orders cannot be the argmax: NULL struct fields rank
+    -- HIGHEST in DuckDB comparisons but LOWEST in Spark's, so a NULL
+    -- price was silently "best" in one engine only (r09 sweep)
+    WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) IS NOT NULL
     GROUP BY o_custkey
     """,
 )
@@ -1723,7 +1764,8 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the advertised 100 TB scale (r07 review); struct comparison has
     no such bound."""
     orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(
+    # NULL-price exclusion: see the oracle's WHERE comment (r09 sweep)
+    keyed = orders.where(_cents("o_totalprice").isNotNull()).select(
         "o_custkey",
         F.struct(
             _cents("o_totalprice").alias("c"),
@@ -1765,7 +1807,10 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT c_acctbal,
-             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+             -- NULLS FIRST matches the Spark decomposition's running
+             -- sum (Spark sorts NULLS FIRST, DuckDB LAST; r09 sweep)
+             ntile(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey)
+               AS quartile
       FROM customer
     )
     SELECT quartile, COUNT(*) AS n,
@@ -1804,11 +1849,17 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(r + F.ceil((pos - big) / q))
         .cast("int")
     )
+    ranked = cust.select(
+        "c_acctbal", F.row_number().over(wr).alias("rn")
+    )
+    # eqNullSafe: a NULL-acctbal customer is a legitimate ranked group
+    # (first under NULLS FIRST); the plain equi-join silently dropped
+    # those rows from the quartiles (r09 degenerate sweep)
     t = (
-        cust.select(
-            "c_acctbal", F.row_number().over(wr).alias("rn")
+        ranked.join(
+            below, ranked["c_acctbal"].eqNullSafe(below["c_acctbal"])
         )
-        .join(below, "c_acctbal")
+        .drop(below["c_acctbal"])
         .crossJoin(F.broadcast(tot))
         .select("c_acctbal", bucket.alias("quartile"))
     )
@@ -1824,7 +1875,8 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percent_rank_suppliers",
     """
     SELECT s_suppkey, s_acctbal,
-           percent_rank() OVER (ORDER BY s_acctbal) AS pr
+           -- NULLS FIRST matches the Spark decomposition (r09 sweep)
+           percent_rank() OVER (ORDER BY s_acctbal NULLS FIRST) AS pr
     FROM supplier
     """,
 )
@@ -1845,8 +1897,12 @@ def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal", (F.sum("cnt").over(wv) - F.col("cnt")).alias("below")
     )
     tot = sup.agg(F.count("*").alias("n_total"))
+    # eqNullSafe: a NULL-acctbal supplier still gets a percent_rank
+    # (0 under NULLS FIRST); the equi-join dropped its row entirely
+    # (r09 degenerate sweep)
     return (
-        sup.join(below, "s_acctbal")
+        sup.join(below, sup["s_acctbal"].eqNullSafe(below["s_acctbal"]))
+        .drop(below["s_acctbal"])
         .crossJoin(F.broadcast(tot))
         .select(
             "s_suppkey",
@@ -1931,10 +1987,12 @@ def events_regexp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_value_histogram",
-    """
-    SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), 6) AS bucket,
+    f"""
+    SELECT CASE WHEN {_money.finite_sql("value")} IS NULL THEN NULL
+                ELSE LEAST(CAST(FLOOR({_money.finite_sql("value")} / 50.0)
+                                AS INT), 6) END AS bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM({_VAL_CENTS_DUCK}) AS BIGINT)
              AS sum_cents
     FROM events
     GROUP BY 1
@@ -1942,9 +2000,17 @@ def events_regexp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram as integer bucket math (floor/least are
-    exact on these fixed-decimal values — no float-boundary risk)."""
+    exact on these fixed-decimal values — no float-boundary risk).
+
+    NULL/NaN/Inf values land in a NULL bucket via an explicit CASE:
+    LEAST() SKIPS NULL args in both engines, so without it a
+    non-finite reading would silently clamp into bucket 6 — the
+    agreement-on-wrong class (r09 degenerate sweep)."""
     ev = load_table(spark, sf_dir, "events")
-    bucket = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(6))
+    fin = F.expr(_money.finite_sql("value"))
+    bucket = F.when(
+        fin.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.least(F.floor(fin / 50.0).cast("int"), F.lit(6)))
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
         F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
@@ -2168,11 +2234,17 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # product far from int64 range at bench scales; the docstring notes
 # the 100 TB variant (built-in regr_slope over double moments).
 def linear_trend(events: DataFrame) -> DataFrame:
+    # rows with no usable (x, y) pair are excluded from ALL moments —
+    # counting them in n while SUM skipped their NULL products made
+    # every statistic silently inconsistent (both engines agreed on
+    # the wrong slope; r09 degenerate sweep). NULL ts and non-finite
+    # value (guarded _cents → NULL) both drop here, identically in
+    # the oracle's ev CTE.
     ev = events.select(
         "event_type",
         F.to_date("ts").alias("d"),
         _cents("value").alias("y"),
-    )
+    ).where("d IS NOT NULL AND y IS NOT NULL")
     base = ev.agg(F.min("d").alias("d0"))
     m = (
         ev.crossJoin(F.broadcast(base))
@@ -2222,11 +2294,12 @@ def linear_trend(events: DataFrame) -> DataFrame:
 
 @query(
     "events_linear_trend",
-    """
+    f"""
     WITH ev AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+             {_VAL_CENTS_DUCK} AS y
       FROM events
+      WHERE ts IS NOT NULL AND {_VAL_CENTS_DUCK} IS NOT NULL
     ),
     base AS (SELECT MIN(d) AS d0 FROM ev),
     m AS (
@@ -2591,11 +2664,16 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(">"),
         F.lit("&gt;"),
     )
+    # user_id gets the SAME empty-element treatment as event_type: a
+    # NULL anywhere in concat() NULLs the whole payload, so one
+    # anonymous event silently erased its type and value after the
+    # permissive parse (r09 degenerate sweep); <u></u> reads back as
+    # NULL BIGINT, which is what the oracle states.
     xml = F.concat(
         F.lit("<e><t>"),
         F.coalesce(escaped, F.lit("")),
         F.lit("</t><u>"),
-        F.col("user_id").cast("string"),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")),
         F.lit("</u><v>"),
         F.col("value").cast("string"),
         F.lit("</v></e>"),
@@ -2641,10 +2719,14 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS second_cents
     FROM orders
     WINDOW
+      -- NULLS FIRST pins NULL-price rows to Spark's default ordering
+      -- (DuckDB defaults NULLS LAST; r09 degenerate sweep)
       w AS (PARTITION BY o_orderpriority
-            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey),
+            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+              NULLS FIRST, o_orderkey),
       wf AS (PARTITION BY o_orderpriority
-             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey
+             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -3361,8 +3443,11 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("l_partkey").agg(
         F.count("*").alias("n_suppliers"),
         F.sum("q").cast("bigint").alias("total_qty"),
-        (
-            F.sum(F.col("q") * F.col("q")).cast("double")
-            / (F.sum("q") * F.sum("q"))
+        # try_divide: a part whose quantities sum to 0 has an undefined
+        # concentration — NULL, matching DuckDB's /0 (Spark's ANSI
+        # divide would abort the job instead; r09 degenerate sweep)
+        F.try_divide(
+            F.sum(F.col("q") * F.col("q")).cast("double"),
+            F.sum("q") * F.sum("q"),
         ).alias("hhi"),
     )

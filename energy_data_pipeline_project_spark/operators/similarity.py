@@ -82,6 +82,18 @@ LSH_TABLES = 12
 LSH_BITS = 3
 LSH_DIM = 64
 
+# Valid-vector predicate, one spelling per engine: the embeddings
+# contract is non-NULL dim-64 arrays, but real 100 TB ingest leaks
+# NULL and ragged rows, and those KILL whole jobs downstream (DuckDB
+# list_dot_product rejects dim-mismatch/NULL; numpy stacks ragged
+# batches as object arrays). Malformed vectors are excluded at the
+# source of each vector operator — identically in the oracle — so one
+# corrupt row degrades to "not indexed", never to a dead job
+# (r09 degenerate sweep).
+EMB_DIM = 64
+VALID_VEC_SPARK = f"(embedding IS NOT NULL AND size(embedding) = {EMB_DIM})"
+VALID_VEC_DUCK = f"(embedding IS NOT NULL AND len(embedding) = {EMB_DIM})"
+
 
 def _plane(j: int) -> list[int]:
     return [
@@ -191,7 +203,7 @@ def _lsh_oracle() -> str:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
                       {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS nrm,
                       {bucket_cols}
-               FROM embeddings),
+               FROM embeddings WHERE {VALID_VEC_DUCK}),
     buckets AS (
     {melted}
     ),
@@ -227,7 +239,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash LSH — so at 100 TB it shuffles small int keys, never the
     O(n²) pair space. Recall@5 ≥ 0.8 vs brute force gated in
     tests/test_similarity_recall.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # malformed vectors out first (the oracle's e CTE carries the
+    # same VALID_VEC filter): a NULL/ragged embedding would bucket as
+    # a degenerate all-zero dot in Spark but ABORTS DuckDB's
+    # fixed-width list kernel — and neither belongs in the index
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     bucket_arr = F.array(
         *[
             F.expr(_table_bucket_sql("embedding", t, duck=False))
@@ -294,15 +310,21 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> dict[str, DataFrame]:
         emb = load_table(spark, sf_dir, "embeddings")
-        ep = emb.select(
+        # zero-grid-norm vectors are excluded from training exactly as
+        # they are from assignment/query (the oracle trains its cent
+        # CTE from the same filtered e; r09 degenerate sweep)
+        grid = emb.select(
             "vec_id",
             "label",
-            F.posexplode(
-                F.expr(
-                    "transform(CAST(embedding AS ARRAY<DOUBLE>),"
-                    " x -> FLOOR(x * 10000.0))"
-                )
-            ).alias("pos0", "qv"),
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                " x -> FLOOR(x * 10000.0))"
+            ).alias("qde"),
+        ).where(F.expr("size(filter(qde, x -> x != 0)) > 0"))
+        ep = grid.select(
+            "vec_id",
+            "label",
+            F.posexplode("qde").alias("pos0", "qv"),
         ).select("label", (F.col("pos0") + 1).alias("pos"), "qv")
         cent = ep.groupBy("label", "pos").agg(
             (F.sum("qv") / F.count("*")).alias("c")
@@ -329,15 +351,23 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_topk_ivf",
     f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de,
+    WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de,
                       list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> FLOOR(x * 10000.0)) AS qde
                FROM embeddings),
+    -- zero-grid-norm vectors (zero/empty/NULL embeddings, or magnitudes
+    -- below the 1e-4 grid) have no direction on the assignment grid:
+    -- their cosine is 0/0, which Spark's ANSI mode refuses and DuckDB
+    -- NaN-ranks arbitrarily — both wrong answers. They are excluded
+    -- from the index and the query set (r09 degenerate sweep).
+    e AS (SELECT * FROM e0
+          WHERE len(list_filter(qde, x -> x != 0)) > 0),
     ep AS (SELECT vec_id, label, i AS pos, qde[i] AS qv
            FROM e, LATERAL (SELECT unnest(generate_series(1, len(qde))) AS i)),
     cent AS (SELECT label, pos, SUM(qv) / COUNT(*) AS c
              FROM ep GROUP BY label, pos),
-    carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+             HAVING len(list_filter(list(c ORDER BY pos), x -> x != 0)) > 0),
     scored AS (
       SELECT e.vec_id, carr.label,
              {V.cosine_duck('e.qde', 'carr.cv')} AS cos,
@@ -404,7 +434,12 @@ def ann_topk_ivf(
         ).alias("qde"),
     )
 
-    carr = _ivf_centroid_arrays(spark, sf_dir)
+    # the same zero-grid-norm exclusion as the oracle's e CTE (see
+    # the oracle comment; r09 degenerate sweep)
+    e = e.where(F.expr("size(filter(qde, x -> x != 0)) > 0"))
+    carr = _ivf_centroid_arrays(spark, sf_dir).where(
+        F.expr("size(filter(cv, x -> x != 0)) > 0")
+    )
     # One row holding all k centroids: cell assignment becomes a pure
     # per-row EXPRESSION (sort k (−cos, label) structs, take the head)
     # instead of a crossJoin + row_number window — no assignment
@@ -480,7 +515,13 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid + nonzero-norm vectors only: NULL/ragged rows make numpy
+    # stack object arrays (task-killing ValueError) and a zero vector
+    # normalizes to NaN cosines (r09 degenerate sweep); the oracled
+    # bruteforce twin applies the same norm gate
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        VALID_VEC_SPARK
+    ).where(V.norm("embedding") > 0.0)
     qrows = (
         emb.where(F.col("vec_id") < N_QUERY_VECS)
         .select("vec_id", "embedding")
@@ -547,7 +588,7 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_norm_stats",
-    """
+    f"""
     SELECT label, COUNT(*) AS n,
            ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                            CAST(embedding AS DOUBLE[])))), 4)
@@ -558,7 +599,7 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                            CAST(embedding AS DOUBLE[])))), 4)
              AS max_norm
-    FROM embeddings
+    FROM embeddings WHERE {VALID_VEC_DUCK}
     GROUP BY label
     """,
 )
@@ -568,7 +609,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate dot products are codegen'd JVM loops — one scan, one
     partial+final agg, no Python. ROUND(,4) is safe: norms are
     continuous statistics (tie probability measure zero)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     nrm = V.norm("embedding")
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
@@ -1195,12 +1236,16 @@ def _rp_oracle() -> str:
     )
     return f"""
     WITH q AS MATERIALIZED (
+      -- valid vectors only: NULL/ragged embeddings produced NULL
+      -- projection components that the two engines' array_to_string
+      -- render differently (r09 degenerate sweep); a malformed row
+      -- is excluded, not silently projected
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT))
                AS ev,
              [{sgn_rows}] AS sgn
-      FROM embeddings
+      FROM embeddings WHERE {VALID_VEC_DUCK}
     ),
     p AS MATERIALIZED (
       SELECT vec_id,
@@ -1235,7 +1280,8 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer hashes results through pandas, which cannot sort or
     hash list-typed cells (r05 verdict — the only complex-typed output
     on the surface). Scalar-output-first is the driver contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid vectors only: see the oracle's q comment (r09 sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     proj = F.array(
         *[F.expr(_rp_proj_expr(j)) for j in range(RP_DIM)]
     ).alias("proj")
@@ -1298,7 +1344,8 @@ def _pi_gram_cte() -> str:
     return f"""g AS MATERIALIZED (
       SELECT u['d1'] AS d1, u['d2'] AS d2,
              CAST(FLOOR(CAST(SUM(u['p']) AS DOUBLE)
-                  / (SELECT COUNT(*) FROM embeddings)) AS BIGINT) AS a
+                  / (SELECT COUNT(*) FROM embeddings
+                     WHERE {VALID_VEC_DUCK})) AS BIGINT) AS a
       FROM (
         SELECT unnest(flatten(list_transform(generate_series(1, {d}),
           d1 -> list_transform(generate_series(1, {d}),
@@ -1307,7 +1354,7 @@ def _pi_gram_cte() -> str:
                          AS BIGINT)
                        * CAST(FLOOR(CAST(embedding[d2] AS DOUBLE) * {q})
                          AS BIGINT)}})))) AS u
-        FROM embeddings)
+        FROM embeddings WHERE {VALID_VEC_DUCK})
       GROUP BY 1, 2
     )"""
 
@@ -1351,10 +1398,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (Python // floors — different on negatives)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid vectors only (oracle gram CTE + divisor carry the same
+    # filter): a NULL/ragged embedding stacked ragged numpy batches
+    # into object arrays and killed the Gram task (r09 degen sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     q, d = RP_QUANT, LSH_DIM
-    # COUNT(*) over parquet is answered from row-group metadata (no
-    # column IO) — same bounded-scalar carve as pq._n_vecs
     n = emb.count()
 
     # Partial Grams per Arrow batch: g^T g in int64 BLAS — the exact

@@ -220,11 +220,16 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf",
     f"""
     WITH toks AS (
+      -- keyless (NULL doc_id) documents are excluded: they cannot be
+      -- ranked per-doc, and worse, a term appearing ONLY in them gets
+      -- df = 0 (COUNT DISTINCT skips NULL) while its tf rows survive,
+      -- so the idf divides by zero (r09 degenerate sweep)
       SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL),
     scored AS (
       SELECT tf.doc_id, tf.term,
              ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
@@ -257,7 +262,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught that class and the double-round was dropped (r07 verdict
     #5; same scheme in text_bm25_topk).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-doc_id exclusion: see the oracle's toks comment (df=0 for
+    # terms unique to a keyless doc divided the idf by zero)
+    docs = load_table(spark, sf_dir, "documents").where(
+        "doc_id IS NOT NULL"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("term")
     )
@@ -817,7 +826,11 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             -- NULLS FIRST: a keyless doc still occupies stream
+             -- space; Spark packs it first, DuckDB last, shifting
+             -- every later offset in the stream (r09 sweep)
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY doc_id NULLS FIRST
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS cum
       FROM t
@@ -1171,10 +1184,13 @@ SOURCE_CAP_SALT = 8
     f"""
     SELECT doc_id, source, source_rank FROM (
       SELECT doc_id, source,
+             -- NULLS FIRST: a keyless doc hashes to a NULL order
+             -- key, which Spark ranks first and DuckDB last,
+             -- shifting every rank after it (r09 degenerate sweep)
              CAST(ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY {_key_duck},
-                        doc_id) AS INT) AS source_rank
+               ORDER BY {_key_duck} NULLS FIRST,
+                        doc_id NULLS FIRST) AS INT) AS source_rank
       FROM documents
     ) WHERE source_rank <= {SOURCE_CAP_N}
     """,
@@ -1397,15 +1413,28 @@ _REBUILD_TAIL_DUCK = (
 )
 
 
+# Recursion depth bound for the Spark side = max chunks per doc the
+# rebuild can walk. Spark caps recursive CTEs at 100 levels by default
+# and ABORTS past it, while DuckDB iterates to fixpoint — a 5000-token
+# document (>100 chunks) killed the Spark side only (r09 degenerate
+# sweep). 100k levels covers ~6M-token docs at the 64-token chunk
+# grain; genuinely unbounded docs belong to the iterative dechunk
+# operator, not a recursive CTE.
+DECHUNK_MAX_LEVELS = 100_000
+
+
 def _dechunk_recursive_sql(
-    chunks_rel: str, tail_expr: str, head_ctes: str = ""
+    chunks_rel: str, tail_expr: str, head_ctes: str = "",
+    level_clause: str = "",
 ) -> str:
     """Shared recursion text; only the chunk relation, the
-    slice-dialect fragment, and optional leading CTEs differ between
-    engines (the oracle inlines the chunk query as a leading CTE —
-    both engines want exactly ONE combined WITH RECURSIVE clause)."""
+    slice-dialect fragment, optional leading CTEs, and the Spark-only
+    MAX RECURSION LEVEL clause differ between engines (the oracle
+    inlines the chunk query as a leading CTE — both engines want
+    exactly ONE combined WITH RECURSIVE clause; DuckDB has no level
+    cap to raise)."""
     return f"""
-    WITH RECURSIVE {head_ctes}rebuild(doc_id, chunk_id, acc) AS (
+    WITH RECURSIVE {head_ctes}rebuild(doc_id, chunk_id, acc){level_clause} AS (
       SELECT doc_id, chunk_id, chunk_text AS acc
       FROM {chunks_rel} WHERE chunk_id = 0
       UNION ALL
@@ -1448,7 +1477,13 @@ def text_dechunk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spark.sql analyzes eagerly, so the returned DataFrame's plan
         # no longer needs the catalog entry — drop it immediately or
         # every invocation leaks a temp view for the session lifetime
-        return spark.sql(_dechunk_recursive_sql(view, _REBUILD_TAIL_SPARK))
+        return spark.sql(
+            _dechunk_recursive_sql(
+                view,
+                _REBUILD_TAIL_SPARK,
+                level_clause=f" MAX RECURSION LEVEL {DECHUNK_MAX_LEVELS}",
+            )
+        )
     finally:
         spark.catalog.dropTempView(view)
 

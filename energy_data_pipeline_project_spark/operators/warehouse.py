@@ -325,12 +325,20 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_lines,
            CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
                          AS BIGINT)) AS BIGINT) AS total_cents,
+           -- NULL-safe element build: a NULL quantity NULLed the
+           -- whole element, which DuckDB's array_to_string turned
+           -- into a NULL fp while Spark's array_join skipped it
+           -- (md5('')) — both wrong for a real line (r09 sweep).
+           -- NULLS FIRST matches Spark's struct sort.
            md5(array_to_string(
              list(
-               l_partkey || ':' || l_linenumber || ':'
-                 || CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
-               ORDER BY l_partkey, l_linenumber,
+               COALESCE(CAST(l_partkey AS VARCHAR), '') || ':'
+                 || COALESCE(CAST(l_linenumber AS VARCHAR), '') || ':'
+                 || COALESCE(CAST(CAST(ROUND(l_quantity * 100, 0)
+                                       AS BIGINT) AS VARCHAR), '')
+               ORDER BY l_partkey NULLS FIRST, l_linenumber NULLS FIRST,
                         CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                          NULLS FIRST
              ), ',')) AS lines_fp
     FROM lineitem
     GROUP BY l_orderkey
@@ -344,12 +352,15 @@ def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
         F.md5(
+            # coalesced components: see the oracle comment (r09 sweep)
             F.expr(
                 "array_join(transform("
                 "  array_sort(collect_list(struct("
                 "    l_partkey, l_linenumber,"
                 "    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qc))),"
-                "  x -> concat(x.l_partkey, ':', x.l_linenumber, ':', x.qc)"
+                "  x -> concat(coalesce(CAST(x.l_partkey AS STRING), ''),"
+                "    ':', coalesce(CAST(x.l_linenumber AS STRING), ''),"
+                "    ':', coalesce(CAST(x.qc AS STRING), ''))"
                 "), ',')"
             )
         ).alias("lines_fp"),
@@ -538,9 +549,11 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_outlier_iqr",
     f"""
     WITH v AS (
-      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      SELECT event_type, {_CENTS.format("value")} AS cents,
              COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE {_CENTS.format("value")} IS NOT NULL
+      GROUP BY 1, 2
     ),
     c AS (
       SELECT event_type, cents, cnt,
@@ -569,10 +582,15 @@ def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the value-grain frame feeds BOTH the quartile
     # derivation and the final outlier join — without it the full
     # events aggregation ran twice (r07 review; the RI-audit lesson)
+    # unmeasurable readings (NULL/NaN/Inf -> NULL cents) are excluded
+    # from the CDF and its n: a NULL cents grain would rank NULLS FIRST
+    # in Spark windows but NULLS LAST in DuckDB, shifting every
+    # quartile (r09 degenerate sweep; oracle's v CTE carries the same
+    # filter)
     v = _cached_keys(
-        ev.groupBy("event_type", _cents("value").alias("cents")).agg(
-            F.count("*").alias("cnt")
-        )
+        ev.where(_cents("value").isNotNull())
+        .groupBy("event_type", _cents("value").alias("cents"))
+        .agg(F.count("*").alias("cnt"))
     )
     wc = Window.partitionBy("event_type").orderBy("cents")
     wn = Window.partitionBy("event_type")
@@ -1002,7 +1020,7 @@ _KANON_BAND = 50_00  # value cents per band (~deciles of the 0-500 range)
     f"""
     WITH qi AS (
       SELECT event_type,
-             CAST(ROUND(value * 100, 0) AS BIGINT) // {_KANON_BAND} AS band,
+             {_CENTS.format("value")} // {_KANON_BAND} AS band,
              CAST(ts AS DATE) AS d,
              COUNT(*) AS grp
       FROM events GROUP BY 1, 2, 3
@@ -1022,7 +1040,7 @@ def events_kanonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     qi = ev.groupBy(
         "event_type",
-        F.expr(f"CAST(ROUND(value * 100, 0) AS BIGINT) DIV {_KANON_BAND}").alias(
+        F.expr(f"{_CENTS.format('value')} DIV {_KANON_BAND}").alias(
             "band"
         ),
         F.to_date("ts").alias("d"),

@@ -304,9 +304,11 @@ def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
     Batch twin: the identical function applied to a static events frame
     (tests/test_streaming.py::test_stream_static_enrich_parity).
     """
-    weighted = F.col("weight_cents").cast("bigint") * F.expr(
-        "CAST(ROUND(value * 100, 0) AS BIGINT)"
-    )
+    from ..functions.money import cents as _cents
+
+    # non-finite-hardened cents (functions/money.py): one NaN reading
+    # in the stream must weight as NULL, not abort the micro-batch
+    weighted = F.col("weight_cents").cast("bigint") * _cents("value")
     return events.join(F.broadcast(dim), "event_type").select(
         "event_id",
         "event_type",

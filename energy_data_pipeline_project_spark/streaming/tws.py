@@ -56,12 +56,18 @@ class RunningUserTotals(StatefulProcessor):
             # (away from zero) to match Spark's ROUND in the batch
             # aggregate this operator is pinned against — pandas
             # .round() is half-EVEN and diverges on exact .5 cents.
-            # dropna FIRST: a NULL value is NaN here, and
+            # drop non-finite FIRST: a NULL value is NaN here, and
             # floor(NaN+0.5).astype(int64) is INT64_MIN garbage that
-            # would corrupt the lifetime total forever — the batch
-            # twin's SUM(ROUND(value*100)) skips NULLs (r06 review)
-            v = pdf["value"].dropna() * 100
+            # would corrupt the lifetime total forever (r06 review);
+            # ±Inf survives dropna and corrupts identically, so it is
+            # nulled the same way the batch twin's guarded cents
+            # template does (functions/money.py, r09 degenerate sweep)
             import numpy as np
+
+            v = (
+                pdf["value"].replace([np.inf, -np.inf], np.nan).dropna()
+                * 100
+            )
 
             half_up = np.sign(v) * np.floor(np.abs(v) + 0.5)
             cents += int(half_up.astype("int64").sum())

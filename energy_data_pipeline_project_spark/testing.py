@@ -174,3 +174,201 @@ def compare_query(spark, sf_dir: str, name: str, query_fn, oracle: str) -> Parit
             f"values differ; first diffs (spark vs oracle): {diffs}",
         )
     return ParityResult(name, True, len(s_rows), len(o_rows))
+
+
+# ---------------------------------------------------------------------------
+# Degenerate (adversarial) corpus — the parity-invisible bug hunt
+# ---------------------------------------------------------------------------
+def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.001") -> None:
+    """Write an adversarial variant of the driver testdata to ``out_dir``.
+
+    Hash-parity proves Spark == oracle, but it cannot catch the two
+    engines AGREEING on a wrong answer (r08's least()-skips-NULL bug:
+    a NULL-text doc scored as CAP-length in both engines). This
+    fixture attacks that blind spot with the degenerate shapes real
+    100 TB ingest produces — NULL/empty/whitespace text, NULL keys,
+    duplicate primary keys, zero vectors, NULL embeddings, identical
+    and opposite vectors, single-member groups, all-tied groups,
+    malformed JSON, NaN/Inf measures, NULL timestamps, lowercase
+    status flags — appended to a slice of the real sf0.001 tables so
+    every operator still has statistical mass to chew on. Running the
+    full query surface over it (tests/test_degenerate_corpus.py)
+    turns crashes and cross-engine divergence into findings; schemas
+    (incl. events.ts TIMESTAMP[ns]) match the driver fixture exactly
+    so the same load paths are exercised.
+
+    Known deliberate limits: embedding magnitudes stay in the normal
+    [-1, 1] band — the PQ integer grid (×1e4, squared-distance sums)
+    documents unit-norm-ish input, and a 1e14 reading overflows int64
+    there by design (the documented contract, not a silent wrong
+    answer).
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(table: str, base_rows: int, extra: list[dict]) -> None:
+        src = pq_.read_table(os.path.join(base_dir, f"{table}.parquet"))
+        head = src.slice(0, base_rows)
+        if extra:
+            add = pa.Table.from_pylist(extra, schema=src.schema)
+            head = pa.concat_tables([head, add])
+        pq_.write_table(head, os.path.join(out_dir, f"{table}.parquet"))
+
+    emit("region", 5, [
+        {"r_regionkey": 90, "r_name": None},
+        {"r_regionkey": 91, "r_name": "africa"},  # case-dup of AFRICA
+    ])
+    emit("nation", 25, [
+        {"n_nationkey": 90, "n_name": None, "n_regionkey": 0},
+        {"n_nationkey": 91, "n_name": "ZZ-ORPHAN", "n_regionkey": 77},
+        {"n_nationkey": 92, "n_name": "DUPNAME", "n_regionkey": 0},
+        {"n_nationkey": 93, "n_name": "DUPNAME", "n_regionkey": 1},
+    ])
+    emit("customer", 60, [
+        {"c_custkey": 900001, "c_name": "dup-key-a", "c_nationkey": 0,
+         "c_acctbal": 10.0, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 900001, "c_name": "dup-key-b", "c_nationkey": 1,
+         "c_acctbal": 20.0, "c_mktsegment": "MACHINERY"},
+        {"c_custkey": 900002, "c_name": "one-order", "c_nationkey": 2,
+         "c_acctbal": None, "c_mktsegment": None},
+        {"c_custkey": 900003, "c_name": "no-orders", "c_nationkey": None,
+         "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
+    ])
+    emit("supplier", 10, [
+        {"s_suppkey": 9001, "s_name": None, "s_nationkey": None,
+         "s_acctbal": None},
+        {"s_suppkey": 9002, "s_name": "lonely", "s_nationkey": 91,
+         "s_acctbal": 0.0},
+    ])
+    emit("part", 80, [
+        {"p_partkey": 90001, "p_name": None, "p_brand": None,
+         "p_type": None, "p_size": 0, "p_retailprice": 0.0},
+        {"p_partkey": 90002, "p_name": "twin part", "p_brand": "Brand#00",
+         "p_type": "ECONOMY ANODIZED STEEL", "p_size": 1,
+         "p_retailprice": -5.0},
+        {"p_partkey": 90003, "p_name": "twin part", "p_brand": "Brand#00",
+         "p_type": "ECONOMY ANODIZED STEEL", "p_size": 1,
+         "p_retailprice": -5.0},
+    ])
+    import datetime as _dt
+
+    d0 = _dt.datetime(1995, 6, 1)
+    emit("orders", 300, [
+        {"o_orderkey": 900001, "o_custkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": None, "o_orderdate": d0, "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900002, "o_custkey": 900002, "o_orderstatus": "o",
+         "o_totalprice": 100.0, "o_orderdate": None, "o_orderpriority": None},
+        {"o_orderkey": 900003, "o_custkey": None, "o_orderstatus": "F",
+         "o_totalprice": 50.0, "o_orderdate": d0, "o_orderpriority": "5-LOW"},
+        # duplicate orderkey pair (joins multiply; both engines must agree)
+        {"o_orderkey": 900004, "o_custkey": 900003, "o_orderstatus": "F",
+         "o_totalprice": 75.0, "o_orderdate": d0, "o_orderpriority": "5-LOW"},
+        {"o_orderkey": 900004, "o_custkey": 900003, "o_orderstatus": "F",
+         "o_totalprice": 75.0, "o_orderdate": d0, "o_orderpriority": "5-LOW"},
+        # all-tied group: 3 same-date same-price orders for one customer
+        {"o_orderkey": 900005, "o_custkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": 42.0, "o_orderdate": d0, "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900006, "o_custkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": 42.0, "o_orderdate": d0, "o_orderpriority": "3-MEDIUM"},
+        {"o_orderkey": 900007, "o_custkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": 42.0, "o_orderdate": d0, "o_orderpriority": "3-MEDIUM"},
+    ])
+    emit("lineitem", 600, [
+        {"l_orderkey": 900001, "l_partkey": 90001, "l_suppkey": 9001,
+         "l_linenumber": 1, "l_quantity": None, "l_extendedprice": None,
+         "l_discount": 0.0, "l_tax": None, "l_returnflag": "r",
+         "l_linestatus": None, "l_shipdate": d0},
+        {"l_orderkey": 900004, "l_partkey": 90002, "l_suppkey": 9002,
+         "l_linenumber": 1, "l_quantity": 0.0, "l_extendedprice": 10.0,
+         "l_discount": 1.0, "l_tax": 0.0, "l_returnflag": "R",
+         "l_linestatus": "F", "l_shipdate": None},
+        # duplicate (orderkey, linenumber)
+        {"l_orderkey": 900004, "l_partkey": 90003, "l_suppkey": 9002,
+         "l_linenumber": 1, "l_quantity": 2.0, "l_extendedprice": -3.0,
+         "l_discount": 0.5, "l_tax": 0.1, "l_returnflag": "A",
+         "l_linestatus": "O", "l_shipdate": d0},
+        # orphan orderkey
+        {"l_orderkey": 777777, "l_partkey": 90001, "l_suppkey": 9001,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 1.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": d0},
+    ])
+    t0 = _dt.datetime(2024, 3, 1, 12, 0, 0)
+    emit("events", 200, [
+        {"event_id": 900001, "ts": t0, "user_id": None, "event_type": "view",
+         "value": 1.0, "props": '{"k": 1}'},
+        {"event_id": 900002, "ts": t0, "user_id": 900001, "event_type": None,
+         "value": None, "props": None},
+        {"event_id": 900003, "ts": t0, "user_id": 900001, "event_type": "view",
+         "value": float("nan"), "props": "{k:1"},
+        {"event_id": 900004, "ts": t0, "user_id": 900001, "event_type": "view",
+         "value": float("inf"), "props": "null"},
+        {"event_id": 900005, "ts": None, "user_id": 900002, "event_type": "purchase",
+         "value": 5.0, "props": "{}"},
+        # same-instant pair for one user (tie on ts)
+        {"event_id": 900006, "ts": t0, "user_id": 900003, "event_type": "view",
+         "value": 2.0, "props": '{"k": {"a": 1}}'},
+        {"event_id": 900007, "ts": t0, "user_id": 900003, "event_type": "view",
+         "value": 2.0, "props": '{"k": [1, 2]}'},
+        # single-event user
+        {"event_id": 900008, "ts": t0, "user_id": 900004, "event_type": "error",
+         "value": -1.0, "props": '{"k": 0}'},
+    ])
+    long_doc = " ".join(["longword%d" % (i % 7) for i in range(5000)])
+    spam_doc = " ".join(["spam"] * 200)
+    emit("documents", 120, [
+        {"doc_id": 900001, "text": None, "lang": "en", "source": "srcX",
+         "n_chars": None},
+        {"doc_id": 900002, "text": "", "lang": None, "source": None,
+         "n_chars": 0},
+        {"doc_id": 900003, "text": "   ", "lang": "en", "source": "srcX",
+         "n_chars": 3},
+        {"doc_id": 900004, "text": "hello", "lang": "en", "source": "srcX",
+         "n_chars": 5},
+        # exact-dup pair
+        {"doc_id": 900005, "text": "exact duplicate text body here",
+         "lang": "en", "source": "srcX", "n_chars": 30},
+        {"doc_id": 900006, "text": "exact duplicate text body here",
+         "lang": "en", "source": "srcY", "n_chars": 30},
+        # duplicate doc_id, same text (the r07 prefix-Jaccard trap)
+        {"doc_id": 900007, "text": "dup id same words in both rows",
+         "lang": "en", "source": "srcX", "n_chars": 30},
+        {"doc_id": 900007, "text": "dup id same words in both rows",
+         "lang": "en", "source": "srcX", "n_chars": 30},
+        {"doc_id": 900008, "text": "!!! ??? ... ---", "lang": None,
+         "source": "srcX", "n_chars": 15},
+        {"doc_id": 900009, "text": "héllo wörld 你好 мир", "lang": "zh",
+         "source": "srcY", "n_chars": 18},
+        {"doc_id": 900010, "text": long_doc, "lang": "en", "source": "srcY",
+         "n_chars": len(long_doc)},
+        {"doc_id": 900011, "text": spam_doc, "lang": "en", "source": "srcY",
+         "n_chars": len(spam_doc)},
+        {"doc_id": None, "text": "null id document body", "lang": "en",
+         "source": "srcX", "n_chars": 21},
+    ])
+    one = [0.0] * 64
+    one[0] = 1.0
+    neg = [0.0] * 64
+    neg[0] = -1.0
+    emit("embeddings", 120, [
+        {"vec_id": 900001, "embedding": [0.0] * 64, "label": 0},
+        {"vec_id": 900002, "embedding": None, "label": 1},
+        # identical pair (cosine exactly 1.0 — rank tie)
+        {"vec_id": 900003, "embedding": one, "label": 2},
+        {"vec_id": 900004, "embedding": one, "label": 2},
+        # exact opposite (cosine exactly -1.0)
+        {"vec_id": 900005, "embedding": neg, "label": 2},
+        # empty array (violates dim=64; both engines must agree on the drop)
+        {"vec_id": 900006, "embedding": [], "label": 3},
+        # single-member label
+        {"vec_id": 900007, "embedding": [0.1] * 64, "label": 99},
+        # duplicate vec_id
+        {"vec_id": 900008, "embedding": [0.2] * 64, "label": 4},
+        {"vec_id": 900008, "embedding": [0.3] * 64, "label": 4},
+        {"vec_id": 900009, "embedding": [1e-30] * 64, "label": 5},
+        {"vec_id": 900010, "embedding": None, "label": None},
+    ])
