@@ -104,7 +104,12 @@ def cms_pos_expr(i: int, h_sql: str, width: int = CMS_WIDTH) -> str:
 
 
 def tokens_sql(text_col: str, *, duck: bool) -> str:
-    """Whitespace tokens with empties removed (identical in both engines)."""
+    """Single-SPACE-delimited tokens with empties removed (identical in
+    both engines). Deliberately not full-whitespace tokenization: the
+    corpus contract is space-joined word soup, Spark's split() takes a
+    regex while DuckDB's string_split is literal, and a '\\s+' regex
+    pair would have to prove the two engines' regex dialects agree —
+    a literal space is the one spelling with nothing to diverge."""
     if duck:
         return f"list_filter(string_split({text_col}, ' '), x -> x != '')"
     return f"filter(split({text_col}, ' '), x -> x != '')"
