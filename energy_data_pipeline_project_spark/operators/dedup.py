@@ -895,14 +895,20 @@ def shingle_jaccard_pairs(
     if hx is None:
         hx = _cached(_shingle_hashes(docs))
     # Cap pass: map-side-combined count per shingle, hot postings
-    # dropped BEFORE anything is collected.
-    ok_h = (
+    # dropped BEFORE anything is collected. Phrased as LEFT ANTI
+    # against the HOT set (complement of the old ok_h inner join,
+    # identical rows): hot is bounded by total_postings/cap — tiny on
+    # real corpora — so AQE broadcasts it and the postings frame
+    # reaches the doc-grouping WITHOUT the extra hash exchange the
+    # inner join forced (r09: one of four full-postings shuffles
+    # removed; no hint — AQE owns the strategy, r08 rule).
+    hot = (
         hx.groupBy("h")
         .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") <= shingle_cap)
+        .where(F.col("cnt") > shingle_cap)
         .select("h")
     )
-    capped = hx.join(ok_h, "h")
+    capped = hx.join(hot, "h", "left_anti")
     # Per-doc capped size rides WITH every posting (r08 verdict #4,
     # following the prefix-Jaccard rewrite): ONE doc-grouping yields
     # (hs, n), the in-row re-explode rebuilds the postings carrying n
