@@ -102,12 +102,32 @@ def _sessionize_fn(
         return
 
     runs = _load_runs(state) if state.exists else []
+    # pd.notna guard: a NULL event time arrives HERE as NaT — Spark's
+    # watermark does NOT filter NULL event-time rows before the
+    # stateful handler — and NaT.timestamp() raises, killing the
+    # stream AND poisoning the checkpoint (the restart replays the
+    # same batch into the same crash). An untimestamped event cannot
+    # place in any session; it is dropped like the batch twin's
+    # to_date(NULL) group (r09 degenerate streaming sweep).
     ts = sorted(
         t.timestamp()
         for pdf in batches
         for t in pd.to_datetime(pdf["ts"])
+        if pd.notna(t)
     )
     runs.extend([1, t, t] for t in ts)
+    if not runs:
+        # every event in the trigger was untimestamped and no state
+        # exists: nothing to session — an empty TYPED yield, NOT a
+        # state update (merged[-1] below would IndexError)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "duration_s": pd.Series([], dtype="float64"),
+            }
+        )
+        return
 
     # Interval-gap merge: session merging is transitive (an event at
     # start-35min plus one at start-20min both join a session starting
