@@ -26,8 +26,14 @@ from pyspark.sql import Column, DataFrame
 
 MORTON_BITS = 16  # per column; 2 cols × 16 bits = 32-bit key
 
+from . import money as _money
+
 # collision-proof internal key column (see skew.py's __skew_salt__)
 _ZKEY = "__zorder_key__"
+
+# corrupt-value magnitude bound for the normalization/bounds casts:
+# values must survive a BIGINT cast (int64 max ≈ 9.22e18)
+_LAYOUT_ABS_MAX = 9.0e18
 
 
 def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
@@ -49,19 +55,16 @@ def _normalize(col: str, lo: int, hi: int, bits: int) -> Column:
     column would give; NULL rows co-locate in the lowest-key files
     either way, keeping the other files' zone maps NULL-free.
 
-    Non-finite placement: NaN AND ±Infinity are nulled first — both
-    propagate through the scaling arithmetic and the ANSI CAST of a
-    non-finite double to BIGINT kills the job (NaN verified in the
-    r08 review, Inf flagged by the r08 advisor); one corrupt reading
-    now lands in the bottom tile with the NULLs instead of failing
-    the layout pass."""
+    Corrupt-value placement: NaN, ±Infinity AND out-of-int64-domain
+    magnitudes are nulled first (ONE spelling —
+    functions/money.finite_sql with the int64 bound; the r09 diff
+    review found three hand-rolled copies of the guard and a huge
+    FINITE reading still aborting the BIGINT cast); one corrupt
+    reading now lands in the bottom tile with the NULLs instead of
+    failing the layout pass."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
-    finite = (
-        f"CASE WHEN isnan(CAST({col} AS DOUBLE))"
-        f" OR abs(CAST({col} AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
-        f" THEN CAST(NULL AS DOUBLE) ELSE CAST({col} AS DOUBLE) END"
-    )
+    finite = _money.finite_sql(col, bound=_LAYOUT_ABS_MAX)
     return F.expr(
         f"GREATEST(0, LEAST({top}, "
         f"NVL(CAST((({finite}"
@@ -134,15 +137,12 @@ def cluster_write(
     # nan-filtered per-column min/max keeps real bounds; NaN rows are
     # mapped to the bottom tile with the NULLs by _normalize's nanvl.
     def _finite(c: str):
-        # NOT col == col: Spark's SQL NaN semantics make NaN equal to
-        # itself (unlike IEEE), so that filter is a no-op — isnan is
-        # the real test (caught by this fix's own regression test).
-        # ±Infinity needs the same guard (r08 advisor): Inf survives
-        # isnan, becomes the max/min bound, and the ANSI BIGINT cast
-        # of Inf aborts the pass exactly like NaN did.
-        col = F.col(c).cast("double")
-        bad = F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
-        return F.when(bad, None).otherwise(F.col(c))
+        # the shared bounded guard (money.finite_sql): NaN (NOT
+        # col == col — Spark SQL NaN equals itself), ±Infinity (r08
+        # advisor), and out-of-int64-domain finite magnitudes (r09
+        # diff review) all abort the ANSI BIGINT bounds cast; each
+        # nulls out here instead
+        return F.expr(_money.finite_sql(c, bound=_LAYOUT_ABS_MAX))
 
     bounds = df.agg(
         *[F.min(_finite(c)).cast("bigint").alias(f"lo_{c}") for c in cluster_cols],

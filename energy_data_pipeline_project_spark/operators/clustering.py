@@ -212,7 +212,14 @@ def label_spectrum(emb: DataFrame) -> DataFrame:
         if arrs:
             lens = pd.Series([len(a) for a in arrs])
             d_mode = int(lens.mode().iloc[0])
-            arrs = [a for a in arrs if len(a) == d_mode]
+            # NULL elements arrive as NaN inside the Arrow array and
+            # poison cov/eigvalsh (r09 extended sweep) — a vector with
+            # an unmeasured component is dropped like a NULL vector
+            arrs = [
+                a
+                for a in arrs
+                if len(a) == d_mode and not np.isnan(a).any()
+            ]
         if not arrs:
             return pd.DataFrame(
                 [[int(pdf["label"].iloc[0]), 0, 0, 0.0, 0.0, 0.0]],

@@ -343,11 +343,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (float32→double is exact; x*10000 is the same IEEE double in both
 # engines; both round ties away from zero).
 _Q = 10000
-# CASE len>0: DuckDB's list_aggregate sums an EMPTY list to NULL while
-# Spark's aggregate folds it to the 0 init — pin both engines to NULL
-# for empty/NULL embeddings (no mass measured; SUM skips; r09 sweep)
+# CASE len>0 AND no-NULL-element: DuckDB's list_aggregate sums an
+# EMPTY list to NULL while Spark's aggregate folds it to the 0 init,
+# and a NULL ELEMENT is skipped by DuckDB's 'sum' but NULL-propagates
+# through Spark's fold (r09 sweep + diff review) — pin both engines
+# to NULL for empty/NULL/NULL-element embeddings (mass unmeasurable)
 _QABS_DUCK = (
-    f"CASE WHEN len(embedding) > 0 THEN"
+    f"CASE WHEN len(embedding) > 0"
+    f" AND len(list_filter(embedding, x -> x IS NULL)) = 0 THEN"
     f" list_aggregate(list_transform(embedding,"
     f" x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT))), 'sum')"
     f" END"
@@ -378,10 +381,14 @@ def multimodal_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the average is an exact int/int ratio."""
     docs = attach_media(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
-    # when(size>0): the empty-vs-NULL pin described at _QABS_DUCK
-    # (Spark size(NULL) is -1, so one predicate covers both)
+    # when(size>0 and no NULL element): the pin described at
+    # _QABS_DUCK (Spark size(NULL) is -1, so one predicate covers
+    # NULL and empty; exists() covers NULL elements)
     qabs = F.when(
-        F.expr("size(embedding) > 0"),
+        F.expr(
+            "size(embedding) > 0"
+            " AND NOT exists(embedding, x -> x IS NULL)"
+        ),
         F.aggregate(
             F.transform(
                 "embedding",

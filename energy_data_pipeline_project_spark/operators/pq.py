@@ -389,7 +389,8 @@ def _trained_m(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
     art = A.get_or_build(
         spark,
-        "pq_m",
+        f"pq_m@r{_PQ_CHAIN_REV}-m{PQ_M}k{PQ_K}i{PQ_ITERS}"
+        f"q{PQ_QUANT}s{PQ_TRAIN_SAMPLE}",
         A.corpus_fingerprint(sf_dir),
         ("codes", "centroids"),
         _build,
@@ -555,6 +556,15 @@ IVFPQ_CELL_MULT = 1024  # composite-key multiplier; labels < 1024
 # probing more cells, is how IVFADC earns its nprobe/k scan fraction
 # at scale (Jégou et al. 2011 §V-A).
 IVFPQ_COARSE_ITERS = 2
+
+# Artifact algorithm signatures (r09 diff review): the lake artifact
+# store is content-addressed by CORPUS fingerprint, which cannot see
+# code — a changed Lloyd chain would silently serve the OLD published
+# index while the replayed-SQL oracle computes the NEW chain. The
+# signature folds every training-relevant constant in automatically;
+# bump the REV literal on any LOGIC change to the chain itself.
+_PQ_CHAIN_REV = 1
+_IVFPQ_CHAIN_REV = 1
 # IVF-PQ refines a larger ADC shortlist than plain PQ: residual codes
 # rank slightly differently per probed cell and the exact-refine stage
 # is the cheap part (shortlist x D int ops per query), so a 2x
@@ -668,7 +678,9 @@ def _trained_ivfpq(
 
     art = A.get_or_build(
         spark,
-        "ivfpq",
+        f"ivfpq@r{_IVFPQ_CHAIN_REV}-m{PQ_M}k{PQ_K}i{PQ_ITERS}"
+        f"q{PQ_QUANT}s{PQ_TRAIN_SAMPLE}"
+        f"c{IVFPQ_CELL_MULT}ci{IVFPQ_COARSE_ITERS}",
         A.corpus_fingerprint(sf_dir),
         ("coarse", "cells", "codes", "codebook"),
         lambda: _train_ivfpq_chain(spark, sf_dir),

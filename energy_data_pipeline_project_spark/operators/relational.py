@@ -1989,8 +1989,9 @@ def events_regexp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_histogram",
     f"""
     SELECT CASE WHEN {_money.finite_sql("value")} IS NULL THEN NULL
-                ELSE LEAST(CAST(FLOOR({_money.finite_sql("value")} / 50.0)
-                                AS INT), 6) END AS bucket,
+                ELSE CAST(GREATEST(LEAST(
+                       FLOOR({_money.finite_sql("value")} / 50.0), 6),
+                       -2147483648) AS INT) END AS bucket,
            COUNT(*) AS n,
            CAST(SUM({_VAL_CENTS_DUCK}) AS BIGINT)
              AS sum_cents
@@ -2007,10 +2008,19 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-finite reading would silently clamp into bucket 6 — the
     agreement-on-wrong class (r09 degenerate sweep)."""
     ev = load_table(spark, sf_dir, "events")
+    # clamp BEFORE the INT cast: a huge finite reading floors past
+    # int32 and the ANSI cast aborts if LEAST runs after it (r09 diff
+    # review); the GREATEST floor keeps a huge NEGATIVE reading's
+    # bucket castable too (it stays its own out-of-range bucket)
     fin = F.expr(_money.finite_sql("value"))
     bucket = F.when(
         fin.isNull(), F.lit(None).cast("int")
-    ).otherwise(F.least(F.floor(fin / 50.0).cast("int"), F.lit(6)))
+    ).otherwise(
+        F.greatest(
+            F.least(F.floor(fin / 50.0), F.lit(6)),
+            F.lit(-2147483648),
+        ).cast("int")
+    )
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
         F.sum(_cents("value")).cast("bigint").alias("sum_cents"),

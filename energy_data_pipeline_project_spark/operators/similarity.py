@@ -91,8 +91,14 @@ LSH_DIM = 64
 # corrupt row degrades to "not indexed", never to a dead job
 # (r09 degenerate sweep).
 EMB_DIM = 64
-VALID_VEC_SPARK = f"(embedding IS NOT NULL AND size(embedding) = {EMB_DIM})"
-VALID_VEC_DUCK = f"(embedding IS NOT NULL AND len(embedding) = {EMB_DIM})"
+VALID_VEC_SPARK = (
+    f"(embedding IS NOT NULL AND size(embedding) = {EMB_DIM}"
+    " AND NOT exists(embedding, x -> x IS NULL))"
+)
+VALID_VEC_DUCK = (
+    f"(embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
+)
 
 
 def _plane(j: int) -> list[int]:
@@ -339,9 +345,12 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipeline import artifacts as A
 
+    # the @r1-q10000 suffix is the algorithm signature (see
+    # pq._PQ_CHAIN_REV's comment): a changed derivation must never
+    # serve an index published by the old code
     return A.get_or_build(
         spark,
-        "ivf_coarse",
+        "ivf_coarse@r1-q10000",
         A.corpus_fingerprint(sf_dir),
         ("centroids",),
         _build,
@@ -631,11 +640,15 @@ HOF_Q_SCALE = 10000
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-           CAST(CASE WHEN embedding IS NULL THEN NULL
+           CAST(CASE WHEN embedding IS NULL
+                     OR len(list_filter(embedding, x -> x IS NULL)) > 0
+                     THEN NULL
                 ELSE COALESCE(list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
                 'sum'), 0) END AS BIGINT) AS q_sum,
-           CAST(CASE WHEN embedding IS NULL THEN NULL
+           CAST(CASE WHEN embedding IS NULL
+                     OR len(list_filter(embedding, x -> x IS NULL)) > 0
+                     THEN NULL
                 ELSE COALESCE(list_aggregate(list_transform(embedding,
                   x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT))),
                 'sum'), 0) END AS BIGINT) AS q_l1,
@@ -685,9 +698,17 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("n_pos"),
-        F.aggregate(quant, zero, lambda a, x: a + x).alias("q_sum"),
-        F.aggregate(
-            quant, zero, lambda a, x: a + F.abs(x)
+        # NULL-element pin (r09 diff review): DuckDB's 'sum' SKIPS a
+        # NULL element while Spark's fold NULL-propagates — an array
+        # with a NULL component has no well-defined sum; both engines
+        # now emit NULL (the multimodal _QABS pin, same class)
+        F.when(
+            ~F.exists("embedding", lambda x: x.isNull()),
+            F.aggregate(quant, zero, lambda a, x: a + x),
+        ).alias("q_sum"),
+        F.when(
+            ~F.exists("embedding", lambda x: x.isNull()),
+            F.aggregate(quant, zero, lambda a, x: a + F.abs(x)),
         ).alias("q_l1"),
         F.array_max(quant).alias("q_max"),
     )

@@ -124,6 +124,44 @@ def get_or_build(
     with open(tmp, "w") as f:
         json.dump(sorted(names), f)
     os.replace(tmp, marker)
+    _prune_stale_fingerprints(os.path.dirname(base), keep=base)
     return {
         n: read_table_versioned(spark, os.path.join(base, n)) for n in names
     }
+
+
+# Fingerprint dirs kept per kind beyond the one just published. Test
+# runs over tmp-path corpora mint a NEW fingerprint every session, and
+# without pruning the default repo-level store grows forever (r09 diff
+# review); a handful of recent corpora (the sf0.001/0.01/0.1 fixtures
+# plus headroom) is all any machine serves concurrently.
+KEEP_FINGERPRINTS = 8
+
+
+def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
+    """Drop the oldest fingerprint dirs under ``kind_dir`` past
+    :data:`KEEP_FINGERPRINTS`, never touching ``keep`` (the dir just
+    published). Same single-writer assumption as the lake pointer
+    swap — a concurrent reader pinned to a pruned stale corpus
+    retrains, it never reads garbage (the `_COMPLETE` marker goes
+    first)."""
+    import shutil
+
+    try:
+        entries = [
+            os.path.join(kind_dir, d)
+            for d in os.listdir(kind_dir)
+            if os.path.isdir(os.path.join(kind_dir, d))
+        ]
+    except OSError:
+        return
+    entries = [e for e in entries if os.path.abspath(e) != os.path.abspath(keep)]
+    if len(entries) < KEEP_FINGERPRINTS:
+        return
+    entries.sort(key=lambda e: os.path.getmtime(e))
+    for e in entries[: len(entries) - (KEEP_FINGERPRINTS - 1)]:
+        try:
+            os.remove(os.path.join(e, _MARKER))  # readers see a miss first
+        except OSError:
+            pass
+        shutil.rmtree(e, ignore_errors=True)

@@ -317,6 +317,15 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         # single-event user
         {"event_id": 900008, "ts": t0, "user_id": 900004, "event_type": "error",
          "value": -1.0, "props": '{"k": 0}'},
+        # huge FINITE values: ±1e18 overflows the cents int64 domain
+        # (guarded NULL), 1e15 is in-domain but floors past int32 in
+        # bucket expressions (r09 diff review)
+        {"event_id": 900009, "ts": t0, "user_id": 900005, "event_type": "view",
+         "value": 1e18, "props": '{"k": 2}'},
+        {"event_id": 900010, "ts": t0, "user_id": 900005, "event_type": "view",
+         "value": -1e18, "props": '{"k": 3}'},
+        {"event_id": 900011, "ts": t0, "user_id": 900005, "event_type": "view",
+         "value": 1e15, "props": '{"k": 4}'},
     ])
     long_doc = " ".join(["longword%d" % (i % 7) for i in range(5000)])
     spam_doc = " ".join(["spam"] * 200)
@@ -371,4 +380,9 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"vec_id": 900008, "embedding": [0.3] * 64, "label": 4},
         {"vec_id": 900009, "embedding": [1e-30] * 64, "label": 5},
         {"vec_id": 900010, "embedding": None, "label": None},
+        # dim-64 vector with one NULL ELEMENT: passes a length check
+        # but poisons folds (Spark NULL-propagates, DuckDB list
+        # kernels reject outright — r09 diff review)
+        {"vec_id": 900011, "embedding": [0.1] * 32 + [None] + [0.1] * 31,
+         "label": 6},
     ])

@@ -99,8 +99,13 @@ def test_ivfpq_artifact_equals_fresh_training(spark, art_root):
     c1 = pq.embedding_pq_codes(spark, SF_SMOKE)
     rows1 = sorted(map(tuple, c1.collect()))
 
+    import glob
+
+    # the kind carries an algorithm signature suffix (pq_m@rN-...) so
+    # a changed Lloyd chain can never serve a stale index (r09 diff
+    # review) — locate it by prefix
     fp = A.corpus_fingerprint(SF_SMOKE)
-    assert os.path.exists(os.path.join(art_root, "pq_m", fp, "_COMPLETE"))
+    assert glob.glob(os.path.join(art_root, "pq_m@*", fp, "_COMPLETE"))
 
     pq.release_pq_memos()  # simulate a cold process
     rows2 = sorted(map(tuple, pq.embedding_pq_codes(spark, SF_SMOKE).collect()))
@@ -110,8 +115,8 @@ def test_ivfpq_artifact_equals_fresh_training(spark, art_root):
     pq.release_pq_memos()
     r1 = sorted(map(tuple, pq.ann_topk_ivfpq(spark, SF_SMOKE).collect()))
     for frame in ("coarse", "cells", "codes", "codebook"):
-        assert os.path.exists(
-            os.path.join(art_root, "ivfpq", fp, frame)
+        assert glob.glob(
+            os.path.join(art_root, "ivfpq@*", fp, frame)
         ), frame
     pq.release_pq_memos()
     r2 = sorted(map(tuple, pq.ann_topk_ivfpq(spark, SF_SMOKE).collect()))
