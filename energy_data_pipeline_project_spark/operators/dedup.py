@@ -834,6 +834,12 @@ def hamming_pairs_from_signature(
 ) -> DataFrame:
     """Banded candidate generation + xor verify over any 64-bit
     signature frame (doc_id, sim_hi, sim_lo)."""
+    # sig feeds THREE subplans (band melt + both verify sides) and
+    # Spark has no cross-subtree scan CSE — unpersisted, the full
+    # vote aggregate (explode + 64-term groupBy) re-ran per consumer
+    # (r09 plan probe: 4 scans / ~4.1s for the payload variant; the
+    # r07 _frames lesson). release_cached_frames() frees it.
+    sig = _cached(sig)
     quarters = F.array(
         F.expr("shiftright(sim_hi, 16)"),
         F.expr("sim_hi & 65535"),

@@ -134,3 +134,17 @@ def test_ivf_centroid_artifact_matches_inline(spark, art_root, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", "off")
     inline = sorted(map(tuple, ann_topk_ivf(spark, SF_SMOKE).collect()))
     assert with_store == inline
+
+
+def test_stale_fingerprints_pruned(spark, art_root):
+    """Test sessions mint new fingerprints every run (tmp corpora);
+    the store must self-prune per kind instead of growing forever
+    (r09 diff review). The just-published dir always survives."""
+    for i in range(A.KEEP_FINGERPRINTS + 3):
+        A.get_or_build(
+            spark, "kp", f"fp{i:02d}", ("t",), lambda: {"t": spark.range(1)}
+        )
+    kind_dir = os.path.join(art_root, "kp")
+    left = sorted(os.listdir(kind_dir))
+    assert len(left) <= A.KEEP_FINGERPRINTS
+    assert f"fp{A.KEEP_FINGERPRINTS + 2:02d}" in left, left
