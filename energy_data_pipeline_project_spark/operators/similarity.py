@@ -108,8 +108,16 @@ def _plane(j: int) -> list[int]:
     ]
 
 
-def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
-    """Bucket id for table t: k sign bits from planes [t*k, (t+1)*k)."""
+def _table_bucket_sql(
+    emb_col: str, t: int, *, duck: bool, pre_quantized: bool = False
+) -> str:
+    """Bucket id for table t: k sign bits from planes [t*k, (t+1)*k).
+
+    ``pre_quantized=True`` means ``emb_col`` already holds the 1e4
+    FLOOR grid values: the quantization then runs ONCE per row instead
+    of inside all LSH_TABLES×LSH_BITS plane folds (the r09 profile
+    showed 64 redundant FLOOR+CAST per element dominating the Spark
+    side) — bitwise-identical sign bits either way."""
     # Components are FLOOR-quantized to the 1e4 integer grid before
     # the plane dot: every product and partial sum is then an exactly
     # representable integer-valued double (|term| <= 1e4*1024, 64-term
@@ -122,17 +130,26 @@ def _table_bucket_sql(emb_col: str, t: int, *, duck: bool) -> str:
         j = t * LSH_BITS + b
         if duck:
             lits = ", ".join(f"{c}.0" for c in _plane(j))
-            dot = (
-                f"list_dot_product(list_transform("
-                f"CAST({emb_col} AS DOUBLE[]), "
-                f"x -> FLOOR(x * 10000.0)), [{lits}]::DOUBLE[])"
+            src = (
+                emb_col
+                if pre_quantized
+                else (
+                    f"list_transform(CAST({emb_col} AS DOUBLE[]), "
+                    f"x -> FLOOR(x * 10000.0))"
+                )
             )
+            dot = f"list_dot_product({src}, [{lits}]::DOUBLE[])"
             terms.append(f"CASE WHEN {dot} > 0.0 THEN {1 << b} ELSE 0 END")
         else:
             lits = ", ".join(f"{c}.0D" for c in _plane(j))
+            elem = (
+                "x * y"
+                if pre_quantized
+                else "FLOOR(CAST(x AS DOUBLE) * 10000.0) * y"
+            )
             dot = (
                 f"aggregate(zip_with({emb_col}, array({lits}), "
-                f"(x, y) -> FLOOR(CAST(x AS DOUBLE) * 10000.0) * y), "
+                f"(x, y) -> {elem}), "
                 f"CAST(0.0 AS DOUBLE), "
                 f"(acc, v) -> acc + v)"
             )
@@ -198,7 +215,8 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_oracle() -> str:
     bucket_cols = ",\n                      ".join(
-        f"{_table_bucket_sql('embedding', t, duck=True)} AS b{t}"
+        f"{_table_bucket_sql('qde', t, duck=True, pre_quantized=True)}"
+        f" AS b{t}"
         for t in range(LSH_TABLES)
     )
     melted = "\n    UNION ALL\n    ".join(
@@ -206,10 +224,15 @@ def _lsh_oracle() -> str:
         for t in range(LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
-                      {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS nrm,
-                      {bucket_cols}
+    WITH e0 AS MATERIALIZED (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> FLOOR(x * 10000.0)) AS qde
                FROM embeddings WHERE {VALID_VEC_DUCK}),
+    e AS MATERIALIZED (
+               SELECT vec_id, de, {V.norm_duck("de")} AS nrm,
+                      {bucket_cols}
+               FROM e0),
     buckets AS (
     {melted}
     ),
@@ -250,17 +273,23 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a degenerate all-zero dot in Spark but ABORTS DuckDB's
     # fixed-width list kernel — and neither belongs in the index
     emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
+    # quantize ONCE per row (pre_quantized buckets): the grid FLOOR
+    # previously re-ran inside all 64 plane folds (r09 profile)
+    eq = emb.select(
+        "vec_id",
+        F.col("embedding").alias("de"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> FLOOR(x * 10000.0))"
+        ).alias("qde"),
+    )
     bucket_arr = F.array(
         *[
-            F.expr(_table_bucket_sql("embedding", t, duck=False))
+            F.expr(_table_bucket_sql("qde", t, duck=False, pre_quantized=True))
             for t in range(LSH_TABLES)
         ]
     )
-    e = emb.select(
-        "vec_id",
-        F.col("embedding").alias("de"),
-        bucket_arr.alias("buckets"),
-    )
+    e = eq.select("vec_id", "de", bucket_arr.alias("buckets"))
     buckets = e.select(
         "vec_id", F.posexplode("buckets").alias("table_id", "bucket")
     )
