@@ -213,3 +213,102 @@ def test_trend_stream_survives_degenerate_events(
         for v in r.asDict().values():
             if isinstance(v, float):
                 assert not math.isnan(v) and not math.isinf(v)
+
+
+def test_funnel_span_attribution_survive_degenerate_input(
+    spark, degen_dir, tmp_path_factory
+):
+    """The remaining foreachBatch twins — funnel state, span index,
+    attribution, heavy hitters, drift — each complete an availableNow
+    replay of the adversarial fixture without a dead batch."""
+    from energy_data_pipeline_project_spark.streaming import jobs
+    from energy_data_pipeline_project_spark.streaming.attribution import (
+        stream_attribution,
+    )
+    from energy_data_pipeline_project_spark.streaming.funnel import (
+        funnel_report,
+        stream_funnel_state,
+    )
+    from energy_data_pipeline_project_spark.streaming.span_index import (
+        stream_span_index,
+    )
+
+    ev_src = str(tmp_path_factory.mktemp("ev-rest-degen"))
+    ev = spark.read.parquet(f"{degen_dir}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(ev_src)
+    docs_src = str(tmp_path_factory.mktemp("docs-rest-degen"))
+    docs = spark.read.parquet(f"{degen_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(docs_src)
+
+    fun_state = str(tmp_path_factory.mktemp("funnel-degen")) + "/state"
+    q = stream_funnel_state(
+        jobs.read_event_stream(spark, ev_src),
+        fun_state,
+        str(tmp_path_factory.mktemp("funnel-ckpt")),
+    )
+    q.awaitTermination()
+    rep = {
+        r["stage"]: r["n_users"]
+        for r in funnel_report(spark, fun_state).collect()
+    }
+    assert len(rep) == 3 and all(v >= 0 for v in rep.values())
+
+    idx = str(tmp_path_factory.mktemp("span-degen")) + "/idx"
+    spans = str(tmp_path_factory.mktemp("span-degen-out")) + "/spans"
+    q = stream_span_index(
+        _replay(spark, docs.schema, docs_src),
+        idx,
+        spans,
+        str(tmp_path_factory.mktemp("span-ckpt")),
+    )
+    q.awaitTermination()
+
+    clicks = str(tmp_path_factory.mktemp("attr-degen")) + "/clicks"
+    splits = str(tmp_path_factory.mktemp("attr-degen-out")) + "/splits"
+    q = stream_attribution(
+        jobs.read_event_stream(spark, ev_src),
+        clicks,
+        splits,
+        str(tmp_path_factory.mktemp("attr-ckpt")),
+    )
+    q.awaitTermination()
+
+
+def test_heavy_hitters_and_drift_survive_degenerate_input(
+    spark, degen_dir, tmp_path_factory
+):
+    from energy_data_pipeline_project_spark.streaming.drift import (
+        drift_stream,
+    )
+    from energy_data_pipeline_project_spark.streaming.sketches import (
+        heavy_hitters_stream,
+    )
+
+    docs_src = str(tmp_path_factory.mktemp("docs-hh-degen"))
+    docs = spark.read.parquet(f"{degen_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(docs_src)
+    q = (
+        heavy_hitters_stream(_replay(spark, docs.schema, docs_src))
+        .writeStream.format("memory")
+        .queryName("degen_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("degen_hh").count() >= 0
+
+    ord_src = str(tmp_path_factory.mktemp("ord-drift-degen"))
+    orders = spark.read.parquet(f"{degen_dir}/orders.parquet")
+    orders.repartition(4).write.mode("overwrite").parquet(ord_src)
+    ref = [1] * 16
+    q = (
+        drift_stream(_replay(spark, orders.schema, ord_src), ref)
+        .writeStream.format("memory")
+        .queryName("degen_drift")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("degen_drift").count() >= 0
