@@ -824,8 +824,11 @@ def simhash_hamming_pairs(
     is two xor+bit_count integer ops per candidate. Everything shuffles
     fixed-width ints; signatures are one pass over distinct tokens.
     """
+    # no caller-side _cached: hamming_pairs_from_signature persists
+    # the signature itself since r09 (a second wrap double-registered
+    # the frame; r09 second diff review)
     return hamming_pairs_from_signature(
-        _cached(_simhash64_frame(docs)), bucket_cap=bucket_cap
+        _simhash64_frame(docs), bucket_cap=bucket_cap
     )
 
 

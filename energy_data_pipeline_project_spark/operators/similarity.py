@@ -330,6 +330,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF assignment grid — interpolated into the artifact signature AND
+# both engines' expressions so a grid change can never serve a stale
+# published centroid table (r09 second diff review)
+IVF_GRID_QUANT = 10000
+
+
 def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(label, cv)`` coarse-centroid arrays on the exact integer-sum
     grid — the IVF training artifact.
@@ -353,7 +359,7 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.expr(
                 "transform(CAST(embedding AS ARRAY<DOUBLE>),"
-                " x -> FLOOR(x * 10000.0))"
+                f" x -> FLOOR(x * {IVF_GRID_QUANT}.0))"
             ).alias("qde"),
         ).where(F.expr("size(filter(qde, x -> x != 0)) > 0"))
         ep = grid.select(
@@ -374,12 +380,12 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipeline import artifacts as A
 
-    # the @r1-q10000 suffix is the algorithm signature (see
+    # the @r1-q{grid} suffix is the algorithm signature (see
     # pq._PQ_CHAIN_REV's comment): a changed derivation must never
     # serve an index published by the old code
     return A.get_or_build(
         spark,
-        "ivf_coarse@r1-q10000",
+        f"ivf_coarse@r1-q{IVF_GRID_QUANT}",
         A.corpus_fingerprint(sf_dir),
         ("centroids",),
         _build,

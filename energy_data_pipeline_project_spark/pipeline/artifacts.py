@@ -104,6 +104,14 @@ def get_or_build(
         with open(marker) as f:
             recorded = json.load(f)
         if isinstance(recorded, list) and set(recorded) >= set(names):
+            # touch: pruning evicts by dir mtime, and without this a
+            # READ-heavy artifact (the stable testdata fixtures) ages
+            # out first precisely because it never re-publishes
+            # (r09 second diff review)
+            try:
+                os.utime(base, None)
+            except OSError:
+                pass
             return {
                 n: read_table_versioned(spark, os.path.join(base, n))
                 for n in names
@@ -125,6 +133,7 @@ def get_or_build(
         json.dump(sorted(names), f)
     os.replace(tmp, marker)
     _prune_stale_fingerprints(os.path.dirname(base), keep=base)
+    _prune_superseded_kinds(root, kind)
     return {
         n: read_table_versioned(spark, os.path.join(base, n)) for n in names
     }
@@ -158,10 +167,41 @@ def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
     entries = [e for e in entries if os.path.abspath(e) != os.path.abspath(keep)]
     if len(entries) < KEEP_FINGERPRINTS:
         return
-    entries.sort(key=lambda e: os.path.getmtime(e))
+
+    def _mtime(e: str) -> float:
+        # a CONCURRENT pruner may remove e between listdir and here;
+        # sort such dirs first — rmtree(ignore_errors) below is a
+        # no-op on them (r09 second diff review)
+        try:
+            return os.path.getmtime(e)
+        except OSError:
+            return 0.0
+
+    entries.sort(key=_mtime)
     for e in entries[: len(entries) - (KEEP_FINGERPRINTS - 1)]:
         try:
             os.remove(os.path.join(e, _MARKER))  # readers see a miss first
         except OSError:
             pass
         shutil.rmtree(e, ignore_errors=True)
+
+
+def _prune_superseded_kinds(root: str, kind: str) -> None:
+    """Remove kind dirs of the SAME base name but a DIFFERENT
+    algorithm signature (``base@sig``): a signature bump means the
+    old kind's artifacts were published by superseded code and no
+    call will ever address them again — without this they are
+    permanent dead disk (r09 second diff review; includes the
+    pre-signature unsigned dirs)."""
+    import shutil
+
+    base_name = kind.split("@", 1)[0]
+    try:
+        siblings = os.listdir(root)
+    except OSError:
+        return
+    for d in siblings:
+        if d == kind:
+            continue
+        if d == base_name or d.startswith(base_name + "@"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
