@@ -63,8 +63,21 @@ def _cents(expr_sql: str) -> F.Column:
 
 
 REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
-_REV_CENTS_DUCK = f"CAST(ROUND(({REVENUE_SQL}) * 100, 0) AS BIGINT)"
-_QTY_CENTS_DUCK = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
+
+
+def _cents_duck(expr_sql: str) -> str:
+    # oracle twin of _cents(): SAME parenthesized argument, so both
+    # engines instantiate literally identical guarded text — the
+    # money.py one-spelling anti-drift contract (r09 advisor: the
+    # TPC-H oracle spellings had stayed unguarded, so a NaN/Inf or
+    # >$30M price would have crashed or diverged on the oracle side
+    # only; latent on domain-bounded TPC-H data, fixed at the source).
+    return _money.cents_sql(f"({expr_sql})")
+
+
+_REV_CENTS_DUCK = _cents_duck(REVENUE_SQL)
+_QTY_CENTS_DUCK = _cents_duck("l_quantity")
+_TP_CENTS_DUCK = _cents_duck("o_totalprice")
 # the continuous measure's oracle spelling carries the same guard
 _VAL_CENTS_DUCK = _money.cents_sql("value")
 
@@ -86,7 +99,7 @@ _VAL_CENTS_DUCK = _money.cents_sql("value")
       GROUP BY 1
     ), avo AS (
       SELECT CAST(o_orderdate AS DATE) AS ship_date,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             CAST(SUM({_TP_CENTS_DUCK}) AS DOUBLE)
                / 100.0 / COUNT(*) AS avg_order_value
       FROM orders GROUP BY 1
     )
@@ -123,11 +136,11 @@ def gold_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM({_QTY_CENTS_DUCK}) AS DOUBLE) / 100.0 AS sum_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM({_cents_duck('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
            CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS sum_disc_cents,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+           CAST(SUM({_cents_duck(REVENUE_SQL + ' * (1 + l_tax)')}) AS BIGINT) AS sum_charge_cents,
            CAST(SUM({_QTY_CENTS_DUCK}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM({_cents_duck('l_extendedprice')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
            CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -321,16 +334,16 @@ def agg_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_order_stats",
-    """
+    f"""
     WITH m AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS DOUBLE) AS n,
              COUNT(*) AS n_orders,
              COUNT(DISTINCT o_custkey) AS n_customers,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             CAST(SUM({_TP_CENTS_DUCK})
                   AS DOUBLE) AS sc,
-             CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                  * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             CAST(SUM(CAST({_TP_CENTS_DUCK}
+                  * {_TP_CENTS_DUCK}
                   AS DECIMAL(38, 0))) AS DOUBLE) AS sqc,
              MIN(o_totalprice) AS min_price,
              MAX(o_totalprice) AS max_price
@@ -595,10 +608,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_lag_delta",
-    """
+    f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             CAST(SUM({_TP_CENTS_DUCK}) AS DOUBLE)
                / 100.0 / COUNT(*) AS avg_price
       FROM orders GROUP BY 1
     )
@@ -1004,7 +1017,7 @@ def join_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS order_date,
              datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             CAST(SUM({_TP_CENTS_DUCK}) AS BIGINT)
                AS day_cents
       FROM orders GROUP BY 1, 2
     )
@@ -1068,11 +1081,11 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_subquery_above_avg",
-    """
+    f"""
     SELECT o_orderpriority, COUNT(*) AS n_above_avg
     FROM orders
     WHERE o_totalprice >
-          (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+          (SELECT CAST(SUM({_TP_CENTS_DUCK}) AS DOUBLE)
                   / 100.0 / COUNT(*)
            FROM orders)
     GROUP BY o_orderpriority
@@ -1086,11 +1099,11 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_orders_sq")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, COUNT(*) AS n_above_avg
         FROM _orders_sq
         WHERE o_totalprice >
-              (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+              (SELECT CAST(SUM({_TP_CENTS_DUCK}) AS DOUBLE)
                       / 100.0 / COUNT(*)
                FROM _orders_sq)
         GROUP BY o_orderpriority
@@ -1100,11 +1113,11 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "correlated_small_qty_revenue",
-    """
+    f"""
     SELECT p_brand,
            COUNT(*) AS n_small_lines,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS small_qty_total,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM({_cents_duck("l_extendedprice")}) AS BIGINT)
              AS revenue_cents
     FROM lineitem l
     JOIN part ON p_partkey = l.l_partkey
@@ -1158,12 +1171,12 @@ def correlated_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_revenue_share",
-    """
+    f"""
     SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
            (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                     THEN {_REV_CENTS_DUCK}
                      ELSE 0 END) AS DOUBLE))
-             / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM({_REV_CENTS_DUCK}) AS DOUBLE)
              AS promo_pct,
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1494,10 +1507,10 @@ def proj_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentiles",
-    """
+    f"""
     WITH ranked AS (
       SELECT o_orderpriority,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+             {_TP_CENTS_DUCK} AS c,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice) - 1 AS rn,
              COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
@@ -1616,8 +1629,8 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q6_discount_revenue",
-    """
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+    f"""
+    SELECT CAST(SUM({_cents_duck("l_extendedprice * l_discount")})
                 AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_items
     FROM lineitem
@@ -1737,19 +1750,19 @@ def agg_conditional_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "argmax_order_per_customer",
-    """
+    f"""
     SELECT o_custkey,
            -MAX(struct_pack(
-              c := CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+              c := {_TP_CENTS_DUCK},
               nk := -o_orderkey)).nk AS best_orderkey,
            MAX(struct_pack(
-              c := CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+              c := {_TP_CENTS_DUCK},
               nk := -o_orderkey)).c AS best_price_cents
     FROM orders
     -- unpriced orders cannot be the argmax: NULL struct fields rank
     -- HIGHEST in DuckDB comparisons but LOWEST in Spark's, so a NULL
     -- price was silently "best" in one engine only (r09 sweep)
-    WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) IS NOT NULL
+    WHERE {_TP_CENTS_DUCK} IS NOT NULL
     GROUP BY o_custkey
     """,
 )
@@ -1782,9 +1795,9 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "monthly_revenue",
-    """
+    f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM({_TP_CENTS_DUCK}) AS BIGINT)
              AS revenue_cents,
            COUNT(*) AS n_orders
     FROM orders
@@ -1923,11 +1936,11 @@ def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'price',
-           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           {_cents_duck("l_extendedprice")}
     FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'discount',
-           CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+           {_cents_duck("l_discount")}
     FROM lineitem
     """,
 )
@@ -1942,8 +1955,8 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "stack(3,"
             f" 'quantity', {_QTY_CENTS_DUCK},"
-            " 'price', CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),"
-            " 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+            f" 'price', {_cents_duck('l_extendedprice')},"
+            f" 'discount', {_cents_duck('l_discount')}"
             ") AS (metric, value_cents)"
         ),
     )
@@ -2454,7 +2467,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle gate wants exact).
 @query(
     "dq_column_profile",
-    """
+    f"""
     WITH s AS (
       SELECT COUNT(*) AS n_rows,
              COUNT(o_orderkey) AS nn_key,
@@ -2462,11 +2475,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MIN(o_orderkey) AS VARCHAR) AS min_key,
              CAST(MAX(o_orderkey) AS VARCHAR) AS max_key,
              COUNT(o_totalprice) AS nn_price,
-             COUNT(DISTINCT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             COUNT(DISTINCT {_TP_CENTS_DUCK})
                AS nd_price,
-             CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             CAST(MIN({_TP_CENTS_DUCK})
                   AS VARCHAR) AS min_price,
-             CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             CAST(MAX({_TP_CENTS_DUCK})
                   AS VARCHAR) AS max_price,
              COUNT(o_orderdate) AS nn_date,
              COUNT(DISTINCT o_orderdate) AS nd_date,
@@ -2716,26 +2729,26 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # default both engines share).
 @query(
     "window_distribution_funcs",
-    """
+    f"""
     SELECT o_orderkey, o_orderpriority,
            CAST(ntile(4) OVER w AS INT) AS quartile,
            percent_rank() OVER w AS pr,
            cume_dist() OVER w AS cd,
-           first_value(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER wf
+           first_value({_TP_CENTS_DUCK}) OVER wf
              AS min_cents,
-           last_value(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER wf
+           last_value({_TP_CENTS_DUCK}) OVER wf
              AS max_cents,
-           nth_value(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2) OVER wf
+           nth_value({_TP_CENTS_DUCK}, 2) OVER wf
              AS second_cents
     FROM orders
     WINDOW
       -- NULLS FIRST pins NULL-price rows to Spark's default ordering
       -- (DuckDB defaults NULLS LAST; r09 degenerate sweep)
       w AS (PARTITION BY o_orderpriority
-            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+            ORDER BY {_TP_CENTS_DUCK}
               NULLS FIRST, o_orderkey),
       wf AS (PARTITION BY o_orderpriority
-             ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             ORDER BY {_TP_CENTS_DUCK}
                NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
@@ -2783,8 +2796,8 @@ MAP_OPS_MIN_CENTS = 2_000_00  # map_filter floor: metrics under $2000 drop
     f"""
     WITH m AS (
       SELECT l_orderkey, l_linenumber,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+             {_cents_duck("l_extendedprice")} AS price_cents,
+             {_REV_CENTS_DUCK}
                AS net_cents,
              CAST(l_quantity AS BIGINT) * 100 AS qty_centi
       FROM lineitem WHERE l_orderkey < 100
@@ -2809,10 +2822,7 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("price"), F.lit("net"), F.lit("qty")),
         F.array(
             _cents("l_extendedprice"),
-            F.expr(
-                "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
-                " AS BIGINT)"
-            ),
+            _cents(REVENUE_SQL),
             F.expr("CAST(l_quantity AS BIGINT) * 100"),
         ),
     )
@@ -3018,11 +3028,10 @@ ABC_BAND_CENTS = 1_000_000  # revenue band width ($10k)
 
 @query(
     "orders_abc_classification",
-    """
+    f"""
     WITH r AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                           AS BIGINT)) AS BIGINT) AS rev
+             CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS rev
       FROM lineitem GROUP BY l_partkey
     ),
     c AS (

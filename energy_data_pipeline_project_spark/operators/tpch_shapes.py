@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.tables import load_table
 from ._registry import make_registry
-from .relational import REVENUE_SQL, _cents, _REV_CENTS_DUCK
+from .relational import REVENUE_SQL, _cents, _cents_duck, _REV_CENTS_DUCK
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -432,7 +432,7 @@ _Q11_NATIONS_SQL = ", ".join(f"'{n}'" for n in Q11_NATIONS)
     f"""
     WITH pv AS MATERIALIZED (
       SELECT l.l_partkey AS p_partkey,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             CAST(SUM({_cents_duck("l_extendedprice")})
                   AS BIGINT) AS value_cents
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey

@@ -320,24 +320,27 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # payload assembly is codegen'd string work, no Python.
 @query(
     "nest_order_lines",
-    """
+    f"""
     SELECT l_orderkey,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM({_CENTS.format("l_extendedprice * (1 - l_discount)")})
+                AS BIGINT) AS total_cents,
            -- NULL-safe element build: a NULL quantity NULLed the
            -- whole element, which DuckDB's array_to_string turned
            -- into a NULL fp while Spark's array_join skipped it
            -- (md5('')) — both wrong for a real line (r09 sweep).
-           -- NULLS FIRST matches Spark's struct sort.
+           -- NULLS FIRST matches Spark's struct sort. The guarded
+           -- cents spelling (one template, both engines — r09
+           -- advisor) degrades a corrupt quantity to the same ''
+           -- component instead of crashing one engine's ANSI cast.
            md5(array_to_string(
              list(
                COALESCE(CAST(l_partkey AS VARCHAR), '') || ':'
                  || COALESCE(CAST(l_linenumber AS VARCHAR), '') || ':'
-                 || COALESCE(CAST(CAST(ROUND(l_quantity * 100, 0)
-                                       AS BIGINT) AS VARCHAR), '')
+                 || COALESCE(CAST({_CENTS.format("l_quantity")}
+                                  AS VARCHAR), '')
                ORDER BY l_partkey NULLS FIRST, l_linenumber NULLS FIRST,
-                        CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                        {_CENTS.format("l_quantity")}
                           NULLS FIRST
              ), ',')) AS lines_fp
     FROM lineitem
@@ -357,7 +360,7 @@ def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "array_join(transform("
                 "  array_sort(collect_list(struct("
                 "    l_partkey, l_linenumber,"
-                "    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qc))),"
+                f"    {_CENTS.format('l_quantity')} AS qc))),"
                 "  x -> concat(coalesce(CAST(x.l_partkey AS STRING), ''),"
                 "    ':', coalesce(CAST(x.l_linenumber AS STRING), ''),"
                 "    ':', coalesce(CAST(x.qc AS STRING), ''))"
@@ -789,7 +792,7 @@ _RFM_M = (200_000_000, 120_000_000, 60_000_000)  # cents
              date_diff('day', MAX(CAST(o_orderdate AS DATE)),
                        (SELECT today FROM snap)) AS r_days,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             CAST(SUM({_CENTS.format("o_totalprice")}) AS BIGINT)
                AS m_cents
       FROM orders GROUP BY o_custkey
     )
@@ -851,12 +854,12 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # touched exactly once.
 @query(
     "lineitem_yoy_growth",
-    """
+    f"""
     WITH m AS (
       SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS mkey,
              MIN(CAST(date_trunc('month', l_shipdate) AS DATE)) AS month_start,
-             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                           AS BIGINT)) AS BIGINT) AS rev_cents
+             CAST(SUM({_CENTS.format("l_extendedprice * (1 - l_discount)")})
+                  AS BIGINT) AS rev_cents
       FROM lineitem GROUP BY 1
     )
     SELECT cur.month_start, cur.rev_cents, prev.rev_cents AS prev_rev_cents,
@@ -911,7 +914,7 @@ _AGING_MAX_BUCKET = 8
       SELECT LEAST(date_diff('day', CAST(o_orderdate AS DATE),
                              (SELECT today FROM snap))
                    // {_AGING_BUCKET_DAYS}, {_AGING_MAX_BUCKET}) AS age_bucket,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             {_CENTS.format("o_totalprice")} AS cents
       FROM orders WHERE o_orderstatus = 'O'
     )
     SELECT age_bucket, COUNT(*) AS n_orders,
@@ -1298,12 +1301,12 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # promo. One aggregation + one broadcast baseline row.
 @query(
     "lineitem_discount_effect",
-    """
+    f"""
     WITH b AS (
       SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
              CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                  AS BIGINT) AS rev_cents
+             {_CENTS.format("l_extendedprice * (1 - l_discount)")}
+               AS rev_cents
       FROM lineitem
     ),
     g AS (

@@ -186,14 +186,31 @@ def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
         shutil.rmtree(e, ignore_errors=True)
 
 
+# A sibling kind whose newest _COMPLETE marker is younger than this is
+# left alone: old and new code SIGNATURES can briefly run concurrently
+# (a deploy rolling through a fleet; bench + parity overlapping a
+# round), and each pruning the other's just-published kind dir would
+# ping-pong — every publish destroying the other's artifacts forever
+# (r09 advisor). A superseded kind is only dead disk once nothing has
+# published to it for a grace window.
+SUPERSEDED_GRACE_S = 3600.0
+
+
 def _prune_superseded_kinds(root: str, kind: str) -> None:
     """Remove kind dirs of the SAME base name but a DIFFERENT
     algorithm signature (``base@sig``): a signature bump means the
     old kind's artifacts were published by superseded code and no
     call will ever address them again — without this they are
     permanent dead disk (r09 second diff review; includes the
-    pre-signature unsigned dirs)."""
+    pre-signature unsigned dirs).
+
+    Concurrency posture (r09 advisor): every ``_COMPLETE`` marker under
+    the sibling is removed FIRST (readers mid-race see a clean miss and
+    retrain instead of crashing mid-scan on a vanishing dir), and a
+    sibling with any recent marker is skipped entirely — see
+    :data:`SUPERSEDED_GRACE_S`."""
     import shutil
+    import time
 
     base_name = kind.split("@", 1)[0]
     try:
@@ -204,4 +221,25 @@ def _prune_superseded_kinds(root: str, kind: str) -> None:
         if d == kind:
             continue
         if d == base_name or d.startswith(base_name + "@"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            sib = os.path.join(root, d)
+            markers = []
+            try:
+                markers = [
+                    os.path.join(sib, fp, _MARKER)
+                    for fp in os.listdir(sib)
+                    if os.path.isfile(os.path.join(sib, fp, _MARKER))
+                ]
+            except OSError:
+                pass
+            try:
+                newest = max(os.path.getmtime(m) for m in markers)
+            except (OSError, ValueError):
+                newest = 0.0
+            if time.time() - newest < SUPERSEDED_GRACE_S:
+                continue  # a concurrent (older-code) publisher is live
+            for m in markers:
+                try:
+                    os.remove(m)  # readers see a miss before the rmtree
+                except OSError:
+                    pass
+            shutil.rmtree(sib, ignore_errors=True)

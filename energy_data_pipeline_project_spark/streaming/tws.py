@@ -37,6 +37,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from ..functions import money
+
 OUTPUT_SCHEMA = "user_id long, n_events long, value_cents long"
 
 
@@ -56,16 +58,21 @@ class RunningUserTotals(StatefulProcessor):
             # (away from zero) to match Spark's ROUND in the batch
             # aggregate this operator is pinned against — pandas
             # .round() is half-EVEN and diverges on exact .5 cents.
-            # drop non-finite FIRST: a NULL value is NaN here, and
-            # floor(NaN+0.5).astype(int64) is INT64_MIN garbage that
-            # would corrupt the lifetime total forever (r06 review);
-            # ±Inf survives dropna and corrupts identically, so it is
-            # nulled the same way the batch twin's guarded cents
-            # template does (functions/money.py, r09 degenerate sweep)
+            # Mask the SAME bounded domain as the batch twin's guarded
+            # cents template (functions/money.CENTS_TPL): NaN (a NULL
+            # value arrives as NaN here), ±Inf, AND out-of-domain
+            # finite magnitudes |x| > CENTS_ABS_MAX all become NULL —
+            # floor(NaN+0.5).astype('int64') is INT64_MIN garbage
+            # (r06 review), and an in-range-for-float but
+            # out-of-cents-domain reading (1e15) summed here while the
+            # batch side NULLs it would silently corrupt the lifetime
+            # ValueState forever (r09 advisor).
             import numpy as np
 
+            s = pdf["value"]
             v = (
-                pdf["value"].replace([np.inf, -np.inf], np.nan).dropna()
+                s.where(np.isfinite(s) & (s.abs() <= money.CENTS_ABS_MAX))
+                .dropna()
                 * 100
             )
 

@@ -148,3 +148,50 @@ def test_stale_fingerprints_pruned(spark, art_root):
     left = sorted(os.listdir(kind_dir))
     assert len(left) <= A.KEEP_FINGERPRINTS
     assert f"fp{A.KEEP_FINGERPRINTS + 2:02d}" in left, left
+
+
+def test_superseded_kind_with_recent_marker_survives(spark, art_root):
+    """Two code signatures running CONCURRENTLY (a deploy rolling
+    through; bench + parity overlapping a round) must not ping-pong
+    each other's kind dirs: a sibling whose newest _COMPLETE marker is
+    younger than SUPERSEDED_GRACE_S is left alone (r09 advisor)."""
+
+    def build(v):
+        return lambda: {
+            "t": spark.createDataFrame([(v,)], "a long")
+        }
+
+    fp = A.corpus_fingerprint(SF_SMOKE)
+    A.get_or_build(spark, "kind@r1", fp, ("t",), build(1))
+    # new-signature publish: the @r1 sibling's marker is fresh → kept
+    A.get_or_build(spark, "kind@r2", fp, ("t",), build(2))
+    assert os.path.exists(
+        os.path.join(art_root, "kind@r1", fp, "_COMPLETE")
+    ), "fresh superseded sibling must survive the grace window"
+    # ...and the old-signature reader still hits its own artifact
+    calls = []
+
+    def counting():
+        calls.append(1)
+        return {"t": spark.createDataFrame([(1,)], "a long")}
+
+    got = A.get_or_build(spark, "kind@r1", fp, ("t",), counting)["t"]
+    assert not calls and [t[0] for t in got.collect()] == [1]
+
+
+def test_superseded_kind_past_grace_is_pruned(spark, art_root, monkeypatch):
+    """Once nothing has published to the old signature for the grace
+    window, it is dead disk: markers removed first, then the dir."""
+
+    def build(v):
+        return lambda: {"t": spark.createDataFrame([(v,)], "a long")}
+
+    fp = A.corpus_fingerprint(SF_SMOKE)
+    A.get_or_build(spark, "kind@r1", fp, ("t",), build(1))
+    # age the r1 marker past the grace window
+    marker = os.path.join(art_root, "kind@r1", fp, "_COMPLETE")
+    old = os.path.getmtime(marker) - A.SUPERSEDED_GRACE_S - 60
+    os.utime(marker, (old, old))
+    A.get_or_build(spark, "kind@r2", fp, ("t",), build(2))
+    assert not os.path.exists(os.path.join(art_root, "kind@r1"))
+    assert os.path.exists(os.path.join(art_root, "kind@r2", fp, "_COMPLETE"))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from energy_data_pipeline_project_spark.functions import money
 from energy_data_pipeline_project_spark.operators.relational import (
     events_sessionize,
 )
@@ -152,9 +153,9 @@ def test_tws_running_totals_match_batch(spark, event_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias(
-                "cents"
-            ),
+            # the guarded template (NaN/Inf/out-of-domain → NULL) —
+            # the handler masks the identical bounded domain
+            F.sum(money.cents("value")).alias("cents"),
         )
         .collect()
     }
@@ -433,3 +434,65 @@ def test_state_schema_upgrade_fails_loudly_not_silently(
         q2.awaitTermination()
     msg = str(exc.value)
     assert "SCHEMA_NOT_COMPATIBLE" in msg, msg
+
+
+def test_tws_handler_masks_cents_domain_like_batch_template(spark):
+    """The RunningUserTotals handler must NULL the identical bounded
+    domain as the batch side's guarded cents template (functions/
+    money.CENTS_TPL): NaN, ±Inf, AND out-of-domain finite magnitudes
+    (|x| > CENTS_ABS_MAX). Protobuf-free: the handler is driven
+    directly with a stub state handle, so this guard is exercised even
+    in containers where transformWithStateInPandas itself cannot run
+    (the end-to-end parity test above is protobuf-skip-gated)."""
+    import pandas as pd
+
+    from energy_data_pipeline_project_spark.streaming import tws
+
+    class _StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class _StubHandle:
+        def getValueState(self, name, schema):
+            self.state = _StubValueState()
+            return self.state
+
+    values = [
+        1.0,
+        float("nan"),
+        float("inf"),
+        -float("inf"),
+        1.0e15,  # finite but far out of the cents domain
+        money.CENTS_ABS_MAX,  # domain edge: kept
+        -money.CENTS_ABS_MAX,
+        money.CENTS_ABS_MAX + 1.0,  # just past the edge: NULLed
+        0.005,  # exact half-cent: HALF-UP, not pandas half-even
+        None,
+    ]
+    # ground truth: the guarded template over the same values
+    exp = spark.createDataFrame(
+        [(v,) for v in values], "value double"
+    ).agg(
+        F.count("*").alias("n"), F.sum(money.cents("value")).alias("c")
+    ).collect()[0]
+
+    proc = tws.RunningUserTotals()
+    proc.init(_StubHandle())
+    (out,) = proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": values})]), None
+    )
+    assert int(out["n_events"][0]) == exp["n"]
+    assert int(out["value_cents"][0]) == exp["c"]
+
+    # state accumulates across batches with the same mask applied
+    (out2,) = proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [2.0, float("nan")]})]), None
+    )
+    assert int(out2["n_events"][0]) == exp["n"] + 2
+    assert int(out2["value_cents"][0]) == exp["c"] + 200
