@@ -544,6 +544,44 @@ def _bpe_oracle() -> str:
     return head + iters + "\n" + sel
 
 
+def _bpe_merge_chain(m: DataFrame) -> DataFrame:
+    """The greedy-merge window chain over a frame carrying
+    (doc_id, pos, tok, nxt, mt): islands → even-offset validity →
+    consumed-right-half drop → renumber. Shared verbatim by the
+    trainer (rule from a 1-row argmax broadcast) and the apply-only
+    encoder (rule as literals), so the two paths cannot drift."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    wisl = Window.partitionBy("doc_id", "mt").orderBy("pos")
+    i_ = m.withColumn(
+        "isl",
+        F.when(F.col("mt"), F.col("pos") - F.row_number().over(wisl)),
+    )
+    wmin = Window.partitionBy("doc_id", "isl")
+    v = i_.withColumn(
+        "valid",
+        F.when(
+            F.col("mt"),
+            (F.col("pos") - F.min("pos").over(wmin)) % 2 == 0,
+        ).otherwise(F.lit(False)),
+    )
+    return (
+        v.withColumn(
+            "consumed",
+            F.coalesce(F.lag("valid").over(wdoc), F.lit(False)),
+        )
+        .where(~F.col("consumed"))
+        .select(
+            "doc_id",
+            F.row_number().over(wdoc).alias("pos"),
+            F.when(
+                F.col("valid"), F.concat_ws(" ", "tok", "nxt")
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )
+
+
 def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One BPE round: returns (best-pair frame, merged sequence frame)."""
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -569,74 +607,91 @@ def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.lit(False),
         ),
     )
-    wisl = Window.partitionBy("doc_id", "mt").orderBy("pos")
-    i_ = m.withColumn(
-        "isl",
-        F.when(F.col("mt"), F.col("pos") - F.row_number().over(wisl)),
-    )
-    wmin = Window.partitionBy("doc_id", "isl")
-    v = i_.withColumn(
-        "valid",
-        F.when(
-            F.col("mt"),
-            (F.col("pos") - F.min("pos").over(wmin)) % 2 == 0,
-        ).otherwise(F.lit(False)),
-    )
-    nxt_seq = (
-        v.withColumn(
-            "consumed",
-            F.coalesce(F.lag("valid").over(wdoc), F.lit(False)),
-        )
-        .where(~F.col("consumed"))
-        .select(
-            "doc_id",
-            F.row_number().over(wdoc).alias("pos"),
-            F.when(
-                F.col("valid"), F.concat_ws(" ", "tok", "nxt")
-            )
-            .otherwise(F.col("tok"))
-            .alias("tok"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    nxt_seq = _bpe_merge_chain(m).localCheckpoint(eager=True)
     return best, nxt_seq
+
+
+def _bpe_apply_rule(s: DataFrame, tok_a: str, tok_b: str) -> DataFrame:
+    """Apply ONE known merge rule — the encoder's round. Identical
+    semantics to the trainer's round (same `_bpe_merge_chain`), but
+    the rule is a literal, so no pair count, no argmax, and no eager
+    checkpoint: the whole multi-round encode is one static plan."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    m = s.withColumn("nxt", F.lead("tok").over(wdoc)).withColumn(
+        "mt",
+        F.coalesce(
+            (F.col("tok") == F.lit(tok_a)) & (F.col("nxt") == F.lit(tok_b)),
+            F.lit(False),
+        ),
+    )
+    return _bpe_merge_chain(m)
+
+
+# Bump on ANY change to the training chain (tokenization, pair
+# counting, tie-break, merge semantics) — see pq._PQ_CHAIN_REV.
+_BPE_CHAIN_REV = 1
+
+
+def trained_bpe_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {BPE_ITERS}-row merge-rule table
+    ``(step, tok_a, tok_b, pair_count)`` as a content-addressed lake
+    artifact (r09 verdict #3): the rules are deterministic on the
+    corpus fingerprint exactly like the IVF/PQ codebooks, so training
+    runs once per corpus snapshot and every later session — batch
+    encode, bench, parity — reads the published table and pays only
+    its apply pass. At 100 TB a tokenizer build is precisely this
+    shape: one expensive offline trainer, many cheap appliers."""
+    from ..pipeline import artifacts as A
+
+    def _build() -> dict[str, DataFrame]:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        s = toks.select(
+            "doc_id", F.posexplode("toks").alias("pos0", "tok")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        rules = []
+        for step in range(1, BPE_ITERS + 1):
+            best, s = _bpe_merge_round(s)
+            rules.append(
+                best.select(
+                    F.lit(step).alias("step"),
+                    "tok_a",
+                    "tok_b",
+                    F.col("cnt").alias("pair_count"),
+                )
+            )
+        out = rules[0]
+        for r in rules[1:]:
+            out = out.unionAll(r)
+        return {"rules": out}
+
+    return A.get_or_build(
+        spark,
+        f"bpe_rules@r{_BPE_CHAIN_REV}-i{BPE_ITERS}",
+        A.corpus_fingerprint(sf_dir, table="documents"),
+        ("rules",),
+        _build,
+    )["rules"]
 
 
 @query("text_bpe_merges", _bpe_oracle())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {BPE_ITERS} BPE merge rules over the document corpus.
+    """Train {BPE_ITERS} BPE merge rules over the document corpus
+    (served from the lake artifact when one is published — see
+    :func:`trained_bpe_rules`).
 
-    Per round: pair counting is one map-side-combined shuffle on
-    (tok_a, tok_b); the argmax is a TakeOrdered of ONE row (broadcast
-    back — the only driver-sized data); the merge itself is windows
-    partitioned by doc_id (state bounded by document length) plus a
-    broadcast of the single rule. Each round ends in an eager
+    Per training round: pair counting is one map-side-combined shuffle
+    on (tok_a, tok_b); the argmax is a TakeOrdered of ONE row
+    (broadcast back — the only driver-sized data); the merge itself is
+    windows partitioned by doc_id (state bounded by document length)
+    plus a broadcast of the single rule. Each round ends in an eager
     localCheckpoint: BPE is data-dependent — round n's plan cannot be
     declared until round n-1's argmax is known — and checkpointing
     keeps the lineage flat (same pattern as clustering.kmeans).
     At 100 TB, production trainers amortize scans by applying the
     top-k non-overlapping pairs per round instead of top-1 — same
     plan, wider broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
-    s = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    rules = []
-    for step in range(1, BPE_ITERS + 1):
-        best, s = _bpe_merge_round(s)
-        rules.append(
-            best.select(
-                F.lit(step).alias("step"),
-                "tok_a",
-                "tok_b",
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionAll(r)
-    return out
+    return trained_bpe_rules(spark, sf_dir)
 
 
 def _bpe_encode_oracle() -> str:
@@ -665,19 +720,38 @@ def _bpe_encode_oracle() -> str:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the {BPE_ITERS} trained merge rules corpus-wide and report
     per-document compression: raw vs encoded token counts and how many
-    merges landed in each document. The trainer's merged sequence IS
-    the encoded corpus (train-then-encode shares one pass — the same
-    amortization a production tokenizer build uses), so this rides the
-    identical window chain as ``text_bpe_merges`` and stays under the
-    exact hash gate; docs where no rule fires keep their raw length."""
+    merges landed in each document.
+
+    The rules come from :func:`trained_bpe_rules` (published lake
+    artifact or one training run), so the encode itself pays ONLY the
+    apply pass: with the rules known, all {BPE_ITERS} merge rounds are
+    literal-rule window chains in ONE static plan — no per-round pair
+    count, argmax, or eager checkpoint (r09 verdict #3). The
+    ``.collect()`` is bounded at BPE_ITERS rows (one rule per round) —
+    driver-sized by construction, like the IVF query-vector set.
+    Semantics are unchanged from the trainer's own merged sequence
+    (the apply rounds share ``_bpe_merge_chain`` verbatim), so the
+    exact hash gate holds; docs where no rule fires keep their raw
+    length. Trainer edge replayed exactly: a round with NO adjacent
+    pairs publishes no rule, and the trainer's cross join against an
+    empty argmax empties the sequence — the encoder mirrors that with
+    an empty filter."""
+    rules = {
+        int(r["step"]): (r["tok_a"], r["tok_b"])
+        for r in trained_bpe_rules(spark, sf_dir).collect()
+    }
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
     s = toks.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     raw = s.groupBy("doc_id").agg(F.count("*").alias("n_tokens_raw"))
-    for _ in range(BPE_ITERS):
-        _, s = _bpe_merge_round(s)
+    for step in range(1, BPE_ITERS + 1):
+        rule = rules.get(step)
+        if rule is None:
+            s = s.where(F.lit(False))
+            break
+        s = _bpe_apply_rule(s, rule[0], rule[1])
     enc = s.groupBy("doc_id").agg(F.count("*").alias("n_tokens_bpe"))
     return raw.join(enc, "doc_id").select(
         "doc_id",

@@ -66,6 +66,7 @@ def main() -> int:
     warm = not prefixes or any(
         h in n for n in names for h in _MEMO_HINTS
     )
+    warm_bpe = not prefixes or any("bpe" in n for n in names)
     t0 = time.perf_counter()
     if warm:
         try:
@@ -76,6 +77,13 @@ def main() -> int:
             pq._trained_ivfpq(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 - owning query will re-raise
             print(f"warm-up skipped: {e!r:.200}", file=sys.stderr)
+    if warm_bpe:
+        try:
+            from energy_data_pipeline_project_spark.operators import curation
+
+            curation.trained_bpe_rules(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 - owning query will re-raise
+            print(f"bpe warm-up skipped: {e!r:.200}", file=sys.stderr)
     warmup_s = round(time.perf_counter() - t0, 2)
 
     failures: dict[str, str] = {}

@@ -195,3 +195,71 @@ def test_superseded_kind_past_grace_is_pruned(spark, art_root, monkeypatch):
     A.get_or_build(spark, "kind@r2", fp, ("t",), build(2))
     assert not os.path.exists(os.path.join(art_root, "kind@r1"))
     assert os.path.exists(os.path.join(art_root, "kind@r2", fp, "_COMPLETE"))
+
+
+def test_shared_lsh_pairs_artifact_serves_cold_process(
+    spark, art_root, monkeypatch
+):
+    """The shared near-dup pair frame is a lake artifact (r09 verdict
+    #2): after one publish, a cold process (memo released) must read
+    the published symmetric edge table WITHOUT re-running the
+    shingle→minhash→band chain, bit-identically."""
+    import glob
+
+    from energy_data_pipeline_project_spark.operators import dedup
+
+    dedup.release_shared_pairs()
+    try:
+        rows1 = sorted(
+            map(tuple, dedup.shared_lsh_pairs(spark, SF_SMOKE).collect())
+        )
+        fp = A.corpus_fingerprint(SF_SMOKE, table="documents")
+        assert glob.glob(
+            os.path.join(art_root, "lsh_pairs@*", fp, "_COMPLETE")
+        )
+
+        dedup.release_shared_pairs()  # cold process: memo gone
+
+        def _boom(*a, **k):
+            raise AssertionError(
+                "cold call retrained instead of reading the store"
+            )
+
+        monkeypatch.setattr(dedup, "minhash_lsh_pairs", _boom)
+        rows2 = sorted(
+            map(tuple, dedup.shared_lsh_pairs(spark, SF_SMOKE).collect())
+        )
+        assert rows1 == rows2
+    finally:
+        dedup.release_shared_pairs()
+        dedup.release_cached_frames()
+
+
+def test_bpe_rules_artifact_serves_cold_process(spark, art_root, monkeypatch):
+    """BPE merge rules are a lake artifact (r09 verdict #3): after one
+    publish, a cold process must read the published rule table without
+    re-training, and the apply-only encode must match the rules-frame
+    chain bit-for-bit (its oracle replays the full trainer in SQL)."""
+    import glob
+
+    from energy_data_pipeline_project_spark.operators import curation
+
+    rows1 = sorted(
+        map(tuple, curation.trained_bpe_rules(spark, SF_SMOKE).collect())
+    )
+    assert rows1, "training produced no rules on the fixture corpus"
+    fp = A.corpus_fingerprint(SF_SMOKE, table="documents")
+    assert glob.glob(os.path.join(art_root, "bpe_rules@*", fp, "_COMPLETE"))
+
+    def _boom(*a, **k):
+        raise AssertionError("cold call retrained instead of reading store")
+
+    monkeypatch.setattr(curation, "_bpe_merge_round", _boom)
+    rows2 = sorted(
+        map(tuple, curation.trained_bpe_rules(spark, SF_SMOKE).collect())
+    )
+    assert rows1 == rows2
+    # the encoder consumes the store too (apply-only pass)
+    enc = curation.text_bpe_encode(spark, SF_SMOKE)
+    assert enc.where("n_merges_applied < 0").count() == 0
+    assert enc.count() > 0
