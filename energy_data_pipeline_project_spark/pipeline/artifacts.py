@@ -83,6 +83,16 @@ def corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return hashlib.sha256(repr(sig).encode()).hexdigest()[:16]
 
 
+def _marker_ok(base: str, names: tuple[str, ...]) -> bool:
+    """True iff ``base`` carries a complete marker covering ``names``."""
+    try:
+        with open(os.path.join(base, _MARKER)) as f:
+            recorded = json.load(f)
+        return isinstance(recorded, list) and set(recorded) >= set(names)
+    except (OSError, ValueError):
+        return False
+
+
 def get_or_build(
     spark: SparkSession,
     kind: str,
@@ -94,44 +104,74 @@ def get_or_build(
     run ``build()`` once, publish every frame, and serve the read-back
     copies — so cold-build and warm-hit callers consume the SAME
     physical artifact. With the tier disabled, returns ``build()``'s
-    frames directly (pure in-session behavior)."""
+    frames directly (pure in-session behavior).
+
+    Concurrent publishers are safe (r09 verdict #4 — the real driver
+    topology overlaps bench and parity processes): each publisher
+    writes its frames + marker into a PRIVATE staging dir and adopts
+    it with one atomic ``os.rename`` onto the fingerprint path.
+    POSIX rename refuses a non-empty target, so exactly one publisher
+    wins; losers discard their stage and serve the winner's artifact —
+    bit-identical anyway, because the chains are deterministic. The
+    pre-staging in-place write this replaces let two publishers race
+    the SAME version dir (Spark overwrite delete-then-write under a
+    concurrent writer → torn parquet under a valid marker)."""
     root = artifact_root()
     if root is None:
         return build()
     base = os.path.join(root, kind, fingerprint)
-    marker = os.path.join(base, _MARKER)
-    try:
-        with open(marker) as f:
-            recorded = json.load(f)
-        if isinstance(recorded, list) and set(recorded) >= set(names):
-            # touch: pruning evicts by dir mtime, and without this a
-            # READ-heavy artifact (the stable testdata fixtures) ages
-            # out first precisely because it never re-publishes
-            # (r09 second diff review)
-            try:
-                os.utime(base, None)
-            except OSError:
-                pass
-            return {
-                n: read_table_versioned(spark, os.path.join(base, n))
-                for n in names
-            }
-    except (OSError, ValueError):
-        pass  # absent/partial/corrupt: deterministic rebuild is safe
+    if _marker_ok(base, names):
+        # touch: pruning evicts by dir mtime, and without this a
+        # READ-heavy artifact (the stable testdata fixtures) ages
+        # out first precisely because it never re-publishes
+        # (r09 second diff review)
+        try:
+            os.utime(base, None)
+        except OSError:
+            pass
+        return {
+            n: read_table_versioned(spark, os.path.join(base, n))
+            for n in names
+        }
     frames = build()
     missing = [n for n in names if n not in frames]
     if missing:
         raise ValueError(
             f"artifact builder for {kind} returned no frame(s) {missing}"
         )
+    import shutil
+    import uuid
+
+    stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     for n in names:
         write_table_versioned(
-            frames[n], os.path.join(base, n), keep_versions=1
+            frames[n], os.path.join(stage, n), keep_versions=1
         )
-    tmp = marker + "._tmp"
+    tmp = os.path.join(stage, _MARKER) + "._tmp"
     with open(tmp, "w") as f:
         json.dump(sorted(names), f)
-    os.replace(tmp, marker)
+    os.replace(tmp, os.path.join(stage, _MARKER))
+    adopted = False
+    for _ in range(2):
+        try:
+            os.rename(stage, base)
+            adopted = True
+            break
+        except OSError:
+            if _marker_ok(base, names):
+                break  # a concurrent publisher won with a full artifact
+            # a PARTIAL dir occupies the name (crashed pre-staging
+            # publisher, or a mid-adopt racer): evict it and retry the
+            # adopt once — markerless dirs are rebuild fodder by
+            # contract, never read
+            shutil.rmtree(base, ignore_errors=True)
+    if not adopted:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not _marker_ok(base, names):
+            # pathological (e.g. the winner was pruned in the same
+            # instant): serve this build's own frames — bit-identical
+            # by determinism, just not store-backed
+            return {n: frames[n] for n in names}
     _prune_stale_fingerprints(os.path.dirname(base), keep=base)
     _prune_superseded_kinds(root, kind)
     return {

@@ -263,3 +263,83 @@ def test_bpe_rules_artifact_serves_cold_process(spark, art_root, monkeypatch):
     enc = curation.text_bpe_encode(spark, SF_SMOKE)
     assert enc.where("n_merges_applied < 0").count() == 0
     assert enc.count() > 0
+
+
+def test_concurrent_publishers_race_one_complete_artifact(tmp_path):
+    """Two PROCESSES racing get_or_build on the same kind/fingerprint
+    (the real driver topology: bench and parity can overlap a round)
+    must both serve bit-identical frames, and the store must end with
+    ONE complete adopted artifact — no torn versions, no leaked
+    staging dirs (r09 verdict #4). Publishing is stage-then-atomic-
+    rename; the loser discards its stage and reads the winner's."""
+    import json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "race-root")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    import shutil
+
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", f"{sf}/documents.parquet")
+
+    prog = r"""
+import json, os, sys, time
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+from energy_data_pipeline_project_spark.pipeline import artifacts as A
+
+def build():
+    # slow the build so both processes are inside it simultaneously
+    time.sleep(3.0)
+    df = (spark.range(0, 500)
+          .selectExpr("id", "xxhash64(id) AS h"))
+    return {"t": df}
+
+fp = A.corpus_fingerprint(sys.argv[1], table="documents")
+got = A.get_or_build(spark, "race_kind@r1", fp, ("t",), build)["t"]
+rows = sorted(map(tuple, got.collect()))
+print("RESULT " + json.dumps(rows[:5] + rows[-5:] + [[len(rows), 0]]))
+spark.stop()
+"""
+    env = dict(os.environ, SPARK_GRAFT_ARTIFACTS=root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog, sf],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for _ in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+        line = [
+            ln for ln in out.decode().splitlines() if ln.startswith("RESULT ")
+        ]
+        assert line, out.decode()[-2000:]
+        outs.append(json.loads(line[-1][len("RESULT "):]))
+    assert outs[0] == outs[1], "racing publishers served different frames"
+
+    from energy_data_pipeline_project_spark.pipeline import artifacts as A
+    from energy_data_pipeline_project_spark.pipeline import lake
+
+    fp = A.corpus_fingerprint(sf, table="documents")
+    base = os.path.join(root, "race_kind@r1", fp)
+    assert A._marker_ok(base, ("t",)), "no complete adopted artifact"
+    # exactly one published version — the winner's; the loser's stage
+    # never reached the fingerprint path
+    assert lake.published_table_versions(os.path.join(base, "t")) == {1}
+    # no staging leftovers anywhere under the kind dir
+    leftovers = [
+        d for d in os.listdir(os.path.join(root, "race_kind@r1"))
+        if ".stage-" in d
+    ]
+    assert not leftovers, leftovers
