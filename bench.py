@@ -336,15 +336,26 @@ def main() -> None:
     except (OSError, ValueError, AttributeError, TypeError):
         slow_tier = set()
 
+    # Every extra whose FIRST (cold) sample lands ≥2s also gets a
+    # second rep (r09 verdict #5): the 2-3s band is exactly where VM
+    # steal noise manufactured r08's false "regressions", and the
+    # prev-round slow tier alone missed single-rep queries that were
+    # fast last round but slow this one. Self-measuring keeps the rule
+    # round-independent; the REPORTED value stays the first (cold)
+    # sample so extra_total semantics never change.
+    EXTRA_REP_FLOOR_S = 2.0
     extra: dict[str, float] = {}
     extra_reps: dict[str, list[float]] = {}
     for name in EXTRA:
         rs: list[float] = []
-        for _ in range(2 if (name in WATCH or name in slow_tier) else 1):
+        planned = 2 if (name in WATCH or name in slow_tier) else 1
+        while len(rs) < planned:
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             rs.append(round(time.perf_counter() - t0, 3))
             release_cached_frames()
+            if len(rs) == 1 and rs[0] >= EXTRA_REP_FLOOR_S:
+                planned = 2
         extra[name] = min(rs) if name in WATCH else rs[0]
         if len(rs) > 1:
             extra_reps[name] = rs

@@ -263,11 +263,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "proj_cast_alias",
-    """
+    f"""
     SELECT p_partkey,
            upper(p_name) AS p_name_upper,
            CAST(p_size AS VARCHAR) AS size_str,
-           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) * 11.0 / 1000.0
+           {_cents_duck("p_retailprice")} * 11.0 / 1000.0
              AS uplift_price,
            'catalog' AS src,
            p_brand || ':' || p_type AS brand_type
@@ -1693,9 +1693,9 @@ def exists_high_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "not_exists_big_order_customers",
-    """
+    f"""
     SELECT c_mktsegment, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           CAST(SUM({_cents_duck("c_acctbal")}) AS DOUBLE)
              / 100.0 / COUNT(*) AS avg_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -1817,7 +1817,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ntile_customer_quartiles",
-    """
+    f"""
     WITH t AS (
       SELECT c_acctbal,
              -- NULLS FIRST matches the Spark decomposition's running
@@ -1827,7 +1827,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT quartile, COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           CAST(SUM({_cents_duck("c_acctbal")}) AS DOUBLE)
              / 100.0 / COUNT(*) AS avg_acctbal
     FROM t GROUP BY quartile
     """,

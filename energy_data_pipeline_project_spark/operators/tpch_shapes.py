@@ -319,7 +319,7 @@ _Q9_AMOUNT_SQL = (
     f"""
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate) AS o_year,
-           CAST(SUM(CAST(ROUND(({_Q9_AMOUNT_SQL}) * 100, 0) AS BIGINT))
+           CAST(SUM({_cents_duck(_Q9_AMOUNT_SQL)})
                 AS BIGINT) AS profit_cents
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
@@ -883,13 +883,13 @@ def q20_dominant_share_suppliers(
     "q22_dormant_customers",
     f"""
     WITH avg_pos AS (
-      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+      SELECT CAST(SUM({_cents_duck("c_acctbal")}) AS DOUBLE)
                / 100.0 / COUNT(*) AS a
       FROM customer WHERE c_acctbal > 0
     )
     SELECT CAST(c.c_custkey % {Q22_MOD} AS INT) AS cust_group,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           CAST(SUM({_cents_duck("c.c_acctbal")}) AS DOUBLE)
              / 100.0 AS totacctbal
     FROM customer c, avg_pos
     WHERE c.c_acctbal > avg_pos.a

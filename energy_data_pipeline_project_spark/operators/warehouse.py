@@ -388,9 +388,9 @@ _SKYLINE_BAND_CENTS = 10_000  # $100 price bands
 
 @query(
     "skyline_parts",
-    """
+    f"""
     WITH p AS (SELECT p_partkey,
-                      CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents,
+                      {_CENTS.format("p_retailprice")} AS cents,
                       p_size
                FROM part)
     SELECT p.p_partkey, p.cents AS price_cents, p.p_size

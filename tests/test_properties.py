@@ -386,3 +386,102 @@ def test_psi_nonnegative_and_zero_on_identity(c_old, c_new):
     assert psi >= 0.0  # (p-q) and ln(p/q) always share a sign
     # symmetry: PSI is symmetric in its arguments
     assert abs(psi - psi_from_counts(c_new, c_old)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §5.2: day bucketing across DST boundaries under a non-UTC
+# session TZ (r09 verdict #6). session.py pins UTC for determinism,
+# but the reference's config declares Europe/Berlin and
+# get_spark_session accepts overrides — the engine's epoch→timestamp→
+# date chain (silver's to_timestamp(from_unixtime(_t)), gold's
+# to_date) must bucket by the SESSION calendar, agreeing with
+# zoneinfo and DuckDB's ICU timezone() on every instant, including
+# the spring-forward day (92 quarter-hours, not 96) and the
+# fall-back day (100). Fall-back walltimes repeat (02:30 CEST and
+# 02:30 CET render identically), but both instants share a date, so
+# bucketing is unambiguous even where the walltime is not.
+# ---------------------------------------------------------------------------
+_BERLIN = "Europe/Berlin"
+
+
+def _berlin_days(spark, epochs):
+    """(epoch → date) via the engine's own chain under a Berlin
+    session TZ, restoring the session TZ afterwards."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", _BERLIN)
+    try:
+        rows = (
+            spark.createDataFrame([(e,) for e in epochs], "e long")
+            .select(
+                "e",
+                F.to_date(
+                    F.to_timestamp(F.from_unixtime(F.col("e")))
+                ).alias("d"),
+            )
+            .collect()
+        )
+        return {r["e"]: r["d"] for r in rows}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4_000_000_000),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_berlin_day_bucketing_matches_zoneinfo_and_duckdb(spark, epochs):
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(_BERLIN)
+    got = _berlin_days(spark, epochs)
+    want = {e: datetime.fromtimestamp(e, tz=tz).date() for e in epochs}
+    assert got == want
+    duck = {
+        e: d
+        for e, d in duckdb.sql(
+            "SELECT e, CAST(timezone('Europe/Berlin', to_timestamp(e))"
+            " AS DATE) FROM (SELECT unnest($eps) AS e)",
+            params={"eps": list(set(epochs))},
+        ).fetchall()
+    }
+    assert {e: duck[e] for e in want} == want
+
+
+def test_berlin_dst_days_have_92_and_100_quarter_hours(spark):
+    """The two 2025 boundary days, exhaustively at quarter-hour grain:
+    2025-03-30 (spring forward, 02:00→03:00 never exists) buckets 92
+    quarter-hours; 2025-10-26 (fall back, 02:00-03:00 happens twice)
+    buckets 100. A UTC-bucketing bug would put 96 in each."""
+    import datetime as dt
+    from collections import Counter
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(_BERLIN)
+    epochs = []
+    for day in (dt.date(2025, 3, 30), dt.date(2025, 10, 26)):
+        # cover the local day exactly: scan a UTC superset and keep
+        # instants whose Berlin date IS the day
+        start = int(
+            dt.datetime(
+                day.year, day.month, day.day, tzinfo=dt.timezone.utc
+            ).timestamp()
+        )
+        epochs.extend(
+            e
+            for e in range(start - 8 * 3600, start + 32 * 3600, 900)
+            if dt.datetime.fromtimestamp(e, tz=tz).date() == day
+        )
+    got = _berlin_days(spark, epochs)
+    per_day = Counter(got.values())
+    assert per_day[dt.date(2025, 3, 30)] == 92, per_day
+    assert per_day[dt.date(2025, 10, 26)] == 100, per_day
+    # and every instant individually agrees with zoneinfo
+    for e in epochs:
+        assert got[e] == dt.datetime.fromtimestamp(e, tz=tz).date()
