@@ -457,8 +457,24 @@ def pareto_skyline(p: DataFrame, *, band_width: int) -> DataFrame:
 # text in both engines, ROUND(…, 4) on the continuous outputs only.
 # This is the profile pass a curation pipeline runs per column to pick
 # clipping/normalization constants.
-_MOM_X = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
-_MOM_Y = "CAST(ROUND(l_extendedprice, 0) AS BIGINT)"
+#
+# Guarded whole-unit spellings (one text, both engines — the same
+# anti-drift contract as money.cents_sql; r10 diff review: these were
+# the last raw money spellings, and a NaN/Inf reading crashed the ANSI
+# BIGINT cast in BOTH engines — agreement-by-crash, the posture
+# money.py names as wrong). Bounds are MOMENT bounds, not cast bounds:
+# x⁴ at 5e4 is 6.25e18 and y² at 3e7 is 9e14 — each exact power
+# product stays inside int64 at row grain.
+
+
+def _whole_units(expr_sql: str, bound: float) -> str:
+    from ..functions.money import finite_sql
+
+    return f"CAST(ROUND({finite_sql(expr_sql, bound=bound)}, 0) AS BIGINT)"
+
+
+_MOM_X = _whole_units("l_quantity", 5.0e4)
+_MOM_Y = _whole_units("l_extendedprice", 3.0e7)
 
 
 @query(
@@ -1303,8 +1319,8 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_discount_effect",
     f"""
     WITH b AS (
-      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
-             CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+      SELECT {_CENTS.format("l_discount")} AS disc_pct,
+             {_whole_units("l_quantity", 5.0e4)} AS q,
              {_CENTS.format("l_extendedprice * (1 - l_discount)")}
                AS rev_cents
       FROM lineitem
@@ -1327,8 +1343,8 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
-        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc_pct"),
-        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("q"),
+        F.expr(_CENTS.format("l_discount")).alias("disc_pct"),
+        F.expr(_whole_units("l_quantity", 5.0e4)).alias("q"),
         _cents("l_extendedprice * (1 - l_discount)").alias("rev_cents"),
     )
     g = b.groupBy("disc_pct").agg(

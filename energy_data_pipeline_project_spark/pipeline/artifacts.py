@@ -120,19 +120,9 @@ def get_or_build(
     if root is None:
         return build()
     base = os.path.join(root, kind, fingerprint)
-    if _marker_ok(base, names):
-        # touch: pruning evicts by dir mtime, and without this a
-        # READ-heavy artifact (the stable testdata fixtures) ages
-        # out first precisely because it never re-publishes
-        # (r09 second diff review)
-        try:
-            os.utime(base, None)
-        except OSError:
-            pass
-        return {
-            n: read_table_versioned(spark, os.path.join(base, n))
-            for n in names
-        }
+    got = _read_all(spark, base, names)
+    if got is not None:
+        return got
     frames = build()
     missing = [n for n in names if n not in frames]
     if missing:
@@ -143,14 +133,21 @@ def get_or_build(
     import uuid
 
     stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    for n in names:
-        write_table_versioned(
-            frames[n], os.path.join(stage, n), keep_versions=1
-        )
-    tmp = os.path.join(stage, _MARKER) + "._tmp"
-    with open(tmp, "w") as f:
-        json.dump(sorted(names), f)
-    os.replace(tmp, os.path.join(stage, _MARKER))
+    try:
+        for n in names:
+            write_table_versioned(
+                frames[n], os.path.join(stage, n), keep_versions=1
+            )
+        tmp = os.path.join(stage, _MARKER) + "._tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(names), f)
+        os.replace(tmp, os.path.join(stage, _MARKER))
+    except BaseException:
+        # a failed staging write (disk full, task failure) must not
+        # leak dead parquet into the store forever, nor consume a
+        # KEEP_FINGERPRINTS retention slot (r10 diff review)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     adopted = False
     for _ in range(2):
         try:
@@ -167,16 +164,49 @@ def get_or_build(
             shutil.rmtree(base, ignore_errors=True)
     if not adopted:
         shutil.rmtree(stage, ignore_errors=True)
-        if not _marker_ok(base, names):
-            # pathological (e.g. the winner was pruned in the same
-            # instant): serve this build's own frames — bit-identical
-            # by determinism, just not store-backed
-            return {n: frames[n] for n in names}
     _prune_stale_fingerprints(os.path.dirname(base), keep=base)
     _prune_superseded_kinds(root, kind)
-    return {
-        n: read_table_versioned(spark, os.path.join(base, n)) for n in names
-    }
+    got = _read_all(spark, base, names, touch=False)
+    if got is None:
+        # pathological (winner pruned in the same instant, or its
+        # artifact is torn): serve this build's own frames —
+        # bit-identical by determinism, just not store-backed
+        return {n: frames[n] for n in names}
+    return got
+
+
+def _read_all(
+    spark: SparkSession,
+    base: str,
+    names: tuple[str, ...],
+    touch: bool = True,
+) -> dict[str, DataFrame] | None:
+    """The published frames under ``base``, or ``None`` when the
+    artifact is absent, partial, or torn — deterministic rebuild is
+    always the safe response to damage (module contract), so a valid
+    marker above a missing/corrupt versioned table must fall back to
+    build, never crash the query (r10 diff review: the hit path had
+    drifted to an uncaught read)."""
+    if not _marker_ok(base, names):
+        return None
+    if touch:
+        # touch BOTH the dir (fingerprint pruning evicts by dir mtime;
+        # r09: read-heavy artifacts otherwise age out first) and the
+        # marker (the superseded-kind grace window keys on marker
+        # mtime — an actively-read old-signature artifact must not be
+        # pruned from under its reader, r10 diff review)
+        for p in (base, os.path.join(base, _MARKER)):
+            try:
+                os.utime(p, None)
+            except OSError:
+                pass
+    try:
+        return {
+            n: read_table_versioned(spark, os.path.join(base, n))
+            for n in names
+        }
+    except Exception:
+        return None
 
 
 # Fingerprint dirs kept per kind beyond the one just published. Test
@@ -187,14 +217,28 @@ def get_or_build(
 KEEP_FINGERPRINTS = 8
 
 
+# A '.stage-*' dir older than this is a crashed publisher's leak and
+# is reaped; younger ones are (or may be) live concurrent publishes.
+STAGE_REAP_AGE_S = 86400.0
+
+
 def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
     """Drop the oldest fingerprint dirs under ``kind_dir`` past
     :data:`KEEP_FINGERPRINTS`, never touching ``keep`` (the dir just
     published). Same single-writer assumption as the lake pointer
     swap — a concurrent reader pinned to a pruned stale corpus
     retrains, it never reads garbage (the `_COMPLETE` marker goes
-    first)."""
+    first).
+
+    '.stage-*' dirs are NOT fingerprint entries: a live concurrent
+    publisher's stage must never be rmtree'd mid-write (its dir mtime
+    is creation time — grandchild parquet writes don't refresh it, so
+    it can sort oldest; r10 diff review), and it must not displace a
+    real fingerprint from the retention budget. Stages older than
+    :data:`STAGE_REAP_AGE_S` are crashed-publisher leaks and are
+    reaped separately."""
     import shutil
+    import time
 
     try:
         entries = [
@@ -204,6 +248,15 @@ def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
         ]
     except OSError:
         return
+    stages = [e for e in entries if ".stage-" in os.path.basename(e)]
+    entries = [e for e in entries if ".stage-" not in os.path.basename(e)]
+    now = time.time()
+    for s in stages:
+        try:
+            if now - os.path.getmtime(s) > STAGE_REAP_AGE_S:
+                shutil.rmtree(s, ignore_errors=True)
+        except OSError:
+            pass
     entries = [e for e in entries if os.path.abspath(e) != os.path.abspath(keep)]
     if len(entries) < KEEP_FINGERPRINTS:
         return
@@ -263,20 +316,31 @@ def _prune_superseded_kinds(root: str, kind: str) -> None:
         if d == base_name or d.startswith(base_name + "@"):
             sib = os.path.join(root, d)
             markers = []
+            # recency = the newest of marker mtimes AND entry-dir
+            # mtimes: new-code readers touch both, OLD-code readers
+            # touch only the fingerprint dir, and a first-publish
+            # stage has no marker at all yet — keying on markers alone
+            # pruned an actively-read or mid-first-publish sibling
+            # (r10 diff review)
+            times = [0.0]
             try:
-                markers = [
-                    os.path.join(sib, fp, _MARKER)
-                    for fp in os.listdir(sib)
-                    if os.path.isfile(os.path.join(sib, fp, _MARKER))
-                ]
+                for fp in os.listdir(sib):
+                    entry = os.path.join(sib, fp)
+                    try:
+                        times.append(os.path.getmtime(entry))
+                    except OSError:
+                        pass
+                    m = os.path.join(entry, _MARKER)
+                    if os.path.isfile(m):
+                        markers.append(m)
+                        try:
+                            times.append(os.path.getmtime(m))
+                        except OSError:
+                            pass
             except OSError:
                 pass
-            try:
-                newest = max(os.path.getmtime(m) for m in markers)
-            except (OSError, ValueError):
-                newest = 0.0
-            if time.time() - newest < SUPERSEDED_GRACE_S:
-                continue  # a concurrent (older-code) publisher is live
+            if time.time() - max(times) < SUPERSEDED_GRACE_S:
+                continue  # a concurrent (older-code) publisher/reader
             for m in markers:
                 try:
                     os.remove(m)  # readers see a miss before the rmtree

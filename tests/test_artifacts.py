@@ -188,10 +188,13 @@ def test_superseded_kind_past_grace_is_pruned(spark, art_root, monkeypatch):
 
     fp = A.corpus_fingerprint(SF_SMOKE)
     A.get_or_build(spark, "kind@r1", fp, ("t",), build(1))
-    # age the r1 marker past the grace window
+    # age the r1 marker AND its fingerprint dir past the grace window
+    # (recency is the max of both: markers alone missed old-code
+    # readers that only touch the dir)
     marker = os.path.join(art_root, "kind@r1", fp, "_COMPLETE")
     old = os.path.getmtime(marker) - A.SUPERSEDED_GRACE_S - 60
     os.utime(marker, (old, old))
+    os.utime(os.path.join(art_root, "kind@r1", fp), (old, old))
     A.get_or_build(spark, "kind@r2", fp, ("t",), build(2))
     assert not os.path.exists(os.path.join(art_root, "kind@r1"))
     assert os.path.exists(os.path.join(art_root, "kind@r2", fp, "_COMPLETE"))
@@ -343,3 +346,28 @@ spark.stop()
         if ".stage-" in d
     ]
     assert not leftovers, leftovers
+
+
+def test_torn_artifact_under_valid_marker_rebuilds(spark, art_root):
+    """A valid _COMPLETE marker above a missing/corrupt versioned
+    table (a torn store from a crashed pre-staging publisher, or a
+    marker passed just before a concurrent prune) must fall back to
+    the deterministic rebuild — never crash the consuming query
+    (r10 diff review: the hit path had drifted to an uncaught read)."""
+    import shutil
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"t": spark.createDataFrame([(5,)], "a long")}
+
+    fp = A.corpus_fingerprint(SF_SMOKE)
+    A.get_or_build(spark, "torn", fp, ("t",), build)
+    # tear it: keep the marker, delete the versioned table beneath
+    shutil.rmtree(os.path.join(art_root, "torn", fp, "t"))
+    assert A._marker_ok(os.path.join(art_root, "torn", fp), ("t",))
+
+    got = A.get_or_build(spark, "torn", fp, ("t",), build)["t"]
+    assert len(calls) == 2, "torn artifact must rebuild, not crash"
+    assert [r[0] for r in got.collect()] == [5]
