@@ -473,7 +473,12 @@ def _whole_units(expr_sql: str, bound: float) -> str:
     return f"CAST(ROUND({finite_sql(expr_sql, bound=bound)}, 0) AS BIGINT)"
 
 
-_MOM_X = _whole_units("l_quantity", 5.0e4)
+# ONE named bound per column (r10 third review: the quantity bound was
+# a magic literal at three sites — a future adjustment editing one
+# copy would make discount-effect NULL a different domain than the
+# moments query, the exact drift class the guarded templates end).
+_QTY_ABS_MAX = 5.0e4
+_MOM_X = _whole_units("l_quantity", _QTY_ABS_MAX)
 _MOM_Y = _whole_units("l_extendedprice", 3.0e7)
 
 
@@ -523,15 +528,28 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.expr(_MOM_X)
     y = F.expr(_MOM_Y)
+
+    # Power sums in DECIMAL(38,0): each per-row power product stays in
+    # int64 at the guard bound (x⁴ = 6.25e18, y² = 9e14), but the SUM
+    # does not — two max-domain readings in one group overflow a
+    # BIGINT sxxxx, which Spark ANSI aborts while DuckDB's SUM(BIGINT)
+    # silently promotes to HUGEINT and answers (r10 third review: the
+    # crash-vs-answer split the guard was added to end). The sums are
+    # consumed only through CAST(... AS DOUBLE), so DECIMAL(38,0) and
+    # HUGEINT carry the same exact integers to the same doubles — the
+    # z-score precedent (timeseries.anomaly_from_daily).
+    def dsum(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(38,0)"))
+
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * x * x).alias("sxxx"),
-        F.sum(x * x * x * x).alias("sxxxx"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+        dsum(x * x * x).alias("sxxx"),
+        dsum(x * x * x * x).alias("sxxxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double") / F.col("n")  # noqa: E731
     mx, my = d("sx"), d("sy")
@@ -1320,7 +1338,7 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH b AS (
       SELECT {_CENTS.format("l_discount")} AS disc_pct,
-             {_whole_units("l_quantity", 5.0e4)} AS q,
+             {_MOM_X} AS q,
              {_CENTS.format("l_extendedprice * (1 - l_discount)")}
                AS rev_cents
       FROM lineitem
@@ -1344,7 +1362,7 @@ def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         F.expr(_CENTS.format("l_discount")).alias("disc_pct"),
-        F.expr(_whole_units("l_quantity", 5.0e4)).alias("q"),
+        F.expr(_MOM_X).alias("q"),
         _cents("l_extendedprice * (1 - l_discount)").alias("rev_cents"),
     )
     g = b.groupBy("disc_pct").agg(

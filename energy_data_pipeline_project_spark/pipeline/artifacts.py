@@ -122,6 +122,7 @@ def get_or_build(
     base = os.path.join(root, kind, fingerprint)
     got = _read_all(spark, base, names)
     if got is not None:
+        _reap_stale_stages(os.path.dirname(base))
         return got
     frames = build()
     missing = [n for n in names if n not in frames]
@@ -155,12 +156,21 @@ def get_or_build(
             adopted = True
             break
         except OSError:
-            if _marker_ok(base, names):
-                break  # a concurrent publisher won with a full artifact
-            # a PARTIAL dir occupies the name (crashed pre-staging
-            # publisher, or a mid-adopt racer): evict it and retry the
-            # adopt once — markerless dirs are rebuild fodder by
-            # contract, never read
+            if _read_all(spark, base, names, touch=False) is not None:
+                break  # a concurrent publisher won with a READABLE
+                # artifact (a bare marker check here left a torn dir —
+                # valid marker, unreadable tables — in place forever:
+                # every future cold process rebuilt, failed to adopt,
+                # and discarded its stage; r10 third review)
+            # a PARTIAL or TORN dir occupies the name (crashed
+            # pre-staging publisher, or a mid-adopt racer): evict it —
+            # marker FIRST, so racing readers see a clean miss instead
+            # of a marker above vanishing tables (the pruners'
+            # convention) — and retry the adopt once
+            try:
+                os.remove(os.path.join(base, _MARKER))
+            except OSError:
+                pass
             shutil.rmtree(base, ignore_errors=True)
     if not adopted:
         shutil.rmtree(stage, ignore_errors=True)
@@ -186,9 +196,26 @@ def _read_all(
     always the safe response to damage (module contract), so a valid
     marker above a missing/corrupt versioned table must fall back to
     build, never crash the query (r10 diff review: the hit path had
-    drifted to an uncaught read)."""
+    drifted to an uncaught read).
+
+    Validation here is PLAN-time (pointer + footer resolution): a
+    data-level tear inside one part-file of an otherwise-resolvable
+    snapshot surfaces at the consumer's action, not here — eager
+    full-scan validation would defeat the tier's purpose at 100 TB
+    (the store's integrity answer is the stage-and-rename publisher,
+    which makes torn PUBLISHES impossible going forward; plan-time
+    fallback covers legacy damage and prune races)."""
     if not _marker_ok(base, names):
         return None
+    try:
+        got = {
+            n: read_table_versioned(spark, os.path.join(base, n))
+            for n in names
+        }
+    except Exception:
+        return None  # torn: no touch — a damaged dir must not refresh
+        # its own retention/grace clock and crowd out healthy corpora
+        # (r10 third review)
     if touch:
         # touch BOTH the dir (fingerprint pruning evicts by dir mtime;
         # r09: read-heavy artifacts otherwise age out first) and the
@@ -200,13 +227,7 @@ def _read_all(
                 os.utime(p, None)
             except OSError:
                 pass
-    try:
-        return {
-            n: read_table_versioned(spark, os.path.join(base, n))
-            for n in names
-        }
-    except Exception:
-        return None
+    return got
 
 
 # Fingerprint dirs kept per kind beyond the one just published. Test
@@ -220,6 +241,31 @@ KEEP_FINGERPRINTS = 8
 # A '.stage-*' dir older than this is a crashed publisher's leak and
 # is reaped; younger ones are (or may be) live concurrent publishes.
 STAGE_REAP_AGE_S = 86400.0
+
+
+def _reap_stale_stages(kind_dir: str) -> None:
+    """Remove crashed publishers' '.stage-*' leftovers past
+    :data:`STAGE_REAP_AGE_S`. Called from the miss/publish path AND
+    the read-hit path (one cheap listdir): a kind whose fingerprint
+    always hits afterwards would otherwise keep a dead stage's parquet
+    forever (r10 third review)."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        names = os.listdir(kind_dir)
+    except OSError:
+        return
+    for d in names:
+        if ".stage-" not in d:
+            continue
+        s = os.path.join(kind_dir, d)
+        try:
+            if now - os.path.getmtime(s) > STAGE_REAP_AGE_S:
+                shutil.rmtree(s, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
@@ -238,7 +284,6 @@ def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
     :data:`STAGE_REAP_AGE_S` are crashed-publisher leaks and are
     reaped separately."""
     import shutil
-    import time
 
     try:
         entries = [
@@ -248,15 +293,8 @@ def _prune_stale_fingerprints(kind_dir: str, keep: str) -> None:
         ]
     except OSError:
         return
-    stages = [e for e in entries if ".stage-" in os.path.basename(e)]
     entries = [e for e in entries if ".stage-" not in os.path.basename(e)]
-    now = time.time()
-    for s in stages:
-        try:
-            if now - os.path.getmtime(s) > STAGE_REAP_AGE_S:
-                shutil.rmtree(s, ignore_errors=True)
-        except OSError:
-            pass
+    _reap_stale_stages(kind_dir)
     entries = [e for e in entries if os.path.abspath(e) != os.path.abspath(keep)]
     if len(entries) < KEEP_FINGERPRINTS:
         return

@@ -371,3 +371,14 @@ def test_torn_artifact_under_valid_marker_rebuilds(spark, art_root):
     got = A.get_or_build(spark, "torn", fp, ("t",), build)["t"]
     assert len(calls) == 2, "torn artifact must rebuild, not crash"
     assert [r[0] for r in got.collect()] == [5]
+    # ...and the rebuild must HEAL the store (evict the torn dir and
+    # adopt its own stage), not degenerate to rebuild-always: the next
+    # cold call is a clean hit (r10 third review)
+    got3 = A.get_or_build(spark, "torn", fp, ("t",), build)["t"]
+    assert len(calls) == 2, "healed store must serve without rebuilding"
+    assert [r[0] for r in got3.collect()] == [5]
+    # no staging leftovers under the kind dir after the heal
+    assert not [
+        d for d in os.listdir(os.path.join(art_root, "torn"))
+        if ".stage-" in d
+    ]
