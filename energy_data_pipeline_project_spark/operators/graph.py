@@ -193,7 +193,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     edges = e.agg(F.count("*").alias("n_edges"))
-    return edges.crossJoin(tri).select(
+    # broadcast the 1-row aggregate like every other scalar crossJoin
+    # in the repo (r10 review: this was the lone unhinted instance —
+    # without it Spark may plan a cartesian product exchange for two
+    # single-row frames instead of a broadcast nested loop)
+    return edges.crossJoin(F.broadcast(tri)).select(
         "n_edges", F.col("n_triangles").cast("bigint").alias("n_triangles")
     )
 
