@@ -1,11 +1,47 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from energy_data_pipeline_project_spark.session import get_spark_session
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _isolated_artifact_store():
+    """Point the whole test session at a SEPARATE artifact store.
+
+    The degenerate-corpus sweep (and every tmp-path corpus test) mints
+    a fresh corpus fingerprint per session; against the default repo
+    store that churn fills each kind's KEEP_FINGERPRINTS retention
+    budget and EVICTS the sf0.1/sf0.01 fixture artifacts the bench and
+    parity flows serve from — one full pytest run silently turned the
+    next bench's artifact-tier queries cold (r10: text_bpe_merges
+    0.11s->6.1s, ann_topk_ivfpq 1.8s->7.6s, observed). Tests get their
+    own persistent store (still exercises the real publish/read/prune
+    code, and fixture-corpus training stays warm across sessions);
+    per-test monkeypatch.setenv overrides still win, and an explicit
+    caller-set SPARK_GRAFT_ARTIFACTS (scratch CI stores) is respected.
+    """
+    if "SPARK_GRAFT_ARTIFACTS" in os.environ:
+        yield
+        return
+    root = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__),
+            os.pardir,
+            "spark-warehouse",
+            "_artifacts_tests",
+        )
+    )
+    os.environ["SPARK_GRAFT_ARTIFACTS"] = root
+    try:
+        yield
+    finally:
+        os.environ.pop("SPARK_GRAFT_ARTIFACTS", None)
 
 
 def pytest_configure(config):
