@@ -2249,13 +2249,50 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # OLS of event value (cents) on event day, per event type — the
 # time-trend profile an anomaly dashboard fits. All five sufficient
-# moments (Sx, Sy, Sxy, Sxx, Syy) are EXACT BIGINT sums — order-
+# moments (Sx, Sy, Sxy, Sxx, Syy) are EXACT integer sums carried in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB's SUM promotion) — order-
 # independent, so cross-engine bitwise-stable without any ROUND — and
 # slope/intercept/r are derived from them with one identical
 # double-precision expression tree in both engines. x is days since
-# the corpus's min date (broadcast 1-row aggregate), keeping every
-# product far from int64 range at bench scales; the docstring notes
-# the 100 TB variant (built-in regr_slope over double moments).
+# the corpus's min date (broadcast 1-row aggregate); per-row products
+# fit int64 by the cents domain guard, and the wide sums absorb any
+# group size.
+# ONE spelling of the OLS readout per quantity, shared verbatim by the
+# Spark select and the DuckDB oracle so the guards cannot drift. The
+# denominator gates (seasonal_decompose precedent, found by the r10
+# second-wave sweep): a group whose events all land on ONE day has
+# zero x-variance — Spark's ANSI double division aborts the job while
+# DuckDB emits ±Inf/NaN, the crash-vs-answer split again. The predicate
+# compares the identical IEEE tree both engines evaluate (an exact-int
+# predicate is unavailable: sx² overflows DECIMAL(38,0) at ~3e19), so
+# the branch decision is bit-identical; undefined fits emit NULL.
+_OLS_DEN_X = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_OLS_DEN_Y = (
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_OLS_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_OLS_SLOPE = (
+    f"CASE WHEN {_OLS_DEN_X} <> 0 THEN {_OLS_NUM} / {_OLS_DEN_X} END"
+)
+_OLS_INTERCEPT = (
+    f"CASE WHEN {_OLS_DEN_X} <> 0 THEN"
+    " (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+    f" / {_OLS_DEN_X} END"
+)
+_OLS_R = (
+    f"CASE WHEN {_OLS_DEN_X} * {_OLS_DEN_Y} > 0 THEN"
+    f" {_OLS_NUM} / sqrt({_OLS_DEN_X} * {_OLS_DEN_Y}) END"
+)
+
+
 def linear_trend(events: DataFrame) -> DataFrame:
     # rows with no usable (x, y) pair are excluded from ALL moments —
     # counting them in n while SUM skipped their NULL products made
@@ -2279,39 +2316,41 @@ def linear_trend(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            # Moment sums in DECIMAL(38,0) (the agg_higher_moments /
+            # z-score precedent): every per-row product stays in int64
+            # at the cents guard bound (y² = 9.0e18 at the 3e9-cent
+            # edge, just under int64 max), but the SUM does not — TWO
+            # max-domain readings in one group overflow a BIGINT syy,
+            # which Spark ANSI aborts while DuckDB's SUM(BIGINT)
+            # silently promotes to HUGEINT and answers (found by the
+            # r10 second-wave degenerate sweep: ±3e7-unit readings at
+            # the documented domain edge crashed only the Spark side).
+            # All five sums are consumed through CAST(... AS DOUBLE),
+            # so DECIMAL(38,0) and HUGEINT carry the same exact
+            # integers to the same doubles.
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+                "sxx"
+            ),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+                "syy"
+            ),
         )
     )
     # Identical double expression tree on both engines: numerators and
     # denominators are doubles OF exact ints, every subsequent op is
-    # deterministic IEEE.
+    # deterministic IEEE; zero-variance groups gate to NULL (see the
+    # _OLS_* constants above, shared verbatim with the oracle).
     return m.select(
         "event_type",
         "n",
-        F.expr(
-            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        ).alias("slope_cents_per_day"),
-        F.expr(
-            "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
-            " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        ).alias("intercept_cents"),
-        F.expr(
-            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-            "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
-        ).alias("r"),
+        F.expr(_OLS_SLOPE).alias("slope_cents_per_day"),
+        F.expr(_OLS_INTERCEPT).alias("intercept_cents"),
+        F.expr(_OLS_R).alias("r"),
     )
 
 
@@ -2335,23 +2374,9 @@ def linear_trend(events: DataFrame) -> DataFrame:
       GROUP BY 1
     )
     SELECT event_type, n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             AS slope_cents_per_day,
-           (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             AS intercept_cents,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             AS r
+           {_OLS_SLOPE} AS slope_cents_per_day,
+           {_OLS_INTERCEPT} AS intercept_cents,
+           {_OLS_R} AS r
     FROM m
     """,
 )
@@ -2359,9 +2384,10 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value-over-time OLS from exact integer moments (one
     scan + one map-side-combined aggregate; the min-date scalar is a
     broadcast 1-row frame, not a driver action). At 100 TB the same
-    shape holds; if y² sums approach int64 range, swap the BIGINT
-    moments for Spark's built-in regr_slope/regr_intercept/corr
-    (double moments, same single-pass plan, approximate equality)."""
+    shape holds: the DECIMAL(38,0) moment sums stay exact to ~1e38
+    (≈1e19 domain-edge rows per group); Spark's built-in
+    regr_slope/regr_intercept/corr (double moments, same single-pass
+    plan, approximate equality) remains the escape hatch beyond."""
     return linear_trend(load_table(spark, sf_dir, "events"))
 
 

@@ -326,6 +326,32 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "value": -1e18, "props": '{"k": 3}'},
         {"event_id": 900011, "ts": t0, "user_id": 900005, "event_type": "view",
          "value": 1e15, "props": '{"k": 4}'},
+        # --- second-wave shapes (r10): TIMESTAMP(NANOS) boundary
+        # instants (a corrupt ns timestamp lands exactly here before it
+        # wraps; both sit just inside the pandas ns range so the Arrow
+        # paths are exercised, not short-circuited), JSON numbers past
+        # int64/double, unicode event types and escapes, a negative
+        # user id, and a PAIR of ±domain-edge readings whose squares
+        # each fit int64 but whose SUM does not — this pair found the
+        # events_linear_trend BIGINT-vs-HUGEINT moment-sum split.
+        {"event_id": 910001, "ts": _dt.datetime(2262, 4, 11, 23, 47, 16),
+         "user_id": 910001, "event_type": "view", "value": 1.0,
+         "props": '{"k": 99999999999999999999}'},
+        {"event_id": 910002, "ts": _dt.datetime(1677, 9, 21, 0, 12, 44),
+         "user_id": 910001, "event_type": "view", "value": 2.0,
+         "props": '{"k": 1e309}'},
+        {"event_id": 910003, "ts": _dt.datetime(2024, 3, 2, 0, 0, 0),
+         "user_id": 910002, "event_type": "purchäse", "value": 3.0,
+         "props": '{"k": "\\u00e9"}'},
+        {"event_id": 910004, "ts": _dt.datetime(2024, 3, 2, 0, 0, 1),
+         "user_id": 910002, "event_type": "view", "value": 4.0,
+         "props": '{"k": {"deep": {"deeper": [1, 2, {"x": 3}]}}}'},
+        {"event_id": 910005, "ts": _dt.datetime(2024, 3, 2, 0, 0, 2),
+         "user_id": -7, "event_type": "view", "value": -3.0e7,
+         "props": '{"k": -1}'},
+        {"event_id": 910006, "ts": _dt.datetime(2024, 3, 2, 0, 0, 3),
+         "user_id": -7, "event_type": "view", "value": 3.0e7,
+         "props": '{"k": -9223372036854775808}'},
     ])
     long_doc = " ".join(["longword%d" % (i % 7) for i in range(5000)])
     spam_doc = " ".join(["spam"] * 200)
@@ -358,6 +384,34 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "n_chars": len(spam_doc)},
         {"doc_id": None, "text": "null id document body", "lang": "en",
          "source": "srcX", "n_chars": 21},
+        # --- second-wave shapes (r10): unicode beyond the BMP,
+        # combining characters, zero-width/RTL text, control
+        # whitespace, fingerprint-separator characters, and LYING
+        # n_chars metadata — all plausible 100 TB web-ingest rows.
+        {"doc_id": 910001,
+         "text": "\U0001F680 rocket \U0001D518\U0001D52B math \U0001F600",
+         "lang": "en", "source": "srcU", "n_chars": 20},
+        {"doc_id": 910002, "text": "éclair mélange",
+         "lang": "fr", "source": "srcU", "n_chars": 16},
+        {"doc_id": 910003, "text": "tab\tseparated\nnewline mixed",
+         "lang": "en", "source": "srcU", "n_chars": 27},
+        {"doc_id": 910004, "text": "​zero​width words",
+         "lang": "en", "source": "srcU", "n_chars": 18},
+        {"doc_id": 910005, "text": "مرحبا rtl text here",
+         "lang": "ar", "source": "srcU", "n_chars": 19},
+        {"doc_id": 910006, "text": "comma,colon:pipe|chars , : |",
+         "lang": "en", "source": "srcU", "n_chars": 28},
+        {"doc_id": 910007, "text": "short", "lang": "en", "source": "srcU",
+         "n_chars": 999999},
+        {"doc_id": 910008, "text": "short", "lang": "en", "source": "srcU",
+         "n_chars": -5},
+        # near-dup pair differing only by a combining accent
+        {"doc_id": 910009,
+         "text": "café terrace at night painting body words",
+         "lang": "fr", "source": "srcU", "n_chars": 42},
+        {"doc_id": 910010,
+         "text": "café terrace at night painting body words",
+         "lang": "fr", "source": "srcU", "n_chars": 43},
     ])
     one = [0.0] * 64
     one[0] = 1.0
