@@ -48,16 +48,21 @@ def _kmeans_oracle() -> str:
     """Generate the DuckDB twin: the same quantization, init, and
     {KMEANS_ITERS} assign/update rounds as the Spark plan, as one CTE
     chain."""
+    from .similarity import VALID_VEC_DUCK
+
     k, q = KMEANS_K, KMEANS_QUANT
     parts = [
         f"""
     WITH m AS (
+      -- VALID_VEC: a NaN/Inf element aborts the integer-grid cast in
+      -- both engines (r10 third-wave sweep) — malformed vectors are
+      -- not clustered, identically on both sides
       SELECT vec_id, u['d'] AS dim,
              CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val
       FROM (SELECT vec_id,
                    unnest(list_transform(generate_series(1, len(embedding)),
                           i -> {{'d': i, 'v': embedding[i]}})) AS u
-            FROM embeddings)
+            FROM embeddings WHERE {VALID_VEC_DUCK})
     ), c0 AS (
       SELECT vec_id AS cluster, dim, val AS cval FROM m WHERE vec_id < {k}
     )"""
@@ -115,8 +120,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    from .similarity import VALID_VEC_SPARK
+
     k = KMEANS_K
-    emb = load_table(spark, sf_dir, "embeddings")
+    # VALID_VEC mirrors the oracle melt (r10 third-wave sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     melted = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
         .select(
@@ -213,12 +221,14 @@ def label_spectrum(emb: DataFrame) -> DataFrame:
             lens = pd.Series([len(a) for a in arrs])
             d_mode = int(lens.mode().iloc[0])
             # NULL elements arrive as NaN inside the Arrow array and
-            # poison cov/eigvalsh (r09 extended sweep) — a vector with
-            # an unmeasured component is dropped like a NULL vector
+            # poison cov/eigvalsh (r09 extended sweep), and a ±Inf
+            # element makes eigvalsh raise outright (r10 third wave) —
+            # a vector with an unmeasured or non-finite component is
+            # dropped like a NULL vector
             arrs = [
                 a
                 for a in arrs
-                if len(a) == d_mode and not np.isnan(a).any()
+                if len(a) == d_mode and np.isfinite(a).all()
             ]
         if not arrs:
             return pd.DataFrame(

@@ -72,9 +72,13 @@ def _semantic_oracle() -> str:
     # by tests/test_curation_ops.py); val (FLOOR at SEM_QUANT) stays
     # the kmeans-idiom assignment grid. Integer dp/n2 sums are
     # partition-order-independent — the r06 float-sum lesson.
+    from .similarity import VALID_VEC_DUCK
+
     k, q, t = SEM_K, SEM_QUANT, SEM_THRESHOLD
     return f"""
     WITH m AS (
+      -- VALID_VEC: a NaN/Inf element aborts the integer-grid cast in
+      -- both engines (r10 third-wave sweep)
       SELECT vec_id, u['d'] AS dim,
              CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val,
              CAST(ROUND(CAST(u['v'] AS DOUBLE) * {COSINE_QUANT}, 0)
@@ -82,7 +86,7 @@ def _semantic_oracle() -> str:
       FROM (SELECT vec_id,
                    unnest(list_transform(generate_series(1, len(embedding)),
                           i -> {{'d': i, 'v': embedding[i]}})) AS u
-            FROM embeddings)
+            FROM embeddings WHERE {VALID_VEC_DUCK})
     ), cent AS (
       SELECT vec_id AS cluster, dim, val AS cval FROM m WHERE vec_id < {k}
     ), asn AS (
@@ -115,6 +119,10 @@ def _semantic_oracle() -> str:
 
 
 def _semantic_melt(emb: DataFrame) -> DataFrame:
+    from .similarity import VALID_VEC_SPARK
+
+    # VALID_VEC mirrors the oracle melt (r10 third-wave sweep)
+    emb = emb.where(VALID_VEC_SPARK)
     return _cached(
         emb.select(
             "vec_id", F.posexplode("embedding").alias("pos0", "vf")

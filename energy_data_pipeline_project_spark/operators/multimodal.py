@@ -343,14 +343,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (float32→double is exact; x*10000 is the same IEEE double in both
 # engines; both round ties away from zero).
 _Q = 10000
-# CASE len>0 AND no-NULL-element: DuckDB's list_aggregate sums an
+# CASE len>0 AND no-bad-element: DuckDB's list_aggregate sums an
 # EMPTY list to NULL while Spark's aggregate folds it to the 0 init,
-# and a NULL ELEMENT is skipped by DuckDB's 'sum' but NULL-propagates
-# through Spark's fold (r09 sweep + diff review) — pin both engines
-# to NULL for empty/NULL/NULL-element embeddings (mass unmeasurable)
+# a NULL ELEMENT is skipped by DuckDB's 'sum' but NULL-propagates
+# through Spark's fold (r09 sweep + diff review), and a NaN/Inf
+# element aborts the BIGINT cast in both engines (r10 third wave) —
+# pin both engines to NULL for empty/NULL/NULL-or-non-finite-element
+# embeddings (mass unmeasurable). BAD_ELEM_LAMBDA is the one shared
+# spelling (operators/similarity.py).
+from .similarity import BAD_ELEM_LAMBDA as _BAD_ELEM  # noqa: E402
+
 _QABS_DUCK = (
     f"CASE WHEN len(embedding) > 0"
-    f" AND len(list_filter(embedding, x -> x IS NULL)) = 0 THEN"
+    f" AND len(list_filter(embedding, {_BAD_ELEM})) = 0 THEN"
     f" list_aggregate(list_transform(embedding,"
     f" x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT))), 'sum')"
     f" END"
@@ -381,13 +386,13 @@ def multimodal_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the average is an exact int/int ratio."""
     docs = attach_media(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
-    # when(size>0 and no NULL element): the pin described at
+    # when(size>0 and no bad element): the pin described at
     # _QABS_DUCK (Spark size(NULL) is -1, so one predicate covers
-    # NULL and empty; exists() covers NULL elements)
+    # NULL and empty; exists() covers NULL/NaN/Inf elements)
     qabs = F.when(
         F.expr(
             "size(embedding) > 0"
-            " AND NOT exists(embedding, x -> x IS NULL)"
+            f" AND NOT exists(embedding, {_BAD_ELEM})"
         ),
         F.aggregate(
             F.transform(

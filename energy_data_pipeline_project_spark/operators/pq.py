@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..pipeline import artifacts as A
 from ..sources.tables import load_table
 from ._registry import make_registry
-from .similarity import N_QUERY_VECS, TOP_K
+from .similarity import N_QUERY_VECS, TOP_K, VALID_VEC_DUCK, VALID_VEC_SPARK
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -66,13 +66,16 @@ def _pq_melt_cte() -> str:
     # this CTE; DuckDB 1.0 inlines by default, re-running the melt per
     # reference — measured 13s→0.4s on the IVF-PQ oracle (r06).
     q, sd = PQ_QUANT, PQ_SUBDIM
+    # VALID_VEC: a NaN/Inf element would abort the integer-grid cast
+    # in BOTH engines (r10 third-wave sweep) — malformed vectors are
+    # excluded from training and encoding, identically on both sides.
     return f"""m AS MATERIALIZED (
       SELECT vec_id, u['d'] AS dim, (u['d'] - 1) // {sd} AS sub,
              CAST(FLOOR(CAST(u['v'] AS DOUBLE) * {q}) AS BIGINT) AS val
       FROM (SELECT vec_id,
                    unnest(list_transform(generate_series(1, len(embedding)),
                           i -> {{'d': i, 'v': embedding[i]}})) AS u
-            FROM embeddings)
+            FROM embeddings WHERE {VALID_VEC_DUCK})
     )"""
 
 
@@ -264,7 +267,9 @@ def _melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit[0]
     _evict(_MELT_MEMO, key)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # VALID_VEC mirrors the oracle melt: one NaN/Inf element aborted
+    # the FLOOR→BIGINT grid cast under ANSI (r10 third-wave sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     df = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
         .select(
@@ -563,8 +568,10 @@ IVFPQ_COARSE_ITERS = 2
 # index while the replayed-SQL oracle computes the NEW chain. The
 # signature folds every training-relevant constant in automatically;
 # bump the REV literal on any LOGIC change to the chain itself.
-_PQ_CHAIN_REV = 1
-_IVFPQ_CHAIN_REV = 1
+# r2: the melt now excludes NaN/Inf-element vectors via VALID_VEC —
+# the training population changed, so published r1 indexes are stale.
+_PQ_CHAIN_REV = 2
+_IVFPQ_CHAIN_REV = 2
 # IVF-PQ refines a larger ADC shortlist than plain PQ: residual codes
 # rank slightly differently per probed cell and the exact-refine stage
 # is the cheap part (shortlist x D int ops per query), so a 2x

@@ -828,8 +828,17 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # try_ forms: malformed JSON parses to NULL variant, and a
     # non-scalar $.k extracts as NULL instead of aborting the cast
-    # (r09 degenerate sweep; oracle mirrors with json_valid+TRY_CAST)
-    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    # (r09 degenerate sweep; oracle mirrors with json_valid+TRY_CAST).
+    # Extract as STRING, then try_cast to int — NOT a typed "int"
+    # variant_get: the typed path coerces JSON booleans (true → 1)
+    # while the oracle's json_extract_string → TRY_CAST chain yields
+    # NULL for 'true' (r10 third-wave sweep, a boolean-typed k). The
+    # string hop keeps the one-parse variant showcase and makes both
+    # engines apply the same text-to-int conversion.
+    k = F.expr(
+        "try_cast(try_variant_get(try_parse_json(props), '$.k', 'string')"
+        " AS INT)"
+    )
     return ev.select(k.alias("k")).groupBy(
         (F.col("k") % 10).alias("k_bucket")
     ).agg(

@@ -83,21 +83,31 @@ LSH_BITS = 3
 LSH_DIM = 64
 
 # Valid-vector predicate, one spelling per engine: the embeddings
-# contract is non-NULL dim-64 arrays, but real 100 TB ingest leaks
-# NULL and ragged rows, and those KILL whole jobs downstream (DuckDB
-# list_dot_product rejects dim-mismatch/NULL; numpy stacks ragged
-# batches as object arrays). Malformed vectors are excluded at the
-# source of each vector operator — identically in the oracle — so one
-# corrupt row degrades to "not indexed", never to a dead job
-# (r09 degenerate sweep).
+# contract is non-NULL dim-64 arrays of FINITE floats, but real 100 TB
+# ingest leaks NULL/ragged rows and NaN/±Inf elements, and those KILL
+# whole jobs downstream (DuckDB list_dot_product rejects
+# dim-mismatch/NULL; numpy stacks ragged batches as object arrays; the
+# 1e4 integer-grid quantization casts NaN/Inf to BIGINT, which aborts
+# under Spark ANSI and errors in DuckDB — the r10 third-wave sweep
+# found 13 vector queries crashing or diverging on ONE non-finite
+# element). Malformed vectors are excluded at the source of each
+# vector operator — identically in the oracle — so one corrupt row
+# degrades to "not indexed", never to a dead job.
 EMB_DIM = 64
+# The bad-ELEMENT lambda body, shared by both engines' spellings and
+# by every inline fold guard in hof/multimodal/embedding queries:
+# NULL, NaN, or ±Inf — any of them makes the vector unmeasurable.
+BAD_ELEM_LAMBDA = (
+    "x -> x IS NULL OR isnan(CAST(x AS DOUBLE))"
+    " OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
+)
 VALID_VEC_SPARK = (
     f"(embedding IS NOT NULL AND size(embedding) = {EMB_DIM}"
-    " AND NOT exists(embedding, x -> x IS NULL))"
+    f" AND NOT exists(embedding, {BAD_ELEM_LAMBDA}))"
 )
 VALID_VEC_DUCK = (
     f"(embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
-    " AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
+    f" AND len(list_filter(embedding, {BAD_ELEM_LAMBDA})) = 0)"
 )
 
 
@@ -350,7 +360,10 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical."""
 
     def _build() -> dict[str, DataFrame]:
-        emb = load_table(spark, sf_dir, "embeddings")
+        # VALID_VEC: Spark's FLOOR(double) returns BIGINT, so one ±Inf
+        # element became a Long extreme and the centroid SUM overflowed
+        # under ANSI (r10 third-wave sweep)
+        emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
         # zero-grid-norm vectors are excluded from training exactly as
         # they are from assignment/query (the oracle trains its cent
         # CTE from the same filtered e; r09 degenerate sweep)
@@ -380,12 +393,14 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipeline import artifacts as A
 
-    # the @r1-q{grid} suffix is the algorithm signature (see
+    # the @r2-q{grid} suffix is the algorithm signature (see
     # pq._PQ_CHAIN_REV's comment): a changed derivation must never
-    # serve an index published by the old code
+    # serve an index published by the old code. r2: VALID_VEC now
+    # excludes NaN/Inf-element vectors, changing the training
+    # population (r10 third-wave sweep).
     return A.get_or_build(
         spark,
-        f"ivf_coarse@r1-q{IVF_GRID_QUANT}",
+        f"ivf_coarse@r2-q{IVF_GRID_QUANT}",
         A.corpus_fingerprint(sf_dir),
         ("centroids",),
         _build,
@@ -398,7 +413,7 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de,
                       list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> FLOOR(x * 10000.0)) AS qde
-               FROM embeddings),
+               FROM embeddings WHERE {VALID_VEC_DUCK}),
     -- zero-grid-norm vectors (zero/empty/NULL embeddings, or magnitudes
     -- below the 1e-4 grid) have no direction on the assignment grid:
     -- their cosine is 0/0, which Spark's ANSI mode refuses and DuckDB
@@ -456,7 +471,9 @@ def ann_topk_ivf(
     recall@5 vs exact brute force is ~20% at nprobe=1 and >=0.8 at the
     default (asserted in tests/test_similarity_recall.py).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # VALID_VEC mirrors the oracle's e0 CTE (r10 third-wave sweep:
+    # FLOOR(±Inf) → Long extreme → centroid SUM overflow)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     e = emb.select(
         "vec_id",
         "label",
@@ -676,20 +693,23 @@ HOF_Q_SCALE = 10000
            CAST(len(embedding) AS INT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
            CAST(CASE WHEN embedding IS NULL
-                     OR len(list_filter(embedding, x -> x IS NULL)) > 0
+                     OR len(list_filter(embedding, {BAD_ELEM_LAMBDA})) > 0
                      THEN NULL
                 ELSE COALESCE(list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
                 'sum'), 0) END AS BIGINT) AS q_sum,
            CAST(CASE WHEN embedding IS NULL
-                     OR len(list_filter(embedding, x -> x IS NULL)) > 0
+                     OR len(list_filter(embedding, {BAD_ELEM_LAMBDA})) > 0
                      THEN NULL
                 ELSE COALESCE(list_aggregate(list_transform(embedding,
                   x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT))),
                 'sum'), 0) END AS BIGINT) AS q_l1,
-           CAST(list_aggregate(list_transform(embedding,
+           CAST(CASE WHEN embedding IS NULL
+                     OR len(list_filter(embedding, {BAD_ELEM_LAMBDA})) > 0
+                     THEN NULL
+                ELSE list_aggregate(list_transform(embedding,
                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {HOF_Q_SCALE}, 0) AS BIGINT)),
-                'max') AS BIGINT) AS q_max
+                'max') END AS BIGINT) AS q_max
     FROM embeddings
     """,
 )
@@ -733,19 +753,25 @@ def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("n_pos"),
-        # NULL-element pin (r09 diff review): DuckDB's 'sum' SKIPS a
-        # NULL element while Spark's fold NULL-propagates — an array
-        # with a NULL component has no well-defined sum; both engines
-        # now emit NULL (the multimodal _QABS pin, same class)
+        # Bad-element pin (r09 NULL-element + r10 NaN/Inf extension):
+        # DuckDB's 'sum' SKIPS a NULL element while Spark's fold
+        # NULL-propagates, and a NaN/Inf element aborts the BIGINT
+        # cast in BOTH engines — an array with a NULL or non-finite
+        # component has no well-defined fold; both engines emit NULL
+        # (the multimodal _QABS pin, same class). CASE is lazy in both
+        # engines, so the guarded branch never evaluates the cast.
         F.when(
-            ~F.exists("embedding", lambda x: x.isNull()),
+            ~F.expr(f"exists(embedding, {BAD_ELEM_LAMBDA})"),
             F.aggregate(quant, zero, lambda a, x: a + x),
         ).alias("q_sum"),
         F.when(
-            ~F.exists("embedding", lambda x: x.isNull()),
+            ~F.expr(f"exists(embedding, {BAD_ELEM_LAMBDA})"),
             F.aggregate(quant, zero, lambda a, x: a + F.abs(x)),
         ).alias("q_l1"),
-        F.array_max(quant).alias("q_max"),
+        F.when(
+            ~F.expr(f"exists(embedding, {BAD_ELEM_LAMBDA})"),
+            F.array_max(quant),
+        ).alias("q_max"),
     )
 
 
@@ -770,8 +796,12 @@ QUANT_GRID = 10000
     "embedding_quantize_int8",
     f"""
     WITH m AS (
+      -- VALID_VEC: a NaN/Inf element aborts the grid cast in both
+      -- engines (r10 third-wave sweep) — malformed vectors are not
+      -- quantized, identically on both sides
       SELECT vec_id, CAST(FLOOR(CAST(u AS DOUBLE) * {QUANT_GRID}) AS BIGINT) AS vq
-      FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings)
+      FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings
+            WHERE {VALID_VEC_DUCK})
     ), sc AS (
       SELECT vec_id, MAX(ABS(vq)) AS amax, COUNT(*) AS n_dims
       FROM m GROUP BY vec_id
@@ -797,7 +827,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate. The second join back to scales is vec_id-equi and
     reuses the aggregation exchange. min/max code bounds double as the
     saturation check (must stay within [-128, 127])."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # VALID_VEC mirrors the oracle melt (r10 third-wave sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     m = emb.select(
         "vec_id", F.explode("embedding").alias("vf")
     ).select(
@@ -851,10 +882,14 @@ def _drift_q(expr: str, *, duck: bool) -> str:
     "embedding_centroid_drift",
     f"""
     WITH e AS (
+      -- VALID_VEC on melt AND counts: one consistent "indexed
+      -- vectors" population; a NaN/Inf element aborted the grid cast
+      -- in both engines (r10 third-wave sweep)
       SELECT vec_id, label, i AS pos,
              {_drift_q("embedding[i]", duck=True)} AS q
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      WHERE {VALID_VEC_DUCK}
     ),
     halves AS (
       SELECT label, pos,
@@ -873,7 +908,7 @@ def _drift_q(expr: str, *, duck: bool) -> str:
                AS n_ref,
              CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_new
-      FROM embeddings GROUP BY label
+      FROM embeddings WHERE {VALID_VEC_DUCK} GROUP BY label
     )
     SELECT s.label, c.n_ref, c.n_new,
            CASE WHEN s.na2 > 0 AND s.nb2 > 0 THEN
@@ -885,7 +920,8 @@ def _drift_q(expr: str, *, duck: bool) -> str:
     """,
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # VALID_VEC mirrors the oracle's e and counts CTEs (r10 sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     e = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
     ).select(
@@ -949,10 +985,12 @@ OUTLIER_TOP_K = 5
     "embedding_label_outliers",
     f"""
     WITH e AS (
+      -- VALID_VEC: see embedding_centroid_drift (r10 third-wave sweep)
       SELECT vec_id, label, i AS pos,
              {_drift_q("embedding[i]", duck=True)} AS q
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      WHERE {VALID_VEC_DUCK}
     ),
     stats AS (
       SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
@@ -979,7 +1017,8 @@ OUTLIER_TOP_K = 5
     """,
 )
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # VALID_VEC mirrors the oracle's e CTE (r10 third-wave sweep)
+    emb = load_table(spark, sf_dir, "embeddings").where(VALID_VEC_SPARK)
     e = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
     ).select(

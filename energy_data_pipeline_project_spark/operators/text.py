@@ -932,7 +932,11 @@ def _segments_sql(*, duck: bool) -> str:
     ),
     df AS (SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM seg GROUP BY 1)
     SELECT s.doc_id,
-           string_agg(s.seg, ' ' ORDER BY s.seg_pos)
+           -- ", s.seg" tie-break: a duplicated doc_id (two bodies
+           -- under one id — r10 third-wave sweep) makes seg_pos alone
+           -- non-total, and DuckDB's unspecified tie order diverged
+           -- from Spark's total struct(seg_pos, seg) sort
+           string_agg(s.seg, ' ' ORDER BY s.seg_pos, s.seg)
              FILTER (WHERE f.seg_df <= {BOILERPLATE_MAX_DOCS})
              AS cleaned_text,
            COUNT(*) FILTER (WHERE f.seg_df > {BOILERPLATE_MAX_DOCS})
@@ -1105,7 +1109,9 @@ _SEGDEDUP_POS_FACTOR = 1_000_000  # seg_pos < 1e6: docs are << 2M tokens
       FROM seg GROUP BY 1
     )
     SELECT s.doc_id,
-           string_agg(s.seg, ' ' ORDER BY s.seg_pos)
+           -- ", s.seg" tie-break: see text_boilerplate_removal (a
+           -- duplicated doc_id makes seg_pos alone non-total)
+           string_agg(s.seg, ' ' ORDER BY s.seg_pos, s.seg)
              FILTER (WHERE s.doc_id * {_SEGDEDUP_POS_FACTOR} + s.seg_pos
                            = f.keep_key)
              AS deduped_text,

@@ -80,7 +80,14 @@ def _serve_batch(
     pass False — otherwise a corpus vector that merely shares the
     request's numeric id would be silently excluded from the top-k
     (r06 review)."""
-    qm = batch.select(
+    # VALID_VEC on the INCOMING queries (the corpus side is gated at
+    # pq._melted): a NaN/±Inf query element survives FLOOR as a silent
+    # Long extreme and overflows the ADC LUT subtraction under ANSI,
+    # killing the whole stream (r10 third-wave sweep). A malformed
+    # query degrades to "no answer for that request id" instead.
+    from ..operators.similarity import VALID_VEC_SPARK
+
+    qm = batch.where(VALID_VEC_SPARK).select(
         "query_id", F.posexplode("embedding").alias("pos0", "v")
     ).select(
         "query_id",

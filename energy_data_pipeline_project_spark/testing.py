@@ -276,6 +276,14 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "o_totalprice": 42.0, "o_orderdate": d0, "o_orderpriority": "3-MEDIUM"},
         {"o_orderkey": 900007, "o_custkey": 900001, "o_orderstatus": "O",
          "o_totalprice": 42.0, "o_orderdate": d0, "o_orderpriority": "3-MEDIUM"},
+        # --- third-wave shapes (r10): calendar-extreme order dates (a
+        # corrupt date lands here; EXTRACT/datediff/date_add must hold)
+        {"o_orderkey": 920001, "o_custkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": 10.0, "o_orderdate": _dt.datetime(9999, 12, 1),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 920002, "o_custkey": 900001, "o_orderstatus": "F",
+         "o_totalprice": 10.0, "o_orderdate": _dt.datetime(1, 1, 1),
+         "o_orderpriority": "5-LOW"},
     ])
     emit("lineitem", 600, [
         {"l_orderkey": 900001, "l_partkey": 90001, "l_suppkey": 9001,
@@ -296,6 +304,16 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 1.0,
          "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
          "l_linestatus": "O", "l_shipdate": d0},
+        # --- third-wave shapes (r10): calendar-extreme ship dates
+        # joined to the extreme orders above
+        {"l_orderkey": 920001, "l_partkey": 90001, "l_suppkey": 9001,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": _dt.datetime(9999, 12, 1)},
+        {"l_orderkey": 920002, "l_partkey": 90001, "l_suppkey": 9001,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": _dt.datetime(1, 1, 1)},
     ])
     t0 = _dt.datetime(2024, 3, 1, 12, 0, 0)
     emit("events", 200, [
@@ -352,6 +370,20 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"event_id": 910006, "ts": _dt.datetime(2024, 3, 2, 0, 0, 3),
          "user_id": -7, "event_type": "view", "value": 3.0e7,
          "props": '{"k": -9223372036854775808}'},
+        # --- third-wave shapes (r10): EMPTY-string event type (a
+        # distinct group from NULL), boolean/padded-string/array JSON
+        # values (a boolean-typed k caught Spark's typed variant cast
+        # coercing true -> 1 where the oracle's string extraction
+        # yields NULL)
+        {"event_id": 920001, "ts": _dt.datetime(2024, 3, 3, 0, 0, 0),
+         "user_id": 920001, "event_type": "", "value": 1.0,
+         "props": '{"k": "00012"}'},
+        {"event_id": 920002, "ts": _dt.datetime(2024, 3, 3, 0, 0, 1),
+         "user_id": 920001, "event_type": "view", "value": 2.0,
+         "props": '{"k": true}'},
+        {"event_id": 920003, "ts": _dt.datetime(2024, 3, 3, 0, 0, 2),
+         "user_id": 920001, "event_type": "view", "value": 3.0,
+         "props": '[]'},
     ])
     long_doc = " ".join(["longword%d" % (i % 7) for i in range(5000)])
     spam_doc = " ".join(["spam"] * 200)
@@ -412,6 +444,15 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"doc_id": 910010,
          "text": "café terrace at night painting body words",
          "lang": "fr", "source": "srcU", "n_chars": 43},
+        # duplicate doc_id with DIFFERENT text (the same-text dup pair
+        # above hid it): position alone stops being a total reassembly
+        # key, which caught DuckDB's unspecified string_agg tie order
+        # vs Spark's total struct sort (r10 third wave)
+        {"doc_id": 920001, "text": "first body of the conflicted id",
+         "lang": "en", "source": "srcV", "n_chars": 31},
+        {"doc_id": 920001,
+         "text": "second completely different body here",
+         "lang": "de", "source": "srcW", "n_chars": 37},
     ])
     one = [0.0] * 64
     one[0] = 1.0
@@ -439,4 +480,17 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         # kernels reject outright — r09 diff review)
         {"vec_id": 900011, "embedding": [0.1] * 32 + [None] + [0.1] * 31,
          "label": 6},
+        # --- second-wave shapes (r10): NON-FINITE elements pass every
+        # NULL/length check but abort the 1e4 integer-grid cast in
+        # both engines, and Spark's FLOOR(±Inf) silently becomes a
+        # Long extreme that overflows centroid sums — found 13 vector
+        # queries crashing or diverging (now gated by VALID_VEC /
+        # BAD_ELEM_LAMBDA everywhere embeddings fold).
+        {"vec_id": 910001,
+         "embedding": [0.1] * 32 + [float("nan")] + [0.1] * 31,
+         "label": 7},
+        {"vec_id": 910002,
+         "embedding": [0.1] * 32 + [float("inf")] + [0.1] * 31,
+         "label": 7},
+        {"vec_id": 910003, "embedding": [float("-inf")] * 64, "label": 7},
     ])
