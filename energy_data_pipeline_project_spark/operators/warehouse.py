@@ -392,7 +392,14 @@ _SKYLINE_BAND_CENTS = 10_000  # $100 price bands
     WITH p AS (SELECT p_partkey,
                       {_CENTS.format("p_retailprice")} AS cents,
                       p_size
-               FROM part)
+               FROM part
+               -- both axes must be measured: a NULL price/size row is
+               -- incomparable under dominance — NULL semantics made
+               -- the NOT-EXISTS oracle KEEP it while the banded
+               -- decomposition dropped it AND let its NULL band
+               -- corrupt the prefix minima (r10 fourth-wave sweep)
+               WHERE {_CENTS.format("p_retailprice")} IS NOT NULL
+                 AND p_size IS NOT NULL)
     SELECT p.p_partkey, p.cents AS price_cents, p.p_size
     FROM p
     WHERE NOT EXISTS (
@@ -408,7 +415,7 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         _cents("p_retailprice").alias("cents"),
         "p_size",
-    )
+    ).where("cents IS NOT NULL AND p_size IS NOT NULL")  # see oracle note
     sky = pareto_skyline(p, band_width=_SKYLINE_BAND_CENTS)
     return sky.select(
         "p_partkey", F.col("cents").alias("price_cents"), "p_size"

@@ -253,6 +253,13 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"p_partkey": 90003, "p_name": "twin part", "p_brand": "Brand#00",
          "p_type": "ECONOMY ANODIZED STEEL", "p_size": 1,
          "p_retailprice": -5.0},
+        # --- fourth-wave shape (r10): NULL retail price — incomparable
+        # on the skyline's price axis (the NOT-EXISTS oracle KEPT it
+        # via NULL semantics while the banded decomposition dropped it
+        # and let its NULL band corrupt the prefix minima)
+        {"p_partkey": 930001, "p_name": "null priced part",
+         "p_brand": "Brand#9", "p_type": "ECONOMY BRASS", "p_size": 5,
+         "p_retailprice": None},
     ])
     import datetime as _dt
 
@@ -284,6 +291,10 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"o_orderkey": 920002, "o_custkey": 900001, "o_orderstatus": "F",
          "o_totalprice": 10.0, "o_orderdate": _dt.datetime(1, 1, 1),
          "o_orderpriority": "5-LOW"},
+        # --- fourth-wave shape (r10): negative order total (credit)
+        {"o_orderkey": 930001, "o_custkey": 900001, "o_orderstatus": "F",
+         "o_totalprice": -50.0, "o_orderdate": _dt.datetime(1996, 4, 30),
+         "o_orderpriority": "2-HIGH"},
     ])
     emit("lineitem", 600, [
         {"l_orderkey": 900001, "l_partkey": 90001, "l_suppkey": 9001,
@@ -314,6 +325,17 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
          "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
          "l_linestatus": "O", "l_shipdate": _dt.datetime(1, 1, 1)},
+        # --- fourth-wave shapes (r10): returns/credit-memo rows —
+        # negative quantity, negative discount, discount > 1 with a
+        # negative price (all held across the surface)
+        {"l_orderkey": 930001, "l_partkey": 90001, "l_suppkey": 9001,
+         "l_linenumber": 1, "l_quantity": -5.0, "l_extendedprice": 100.0,
+         "l_discount": -0.1, "l_tax": 0.0, "l_returnflag": "R",
+         "l_linestatus": "F", "l_shipdate": _dt.datetime(1996, 5, 1)},
+        {"l_orderkey": 930001, "l_partkey": 90001, "l_suppkey": 9001,
+         "l_linenumber": 2, "l_quantity": 2.0, "l_extendedprice": -100.0,
+         "l_discount": 1.5, "l_tax": 0.2, "l_returnflag": "A",
+         "l_linestatus": "O", "l_shipdate": _dt.datetime(1996, 5, 2)},
     ])
     t0 = _dt.datetime(2024, 3, 1, 12, 0, 0)
     emit("events", 200, [
@@ -384,6 +406,20 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"event_id": 920003, "ts": _dt.datetime(2024, 3, 3, 0, 0, 2),
          "user_id": 920001, "event_type": "view", "value": 3.0,
          "props": '[]'},
+        # --- fourth-wave shapes (r10): a REPLAYED purchase (duplicate
+        # event_id, different value) pairs the same click twice under
+        # one purchase_id — (ts, event_id) alone stopped being a total
+        # attribution order and which value-row took pos=1 was
+        # engine-dependent
+        {"event_id": 930001, "ts": _dt.datetime(2024, 3, 4, 12, 0, 0),
+         "user_id": 930001, "event_type": "purchase", "value": 10.0,
+         "props": '{"k": 1}'},
+        {"event_id": 930001, "ts": _dt.datetime(2024, 3, 4, 12, 0, 5),
+         "user_id": 930001, "event_type": "purchase", "value": 20.0,
+         "props": '{"k": 2}'},
+        {"event_id": 930002, "ts": _dt.datetime(2024, 3, 4, 11, 55, 0),
+         "user_id": 930001, "event_type": "click", "value": 0.0,
+         "props": '{"k": 3}'},
     ])
     long_doc = " ".join(["longword%d" % (i % 7) for i in range(5000)])
     spam_doc = " ".join(["spam"] * 200)
@@ -453,6 +489,16 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"doc_id": 920001,
          "text": "second completely different body here",
          "lang": "de", "source": "srcW", "n_chars": 37},
+        # --- fourth-wave shapes (r10): tabs-only text (ONE token under
+        # the literal-space tokenizer, not zero) and a 200kB single
+        # token with and without neighbors (hash/shingle/prefix paths
+        # must not quadratically expand or crash on it)
+        {"doc_id": 930001, "text": "\t\t", "lang": "en", "source": "srcT",
+         "n_chars": 2},
+        {"doc_id": 930002, "text": "x" * 200000, "lang": "en",
+         "source": "srcT", "n_chars": 200000},
+        {"doc_id": 930003, "text": "word " + "x" * 200000 + " word",
+         "lang": "en", "source": "srcT", "n_chars": 200010},
     ])
     one = [0.0] * 64
     one[0] = 1.0
