@@ -528,7 +528,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # est_jaccard values are exact multiples of 1/MINHASH_K, so the
 # parquet round-trip is bit-exact and oracles (which replay the chain
 # in SQL) stay hash-identical whichever tier answered.
-_SHARED_PAIRS: dict[tuple[str, str, int], DataFrame] = {}
+_SHARED_PAIRS: dict[tuple[str, str, str, int], DataFrame] = {}
 
 # Bump on ANY change to the pair derivation (shingling, hash family,
 # banding, cap or threshold semantics) so a stale published frame can
@@ -537,8 +537,18 @@ _SHARED_PAIRS: dict[tuple[str, str, int], DataFrame] = {}
 _LSH_PAIRS_CHAIN_REV = 1
 
 
-def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted ``minhash_lsh_pairs`` over ``{sf_dir}/documents``."""
+def _shared_corpus_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    frame: str,
+    build,
+) -> DataFrame:
+    """Session-memoized, lake-published deterministic derivation of
+    ``{sf_dir}/documents`` (the train-once/serve-many tier, generalized
+    r11 from the LSH pair frame to every shared corpus frame). ``kind``
+    must carry an ``@rN-...`` signature covering every constant and
+    logic revision of the derivation; ``build()`` returns the frame."""
     import os
 
     path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
@@ -546,14 +556,18 @@ def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = -1
-    key = (spark.sparkContext.applicationId, path, mtime)
+    key = (spark.sparkContext.applicationId, kind, path, mtime)
     df = _SHARED_PAIRS.get(key)
     if df is None:
-        # evict superseded entries for the same table path (rewritten
-        # fixture → new mtime): without this, each rewrite leaks a
-        # persisted frame for the application lifetime, and the
+        # evict superseded entries for the same (kind, table path)
+        # (rewritten fixture → new mtime): without this, each rewrite
+        # leaks a persisted frame for the application lifetime, and the
         # CacheManager keeps plan-substituting the stale data
-        for k in [k for k in _SHARED_PAIRS if k[0] == key[0] and k[1] == path]:
+        for k in [
+            k
+            for k in _SHARED_PAIRS
+            if k[0] == key[0] and k[1] == kind and k[2] == path
+        ]:
             try:
                 _SHARED_PAIRS.pop(k).unpersist()
             except Exception:
@@ -561,31 +575,35 @@ def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..pipeline import artifacts as A
 
-        def _build() -> dict[str, DataFrame]:
-            return {
-                "pairs": minhash_lsh_pairs(
-                    load_table(spark, sf_dir, "documents")
-                )
-            }
-
-        kind = (
-            f"lsh_pairs@r{_LSH_PAIRS_CHAIN_REV}"
-            f"-k{H.MINHASH_K}b{H.MINHASH_BANDS}"
-            f"c{LSH_BUCKET_CAP}t{MINHASH_THRESHOLD}"
-        )
         df = A.get_or_build(
             spark,
             kind,
             A.corpus_fingerprint(sf_dir, table="documents"),
-            ("pairs",),
-            _build,
-        )["pairs"].persist()
+            (frame,),
+            lambda: {frame: build()},
+        )[frame].persist()
         _SHARED_PAIRS[key] = df
     return df
 
 
+def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ``minhash_lsh_pairs`` over ``{sf_dir}/documents``."""
+    kind = (
+        f"lsh_pairs@r{_LSH_PAIRS_CHAIN_REV}"
+        f"-k{H.MINHASH_K}b{H.MINHASH_BANDS}"
+        f"c{LSH_BUCKET_CAP}t{MINHASH_THRESHOLD}"
+    )
+    return _shared_corpus_frame(
+        spark,
+        sf_dir,
+        kind,
+        "pairs",
+        lambda: minhash_lsh_pairs(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def release_shared_pairs() -> None:
-    """Unpersist and forget every memoized shared pair frame."""
+    """Unpersist and forget every memoized shared corpus frame."""
     for df in _SHARED_PAIRS.values():
         try:
             df.unpersist()
@@ -2000,15 +2018,54 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a normalized text prefix and compare every doc ONLY with its next
 # SN_WINDOW-1 neighbors in that order — O(w*n) candidate pairs by
 # construction, no pair-space blowup possible. At 100 TB the sort is a
-# range-partitioned shuffle (Spark's sort machinery), the neighbor
-# window is partitioned by block, and the verify stage touches only
-# the w*n candidates. Classic trade-off vs LSH: cheaper and fully
-# deterministic, but only finds duplicates whose normalized prefixes
-# land them near each other — the planted-duplicate recall test and
-# the LSH comparison document exactly that.
+# range-partitioned shuffle (Spark's sort machinery) decomposed into
+# SN_BUCKETS contiguous slices — NOT one window task per language (r10
+# verdict #1: one dominant language would otherwise sort the whole
+# corpus in a single task). Each slice sorts independently; a tiny
+# per-slice count frame turns local row numbers into global positions,
+# and neighbor pairs come from an equi-join on (lang, position) — so a
+# neighborhood that spans a slice boundary (even across several
+# near-empty slices) is found without any overlap bookkeeping. The
+# verify stage touches only the w*n candidates. Classic trade-off vs
+# LSH: cheaper and fully deterministic, but only finds duplicates
+# whose normalized prefixes land them near each other — the
+# planted-duplicate recall test and the LSH comparison document
+# exactly that.
 SN_WINDOW = 3  # compare with the next 2 neighbors in sort order
 SN_KEY_LEN = 24  # normalized-prefix sort key length
 SN_THRESHOLD_PERMILLE = 400  # token-set Jaccard >= 0.4
+SN_BUCKETS = 32  # contiguous range slices of the global sort order
+
+# Bump on any change to the posting-frame derivation (tokenizer, hash
+# family, distinct semantics) — see _LSH_PAIRS_CHAIN_REV.
+_TOK_POSTINGS_CHAIN_REV = 1
+
+
+def shared_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ``(doc_id, h)`` token-hash postings of the documents
+    table — the exact-Jaccard verify frame (sorted-neighborhood today;
+    any future token-set verifier shares it). A deterministic corpus
+    derivation, so it rides the same session-memo + published-artifact
+    tier as the LSH pair frame: a cold process reads the published
+    postings instead of re-paying the explode→distinct shuffle (r10
+    verdict #1b)."""
+    h = H.md5_int64("tok", duck=False)
+
+    def _build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
+            .selectExpr("doc_id", f"{h} AS h")
+            .distinct()
+        )
+
+    return _shared_corpus_frame(
+        spark,
+        sf_dir,
+        f"tok_postings@r{_TOK_POSTINGS_CHAIN_REV}",
+        "postings",
+        _build,
+    )
 
 
 def _sn_oracle() -> str:
@@ -2023,8 +2080,13 @@ def _sn_oracle() -> str:
     )
     return f"""
     WITH t AS (
+      -- a NULL doc_id cannot participate in identity pairs: both
+      -- engines' LEAST/GREATEST SKIP nulls, so a (NULL, x) neighbor
+      -- pair silently becomes the self-pair (x, x) — and the two
+      -- engines order NULL ids differently, pairing the NULL row
+      -- with different neighbors (r11 fuzz)
       SELECT doc_id, lang, substr(lower(text), 1, {SN_KEY_LEN}) AS k
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     nb AS (
       SELECT doc_id,
@@ -2056,6 +2118,60 @@ def _sn_oracle() -> str:
     """
 
 
+def sorted_neighborhood_candidates(
+    t: DataFrame, *, n_buckets: int = SN_BUCKETS
+) -> DataFrame:
+    """``(a, b)`` candidate pairs: each doc with its next SN_WINDOW-1
+    followers in ``(lang, k NULLS LAST, doc_id)`` order, WITHOUT a
+    single-task per-language sort (r10 verdict #1a).
+
+    Decomposition (``functions/windows.sliced_row_number``): a range
+    exchange slices the composite sort order into contiguous,
+    size-balanced ranges (ties on ``k`` split across slices by
+    ``doc_id``, so a template-heavy corpus cannot produce a hot
+    slice); each ``(lang, slice)`` sorts in its own task; a tiny
+    per-slice count frame prefix-sums into offsets, giving every row
+    its GLOBAL per-lang position. Neighbor pairs are then an equi-join
+    on ``(lang, position)`` — follower lookups cross slice boundaries
+    (even several empty slices) for free, with no overlap-row
+    bookkeeping. The pair set is provably slice-invariant (positions
+    don't depend on where the boundaries fall), which the bucket-count
+    parity test pins."""
+    from ..functions.windows import sliced_row_number
+
+    g = _cached(
+        sliced_row_number(
+            t,
+            ["lang"],
+            [F.col("k").isNull(), F.col("k"), F.col("doc_id")],
+            "gpos",
+            n_buckets=n_buckets,
+        ).select("lang", "doc_id", "gpos")
+    )
+    tgt = g.select(
+        "lang",
+        F.col("doc_id").alias("l_id"),
+        F.explode(
+            F.array(*[F.col("gpos") + F.lit(i) for i in range(1, SN_WINDOW)])
+        ).alias("tpos"),
+    )
+    nxt = g.select(
+        F.col("lang").alias("r_lang"),
+        F.col("doc_id").alias("r_id"),
+        F.col("gpos").alias("r_pos"),
+    )
+    # null-SAFE on lang: NULL lang is a window GROUP in the oracle's
+    # PARTITION BY, and a plain equi-join dropped its pairs (r11 fuzz)
+    return tgt.join(
+        nxt,
+        F.col("lang").eqNullSafe(F.col("r_lang"))
+        & (F.col("tpos") == F.col("r_pos")),
+    ).select(
+        F.least("l_id", "r_id").alias("a"),
+        F.greatest("l_id", "r_id").alias("b"),
+    )
+
+
 @query("dedup_sorted_neighborhood", _sn_oracle())
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup pairs: per language block, sort by
@@ -2063,51 +2179,28 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors, verify with exact token-set Jaccard (integer permille),
     keep pairs >= 0.4.
 
-    Candidate generation is O(w*n) with a range-partitionable sort —
-    the deterministic, blowup-proof counterpoint to probabilistic LSH
-    banding. Recall is limited to prefix-adjacent duplicates BY
-    DESIGN: on this template-heavy corpus ~84% of ALL doc pairs pass
-    the 0.4 threshold, so no O(n)-candidate scheme can approach full
-    recall — the tests pin the candidate bound, the verify threshold,
-    and determinism, not a recall figure."""
+    Candidate generation is O(w*n) with a range-partitioned,
+    slice-decomposed sort (see sorted_neighborhood_candidates — no
+    per-language single-task window) — the deterministic, blowup-proof
+    counterpoint to probabilistic LSH banding. The exact-Jaccard
+    verify frame is the published token-posting artifact
+    (shared_token_postings), so a cold process pays a read, not an
+    explode→distinct shuffle. Recall is limited to prefix-adjacent
+    duplicates BY DESIGN: on this template-heavy corpus ~84% of ALL
+    doc pairs pass the 0.4 threshold, so no O(n)-candidate scheme can
+    approach full recall — the tests pin the candidate bound, the
+    verify threshold, slice-invariance, and determinism, not a recall
+    figure."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
+    t = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         "lang",
         F.expr(f"substr(lower(text), 1, {SN_KEY_LEN})").alias("k"),
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.asc_nulls_last("k"), "doc_id"
-    )
-    # ONE window pass emits every neighbor as an array element; a
-    # single explode replaces the per-lead union arms, each of which
-    # re-scanned documents and re-sorted the lang block (r06 verdict
-    # #3: this was the widest plan on the digest at 6 scans — now 2).
-    # explode keeps NULL elements (it drops only NULL/empty arrays),
-    # so tail docs with fewer than SN_WINDOW-1 followers filter here.
-    pairs = (
-        t.select(
-            "doc_id",
-            F.array(
-                *[F.lead("doc_id", i).over(w) for i in range(1, SN_WINDOW)]
-            ).alias("ns"),
-        )
-        .select("doc_id", F.explode("ns").alias("n"))
-        .where(F.col("n").isNotNull())
-        .select(
-            F.least("doc_id", "n").alias("a"),
-            F.greatest("doc_id", "n").alias("b"),
-        )
-    )
-    h = H.md5_int64("tok", duck=False)
-    # persisted: feeds both join arms AND the size agg (3 consumers)
-    tok = _cached(
-        docs.select(
-            "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("tok")
-        )
-        .selectExpr("doc_id", f"{h} AS h")
-        .distinct()
-    )
+    )  # NULL ids can't pair — see the oracle note (r11 fuzz)
+    pairs = sorted_neighborhood_candidates(t)
+    # published artifact (memo-persisted): feeds both join arms AND
+    # the size agg (3 consumers)
+    tok = shared_token_postings(spark, sf_dir)
     sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         pairs.join(tok.alias("x"), F.col("a") == F.col("x.doc_id"))

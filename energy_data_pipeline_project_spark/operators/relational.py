@@ -51,6 +51,7 @@ from ._registry import make_registry
 QUERIES, ORACLES, query = make_registry()
 
 
+from ..functions import jsontext as JT
 from ..functions import money as _money
 
 
@@ -745,29 +746,62 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # JSON / semi-structured (F1-F3) and time bucketing (F6/F7) over events
 # ---------------------------------------------------------------------------
+# Probed-JSON integer domain guard (the cents-guard pattern): values
+# past this are dirty-payload noise, not measures — NULLed before any
+# SUM so the BIGINT aggregate keeps ~9e6 max-magnitude rows per group
+# of exact headroom (same documented-envelope posture as DRIFT_Q and
+# CENTS_ABS_MAX; found by r11 fuzz — near-2^63 JSON ints crashed Spark
+# ANSI and DuckDB's INT128 readout in one stroke). Text-to-int
+# conversion itself rides functions/jsontext (digit-string-only, both
+# engines — DuckDB otherwise ROUNDS '0.5' where Spark NULLs it).
+PROBE_ABS_MAX = 1_000_000_000_000
+
+_K_TEXT_DUCK = (
+    "json_extract_string(CASE WHEN json_valid(props) THEN props END,"
+    " '$.k')"
+)
+_PROBE_TEXT_DUCK = (
+    "COALESCE(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),"
+    " json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.key'),"
+    " json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.data'),"
+    " '-1')"
+)
+
+
 @query(
     "json_extract_events",
-    """
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             {JT.int_text_duck(_K_TEXT_DUCK)} AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MIN(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS min_k,
-           MAX(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS max_k
-    FROM events
-    GROUP BY event_type
-    """,
+           CAST(SUM(CASE WHEN k BETWEEN -{{K}} AND {{K}} THEN k END)
+             AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM p GROUP BY event_type
+    """.format(K=PROBE_ABS_MAX),
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # try_cast: a non-scalar $.k (nested object/array in a degenerate
-    # payload) must extract as NULL, not abort the ANSI string->int
-    # cast — mirrored by TRY_CAST + a json_valid() guard in the oracle
-    # (DuckDB's json functions THROW on malformed JSON where Spark's
-    # yield NULL; r09 degenerate sweep)
-    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    # int_text guard (functions/jsontext): a non-scalar $.k (nested
+    # object/array) extracts as its JSON text and must convert as
+    # NULL, not abort the ANSI cast — and fractional/scientific text
+    # ('0.5', '1e2') must be NULL in BOTH engines (Spark's try_cast
+    # rejects it, DuckDB's ROUNDS it; r11 fuzz seeds 15/19). The SUM
+    # additionally rides the PROBE_ABS_MAX domain guard so near-2^63
+    # dirty values can't overflow the BIGINT aggregate (crash-vs-
+    # INT128-answer split); min/max stay unguarded — single-row
+    # readouts can't overflow.
+    k = F.expr(JT.int_text_spark("get_json_object(props, '$.k')"))
+    # BETWEEN, not ABS: ABS(-2**63) itself overflows int64 under ANSI
+    k_sum = F.when(k.between(-PROBE_ABS_MAX, PROBE_ABS_MAX), k)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(k).cast("bigint").alias("sum_k"),
+        F.sum(k_sum).cast("bigint").alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
@@ -775,15 +809,17 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_coalesce_probe",
-    """
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             {JT.int_text_duck(_PROBE_TEXT_DUCK)} AS v
+      FROM events
+    )
     SELECT event_type,
-           CAST(SUM(TRY_CAST(COALESCE(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k'),
-                                  json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.key'),
-                                  json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.data'),
-                                  '-1') AS BIGINT)) AS BIGINT) AS sum_probed
-    FROM events
-    GROUP BY event_type
-    """,
+           CAST(SUM(CASE WHEN v BETWEEN -{{K}} AND {{K}} THEN v END)
+             AS BIGINT) AS sum_probed
+    FROM p GROUP BY event_type
+    """.format(K=PROBE_ABS_MAX),
 )
 def json_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mirrors the reference's schema-drift tolerance (F3): probe several
@@ -791,29 +827,44 @@ def json_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (/root/reference/src/transformations/bronze_to_silver.py:124-132).
     ev = load_table(spark, sf_dir, "events")
     probed = F.expr(
-        # try_cast for the same degenerate-payload reason as
+        # int_text guard for the same degenerate-payload reason as
         # json_extract_events: a nested $.k probes as its JSON text
-        # and must sum as NULL, not abort the cast
-        "try_cast(coalesce(get_json_object(props, '$.k'),"
-        " get_json_object(props, '$.key'),"
-        " get_json_object(props, '$.data'), '-1') AS BIGINT)"
+        # and must sum as NULL, not abort the cast — and fractional
+        # text must NULL identically in both engines. The
+        # PROBE_ABS_MAX domain guard (the cents-guard pattern) NULLs
+        # values a dirty payload pushes toward int64: two near-2^63
+        # k's in one group aborted Spark's ANSI BIGINT sum while
+        # DuckDB answered in INT128 and crashed the readout cast (r11
+        # fuzz seeds 5/17). BETWEEN, not ABS — ABS(-2^63) overflows.
+        JT.int_text_spark(
+            "coalesce(get_json_object(props, '$.k'),"
+            " get_json_object(props, '$.key'),"
+            " get_json_object(props, '$.data'), '-1')"
+        )
     )
-    return ev.groupBy("event_type").agg(
-        F.sum(probed).cast("bigint").alias("sum_probed")
+    guarded = F.when(
+        F.col("__p").between(-PROBE_ABS_MAX, PROBE_ABS_MAX), F.col("__p")
+    )
+    return (
+        ev.select("event_type", probed.alias("__p"))
+        .groupBy("event_type")
+        .agg(F.sum(guarded).cast("bigint").alias("sum_probed"))
     )
 
 
 @query(
     "json_variant_agg",
     """
-    SELECT (TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER) % 10)
+    SELECT ({K} % 10)
              AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INTEGER))
+           CAST(SUM({K})
              AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
-    """,
+    """.replace(
+        "{K}", JT.int_text_duck(_K_TEXT_DUCK, "INTEGER", canon=True)
+    ),
 )
 def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON through Spark 4's VARIANT type: one
@@ -835,9 +886,16 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL for 'true' (r10 third-wave sweep, a boolean-typed k). The
     # string hop keeps the one-parse variant showcase and makes both
     # engines apply the same text-to-int conversion.
+    # canon=True: VARIANT renders JSON decimals canonically ('1.0' ->
+    # '1', '-0.0' -> '0') while the oracle's json_extract_string keeps
+    # a fractional zero — both sides strip it so every integral-valued
+    # decimal converts identically (r11 fuzz seed 19; jsontext note)
     k = F.expr(
-        "try_cast(try_variant_get(try_parse_json(props), '$.k', 'string')"
-        " AS INT)"
+        JT.int_text_spark(
+            "try_variant_get(try_parse_json(props), '$.k', 'string')",
+            "INT",
+            canon=True,
+        )
     )
     return ev.select(k.alias("k")).groupBy(
         (F.col("k") % 10).alias("k_bucket")
@@ -934,7 +992,12 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR ts > LAG(ts) OVER w + INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      -- NULLS FIRST = Spark's window default; a user holding BOTH
+      -- NULL and real timestamps otherwise counts one session more on
+      -- the Spark side (NULL rows lead there, trail in DuckDB, and
+      -- the lag-IS-NULL boundary lands on a different row — r11 fuzz
+      -- seed 0)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     )
     SELECT user_id,
            CAST(SUM(new_session) AS BIGINT) AS n_sessions,
@@ -968,11 +1031,23 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_prev_purchase",
     """
+    -- NULL-time/NULL-user contract, explicit on BOTH sides (r11 fuzz +
+    -- fifth degenerate wave): an event with no timestamp has no
+    -- "before" (DuckDB's ASOF otherwise pairs it — its inequality
+    -- treats the NULL as match-last), a purchase with no timestamp
+    -- can never be anyone's most-recent, and NULL user ids join
+    -- nothing (equi semantics; the Spark window formulation would
+    -- otherwise GROUP them).
     SELECT e.event_id,
-           CASE WHEN p.ts IS NULL THEN 0 ELSE 1 END AS has_prior,
-           (epoch_us(e.ts) - epoch_us(p.ts)) // 60000000 AS gap_minutes
+           CASE WHEN e.ts IS NOT NULL AND p.ts IS NOT NULL
+                THEN 1 ELSE 0 END AS has_prior,
+           CASE WHEN e.ts IS NOT NULL AND p.ts IS NOT NULL
+                THEN (epoch_us(e.ts) - epoch_us(p.ts)) // 60000000
+           END AS gap_minutes
     FROM events e
-    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase'
+                      AND ts IS NOT NULL AND user_id IS NOT NULL) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )
@@ -989,7 +1064,15 @@ def join_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive formulation produces). Oracle: DuckDB's native ASOF LEFT JOIN.
     """
     ev = load_table(spark, sf_dir, "events")
-    markers = ev.where(F.col("event_type") == "purchase").select(
+    # NULL-ts/NULL-user markers can never match under the ASOF
+    # contract (see the oracle note) — and a NULL-user marker left in
+    # would FILL the NULL-user events sharing its window partition,
+    # where join semantics say NULL matches nothing (r11 fuzz)
+    markers = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "ts",
         F.lit(1).alias("is_marker"),
@@ -1125,13 +1208,13 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT p_brand,
            COUNT(*) AS n_small_lines,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS small_qty_total,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS small_qty_total,
            CAST(SUM({_cents_duck("l_extendedprice")}) AS BIGINT)
              AS revenue_cents
     FROM lineitem l
     JOIN part ON p_partkey = l.l_partkey
     WHERE l_quantity <
-          (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+          (SELECT 0.2 * (CAST(SUM(CAST(FLOOR(l2.l_quantity) AS BIGINT)) AS DOUBLE)
                          / COUNT(*))
            FROM lineitem l2
            WHERE l2.l_partkey = l.l_partkey)
@@ -1157,7 +1240,12 @@ def correlated_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(0.2)
             * (
-                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                # FLOOR, one spelling both engines: a FRACTIONAL dirty
+                # quantity (r11 fuzz) otherwise converts differently —
+                # Spark CAST truncates toward zero, DuckDB CAST rounds
+                # half-even (-9.6 -> -9 vs -10). Identity on the clean
+                # integral domain.
+                F.sum(F.floor("l_quantity").cast("bigint")).cast("double")
                 / F.count("*")
             )
         ).alias("qty_thr")
@@ -1172,7 +1260,9 @@ def correlated_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_small_lines"),
-            F.sum(F.col("l_quantity").cast("bigint")).alias("small_qty_total"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias(
+                "small_qty_total"
+            ),
             F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
         )
     )
@@ -1369,13 +1459,25 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate")
             > F.date_add(F.to_date("o_orderdate"), Q21_LATE_DAYS)
         )
-        .select("l_orderkey", "l_suppkey")
+        # od rides along: the NOT EXISTS is correlated on THIS joined
+        # order row's date — a pre-filtered "late pairs" frame tested
+        # l3's lateness against ANY duplicate order row's date, which
+        # diverges when one o_orderkey carries two dates (r11 fuzz
+        # seed 0; the permanent fixture's dup orderkey shares a date,
+        # which hid it)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.to_date("o_orderdate").alias("od"),
+        )
     )
     all_pairs = li.select(
         F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
     )
-    late_pairs = late.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.to_date("l_shipdate").alias("sd3"),
     )
     sole_late = late.join(
         all_pairs,
@@ -1383,9 +1485,10 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (late["l_suppkey"] != all_pairs["sk"]),
         "left_semi",
     ).join(
-        late_pairs,
-        (late["l_orderkey"] == late_pairs["k"])
-        & (late["l_suppkey"] != late_pairs["sk"]),
+        l3,
+        (late["l_orderkey"] == l3["k3"])
+        & (late["l_suppkey"] != l3["sk3"])
+        & (l3["sd3"] > F.date_add(late["od"], Q21_LATE_DAYS)),
         "left_anti",
     )
     return (
@@ -1491,7 +1594,13 @@ def proj_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS m,
            CAST(day(o_orderdate) AS INT) AS d,
            last_day(CAST(o_orderdate AS DATE)) AS month_end,
-           CAST(o_orderdate AS DATE) + 30 AS plus_30,
+           -- calendar-edge guard: +30 past 9999-12-01 leaves the
+           -- proleptic-Gregorian range Python/Arrow can represent —
+           -- both engines COMPUTE year 10000 happily and then crash
+           -- at result conversion (r11 fuzz seed 12); an off-calendar
+           -- shift is undefined -> NULL, same contract both sides
+           CASE WHEN CAST(o_orderdate AS DATE) <= DATE '9999-12-01'
+                THEN CAST(o_orderdate AS DATE) + 30 END AS plus_30,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                 AS INT) AS days_since_epoch_start
     FROM orders
@@ -1507,7 +1616,9 @@ def proj_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).cast("int").alias("m"),
         F.dayofmonth(d).cast("int").alias("d"),
         F.last_day(d).alias("month_end"),
-        F.date_add(d, 30).alias("plus_30"),
+        # see the oracle's calendar-edge note (r11 fuzz seed 12)
+        F.when(d <= F.lit("9999-12-01").cast("date"), F.date_add(d, 30))
+        .alias("plus_30"),
         F.datediff(d, F.lit("1995-01-01").cast("date"))
         .cast("int")
         .alias("days_since_epoch_start"),
@@ -2058,8 +2169,11 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT event_type, user_id, n_events,
+             -- NULLS FIRST = Spark's asc default: a NULL user tying
+             -- at the rank-3 boundary otherwise ranks differently
+             -- (r11 window audit)
              ROW_NUMBER() OVER (PARTITION BY event_type
-                  ORDER BY n_events DESC, user_id) AS rn
+                  ORDER BY n_events DESC, user_id NULLS FIRST) AS rn
       FROM c
     )
     SELECT event_type, user_id, n_events, CAST(rn AS INT) AS rank
@@ -2067,25 +2181,29 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k AFTER aggregation: the window ranks |types × 
-    users| aggregate rows, never raw events — partition-by-group so no
-    global sort, ties broken on user_id for determinism."""
+    """Per-group top-k AFTER aggregation: the ranking runs over
+    |types × users| aggregate rows, never raw events — but users per
+    type is still corpus-scale, so the row_number is range-SLICED
+    (functions/windows.sliced_row_number, r11 window audit) instead of
+    one task per event_type; ties broken on user_id (NULLS FIRST both
+    engines) for determinism."""
+    from ..functions.windows import sliced_row_number
+
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type", "user_id").agg(
         F.count("*").alias("n_events")
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("n_events"), "user_id"
+    ranked = sliced_row_number(
+        c,
+        ["event_type"],
+        [F.desc("n_events"), F.asc_nulls_first("user_id")],
+        "rank",
     )
-    return (
-        c.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select(
-            "event_type",
-            "user_id",
-            "n_events",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return ranked.where(F.col("rank") <= 3).select(
+        "event_type",
+        "user_id",
+        "n_events",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -2271,10 +2389,17 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # denominator gates (seasonal_decompose precedent, found by the r10
 # second-wave sweep): a group whose events all land on ONE day has
 # zero x-variance — Spark's ANSI double division aborts the job while
-# DuckDB emits ±Inf/NaN, the crash-vs-answer split again. The predicate
-# compares the identical IEEE tree both engines evaluate (an exact-int
-# predicate is unavailable: sx² overflows DECIMAL(38,0) at ~3e19), so
-# the branch decision is bit-identical; undefined fits emit NULL.
+# DuckDB emits ±Inf/NaN, the crash-vs-answer split again. Two layers
+# (r10 advisor): the EXACT all-equal predicate (MIN=MAX of the int64
+# input, the overflow-free stand-in for the sx² integer predicate that
+# DECIMAL(38,0) can't hold past ~3e19) catches true zero variance even
+# where the rounded double tree reads a tiny nonzero denominator — a
+# garbage near-infinite slope under the IEEE gate alone — and the IEEE
+# `<> 0` compare on the identical double tree both engines evaluate
+# still blocks the rounded-to-zero ANSI divide. Both predicates are
+# bit-identical cross-engine; undefined fits emit NULL.
+_OLS_X_VARIES = "(mnx <> mxx)"
+_OLS_Y_VARIES = "(mny <> mxy)"
 _OLS_DEN_X = (
     "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
@@ -2288,16 +2413,18 @@ _OLS_NUM = (
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
 )
 _OLS_SLOPE = (
-    f"CASE WHEN {_OLS_DEN_X} <> 0 THEN {_OLS_NUM} / {_OLS_DEN_X} END"
+    f"CASE WHEN {_OLS_X_VARIES} AND {_OLS_DEN_X} <> 0"
+    f" THEN {_OLS_NUM} / {_OLS_DEN_X} END"
 )
 _OLS_INTERCEPT = (
-    f"CASE WHEN {_OLS_DEN_X} <> 0 THEN"
+    f"CASE WHEN {_OLS_X_VARIES} AND {_OLS_DEN_X} <> 0 THEN"
     " (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
     f" / {_OLS_DEN_X} END"
 )
 _OLS_R = (
-    f"CASE WHEN {_OLS_DEN_X} * {_OLS_DEN_Y} > 0 THEN"
+    f"CASE WHEN {_OLS_X_VARIES} AND {_OLS_Y_VARIES}"
+    f" AND {_OLS_DEN_X} * {_OLS_DEN_Y} > 0 THEN"
     f" {_OLS_NUM} / sqrt({_OLS_DEN_X} * {_OLS_DEN_Y}) END"
 )
 
@@ -2348,6 +2475,11 @@ def linear_trend(events: DataFrame) -> DataFrame:
             F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
                 "syy"
             ),
+            # exact zero-variance witnesses for the _OLS_*_VARIES gates
+            F.min("x").alias("mnx"),
+            F.max("x").alias("mxx"),
+            F.min("y").alias("mny"),
+            F.max("y").alias("mxy"),
         )
     )
     # Identical double expression tree on both engines: numerators and
@@ -2376,7 +2508,9 @@ def linear_trend(events: DataFrame) -> DataFrame:
     m AS (
       SELECT event_type, COUNT(*) AS n,
              SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
-             SUM(x*x) AS sxx, SUM(y*y) AS syy
+             SUM(x*x) AS sxx, SUM(y*y) AS syy,
+             MIN(x) AS mnx, MAX(x) AS mxx,
+             MIN(y) AS mny, MAX(y) AS mxy
       FROM (SELECT event_type,
                    CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
             FROM ev, base)
@@ -2834,7 +2968,7 @@ MAP_OPS_MIN_CENTS = 2_000_00  # map_filter floor: metrics under $2000 drop
              {_cents_duck("l_extendedprice")} AS price_cents,
              {_REV_CENTS_DUCK}
                AS net_cents,
-             CAST(l_quantity AS BIGINT) * 100 AS qty_centi
+             CAST(FLOOR(l_quantity) AS BIGINT) * 100 AS qty_centi
       FROM lineitem WHERE l_orderkey < 100
     ), e AS (
       SELECT l_orderkey, l_linenumber, 'price' AS metric,
@@ -2858,7 +2992,7 @@ def hof_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             _cents("l_extendedprice"),
             _cents(REVENUE_SQL),
-            F.expr("CAST(l_quantity AS BIGINT) * 100"),
+            F.expr("CAST(FLOOR(l_quantity) AS BIGINT) * 100"),
         ),
     )
     doubled = F.transform_values(metrics, lambda _, v: v * 2)
@@ -3065,9 +3199,14 @@ ABC_BAND_CENTS = 1_000_000  # revenue band width ($10k)
     "orders_abc_classification",
     f"""
     WITH r AS (
+      -- a part with NO measurable revenue (every line NULL-priced)
+      -- has no place on a revenue Pareto — and its NULL band silently
+      -- dropped it from the Spark side's banded join while the plain
+      -- window kept it here (r11 fuzz seed 16; skyline precedent)
       SELECT l_partkey,
              CAST(SUM({_REV_CENTS_DUCK}) AS BIGINT) AS rev
       FROM lineitem GROUP BY l_partkey
+      HAVING SUM({_REV_CENTS_DUCK}) IS NOT NULL
     ),
     c AS (
       SELECT l_partkey, rev,
@@ -3095,7 +3234,11 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ONE cents spelling (identical IEEE tree: precedence already
     # groups l_extendedprice*(1-l_discount) before the *100)
     rev = _cents(REVENUE_SQL)
-    r = li.groupBy("l_partkey").agg(F.sum(rev).cast("bigint").alias("rev"))
+    r = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev).cast("bigint").alias("rev"))
+        .where(F.col("rev").isNotNull())  # see oracle HAVING note
+    )
     r = r.withColumn("band", F.expr(f"rev DIV {ABC_BAND_CENTS}"))
     btot = r.groupBy("band").agg(F.sum("rev").alias("brev"))
     wb = Window.orderBy(F.desc("band")).rowsBetween(
@@ -3138,14 +3281,18 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_scd2_intervals",
     """
+    -- NULLS FIRST = Spark's window default; event_type makes the
+    -- order total over replayed event_ids whose types differ — the
+    -- tied rows carry different statuses, so which one takes the
+    -- closing timestamp was engine-dependent (r11 fuzz seed 5)
     SELECT user_id, event_type AS status,
            epoch_us(ts) AS valid_from_us,
-           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS valid_to_us,
-           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                IS NULL AS INT) AS is_current
+           LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+           CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
     FROM events
     WHERE event_type IN ('signup', 'purchase', 'error')
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id, event_type)
     """,
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3156,7 +3303,9 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("signup", "purchase", "error")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", "event_type"  # see oracle ordering note
+    )
     us = F.expr("unix_micros(ts)")
     nxt = F.lead(us).over(w)
     return ev.select(
@@ -3180,8 +3329,16 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT event_type,
+             -- NULLS FIRST = Spark's window default (a user holding
+             -- both NULL and real timestamps otherwise sequences
+             -- differently); event_type closes the order over
+             -- replayed event_ids whose types differ — rows tied on
+             -- ALL three keys are interchangeable (r11 fuzz + fifth
+             -- degenerate wave)
              LEAD(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS nxt
+                                    ORDER BY ts NULLS FIRST, event_id,
+                                             event_type NULLS FIRST)
+               AS nxt
       FROM events
     )
     SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n,
@@ -3193,7 +3350,9 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", "event_type"  # see oracle ordering note
+    )
     s = ev.select(
         "event_type", F.lead("event_type").over(w).alias("to_type")
     ).where(F.col("to_type").isNotNull())
@@ -3416,15 +3575,18 @@ def explode_outer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_fifo_match",
     """
     WITH c AS (
+      -- NULLS FIRST = Spark's window default: a user holding both
+      -- NULL and real timestamps otherwise k-numbers differently
+      -- (r11 fuzz seed 16)
       SELECT user_id, event_id AS click_id, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS k
+                                ORDER BY ts NULLS FIRST, event_id) AS k
       FROM events WHERE event_type = 'click'
     ),
     p AS (
       SELECT user_id, event_id AS purchase_id, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS k
+                                ORDER BY ts NULLS FIRST, event_id) AS k
       FROM events WHERE event_type = 'purchase'
     )
     SELECT c.user_id, c.k, c.click_id, p.purchase_id,

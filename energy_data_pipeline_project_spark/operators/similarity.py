@@ -1139,10 +1139,10 @@ def _rrf_oracle() -> str:
     lex AS (SELECT * FROM lexr WHERE lex_rank <= {RRF_LEX_TOP}),
     q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
                  {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS qn
-          FROM embeddings WHERE vec_id < {nq}),
+          FROM embeddings WHERE vec_id < {nq} AND {VALID_VEC_DUCK}),
     c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
                  {V.norm_duck("CAST(embedding AS DOUBLE[])")} AS cn
-          FROM embeddings),
+          FROM embeddings WHERE {VALID_VEC_DUCK}),
     semr AS (
       SELECT query_id, cand_id,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
@@ -1224,8 +1224,12 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "lex_rank")
     )
 
-    # positive-norm gate on the semantic arm (r08 review: Spark NULL
-    # vs DuckDB NaN-ranks-first on a zero vector's 0/0 cosine)
+    # VALID_VEC + positive-norm gates on the semantic arm (r08 review:
+    # Spark NULL vs DuckDB NaN-ranks-first on a zero vector's 0/0
+    # cosine; r11 fuzz: a RAGGED 65-dim candidate — Spark's zip_with
+    # pads it to NULL while the oracle's generate_series(1, len(q))
+    # fold reads its first 64 elements and answers)
+    emb = emb.where(VALID_VEC_SPARK)
     q = F.broadcast(
         emb.where(
             (F.col("vec_id") < N_QUERY_VECS)

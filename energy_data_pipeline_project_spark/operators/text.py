@@ -828,9 +828,14 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_tokens,
              -- NULLS FIRST: a keyless doc still occupies stream
              -- space; Spark packs it first, DuckDB last, shifting
-             -- every later offset in the stream (r09 sweep)
+             -- every later offset in the stream (r09 sweep).
+             -- n_tokens tie-break: duplicate doc_ids with DIFFERENT
+             -- texts in one lang otherwise leave the per-row cum
+             -- engine-order-dependent (r11 window audit; rows tied on
+             -- the FULL order are interchangeable, so the readout is
+             -- total again)
              SUM(n_tokens) OVER (PARTITION BY lang
-                                 ORDER BY doc_id NULLS FIRST
+                                 ORDER BY doc_id NULLS FIRST, n_tokens
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS cum
       FROM t
@@ -847,10 +852,13 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream — the deterministic streaming form of packing (greedy
     bin-packing is inherently sequential; offset-division packing is
     its order-preserving, embarrassingly-parallel approximation, and
-    what array-concatenation loaders actually do). One window per
-    stream partition — each stratum's running sum is independent, so
-    the shuffle is by `lang`, never global. Integer DIV keeps the
-    pack assignment exact cross-engine."""
+    what array-concatenation loaders actually do). The running sum is
+    range-SLICED (functions/windows.sliced_prefix_sum, r11 window
+    audit): one dominant language would otherwise pack the whole
+    corpus in a single task — the sorted-neighborhood shape again.
+    Integer DIV keeps the pack assignment exact cross-engine."""
+    from ..functions.windows import sliced_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -862,12 +870,13 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = sliced_prefix_sum(
+        t,
+        ["lang"],
+        [F.col("doc_id"), F.col("n_tokens")],  # see oracle tie-break note
+        "n_tokens",
+        "cum",
     )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
     off = F.col("cum") - F.col("n_tokens")
     return c.select(
         "doc_id",

@@ -636,15 +636,24 @@ def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", _cents("value").alias("cents"))
         .agg(F.count("*").alias("cnt"))
     )
-    wc = Window.partitionBy("event_type").orderBy("cents")
-    wn = Window.partitionBy("event_type")
-    c = v.select(
-        "event_type",
-        "cents",
-        "cnt",
-        F.sum("cnt").over(wc).alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
+    # the CDF prefix runs range-SLICED (functions/windows, r11 window
+    # audit): the value grain compresses events to distinct cents per
+    # type, but at 100 TB one dominant type's grain is still too large
+    # for a one-task-per-type sort; per-type totals come from a plain
+    # aggregate joined back (broadcast — one row per type)
+    from ..functions.windows import sliced_prefix_sum
+
+    totals = v.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cdf = sliced_prefix_sum(
+        v, ["event_type"], [F.col("cents")], "cnt", "cum"
     )
+    # null-SAFE: NULL event_type is a group (the windowed form grouped
+    # it; a plain equi-join would silently drop it — the r11 fuzz
+    # lesson)
+    c = cdf.join(
+        F.broadcast(totals.withColumnRenamed("event_type", "__et")),
+        cdf["event_type"].eqNullSafe(F.col("__et")),
+    ).drop("__et")
     # quartile ranks via the ONE ceil-rank spelling (timeseries._rank,
     # single-sourced in r07 precisely so the convention can't drift per
     # copy — this was a fifth inline respelling, r08 review)

@@ -55,6 +55,22 @@ from .lake import read_table_versioned, write_table_versioned
 
 _MARKER = "_COMPLETE"
 
+# Serve log (r10 verdict #3): every get_or_build call records whether
+# it was served WARM (read the published artifact) or COLD (ran the
+# build chain — store miss or tier disabled), so bench runs can
+# attribute per-query wall time to build-vs-serve instead of guessing
+# from round-over-round diffs. Drained by the consumer; bounded by the
+# number of get_or_build calls between drains.
+_SERVE_LOG: list[tuple[str, str]] = []
+
+
+def drain_serve_log() -> list[tuple[str, str]]:
+    """Return and clear the (kind, "cold"|"warm") entries recorded by
+    get_or_build since the last drain."""
+    out = list(_SERVE_LOG)
+    _SERVE_LOG.clear()
+    return out
+
 
 def artifact_root() -> str | None:
     """Store root, or ``None`` when the tier is disabled."""
@@ -118,12 +134,15 @@ def get_or_build(
     concurrent writer → torn parquet under a valid marker)."""
     root = artifact_root()
     if root is None:
+        _SERVE_LOG.append((kind, "cold"))
         return build()
     base = os.path.join(root, kind, fingerprint)
     got = _read_all(spark, base, names)
     if got is not None:
+        _SERVE_LOG.append((kind, "warm"))
         _reap_stale_stages(os.path.dirname(base))
         return got
+    _SERVE_LOG.append((kind, "cold"))
     frames = build()
     missing = [n for n in names if n not in frames]
     if missing:

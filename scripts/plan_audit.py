@@ -27,8 +27,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from energy_data_pipeline_project_spark.operators import all_queries
-from energy_data_pipeline_project_spark.plans.analyze import plan_report
+from energy_data_pipeline_project_spark.plans.analyze import (
+    plan_report,
+    window_partition_specs,
+)
 from energy_data_pipeline_project_spark.session import get_spark_session
+
+# --- Low-cardinality window audit (r10 verdict #5) --------------------------
+# A Window whose ENTIRE partition spec is low-cardinality columns sorts
+# one task per group: at 100 TB a dominant language/event type is the
+# whole corpus in a single task. Every such window must either be
+# range-SLICED (functions/windows — the __slice_id__ column rides the
+# partition spec, so it never flags here) or carry a bounded-grain
+# justification below. An unjustified flag fails this audit (exit 1)
+# and tests/test_plans.py::test_low_card_windows_are_justified.
+LOW_CARD_COLS = frozenset({
+    "lang", "event_type", "etype", "l_returnflag", "l_linestatus",
+    "label", "source", "o_orderstatus", "production_type", "market",
+    "week", "month", "band", "segment", "c_mktsegment", "step",
+    "modality", "kind", "channel",
+})
+SLICE_COL = "__slice_id__"
+WINDOW_JUSTIFICATIONS: dict[str, str] = {
+    # sliced raw windows: the (col,) entry remaining after the slice
+    # filter is the per-slice OFFSETS frame — ≤ n_slices rows per group
+    "chunk_pack_sequences": "(lang) = slice-offsets frame, ≤32 rows/lang",
+    "dedup_sorted_neighborhood": "(lang) = slice-offsets frame, ≤32 rows/lang",
+    "events_topk_users_per_type": "(event_type) = slice-offsets frame, ≤32 rows/type",
+    "events_outlier_iqr": "(event_type) = slice-offsets frame, ≤32 rows/type",
+    # bounded-grain frames under the window (not raw rows)
+    "events_anomaly_zscore": "(event_type) over DAY-grain frame — calendar-bounded rows/type",
+    "events_gap_fill": "(event_type) over dense CALENDAR frame — days/type",
+    "events_quantile_histogram": "(event_type, week) over fixed histogram BINS — constant rows/group",
+    "window_running_sum": "(l_returnflag) over DAY-grain aggregate — calendar-bounded",
+    "orders_abc_classification": "(band) = banded prefix scan — grain/band_width rows per band by construction",
+    "skyline_parts": "(band) = banded running-min — price-grain/band_width rows per band",
+    "docs_source_cap": "(source) = phase-2 over ≤ SALT×N phase-1 survivors (80 rows/source); phase-1 is (source, salt)",
+    "embedding_label_outliers": "(label) over per-vector d² frame — bounded ≲1.9e4 vectors/label by the documented DRIFT_Q int64 envelope (shrink DRIFT_Q past it)",
+}
 
 
 def main() -> int:
@@ -43,6 +79,7 @@ def main() -> int:
 
     rows = []
     failures = []
+    window_flags: dict[str, list[tuple[str, ...]]] = {}
     for name in sorted(queries):
         try:
             df = queries[name](spark, sf_dir)
@@ -57,6 +94,13 @@ def main() -> int:
             ("udtf" if rep.python_udtf else
              ("arrow" if rep.arrow_eval else "-")),
         ))
+        flagged = [
+            s
+            for s in window_partition_specs(rep.plan)
+            if s and set(s) <= LOW_CARD_COLS and SLICE_COL not in s
+        ]
+        if flagged:
+            window_flags[name] = flagged
 
     n_python = sum(1 for r in rows if r[5] == "ROW-PYTHON")
     n_arrow = sum(1 for r in rows if r[5] == "arrow")
@@ -88,6 +132,31 @@ def main() -> int:
     for r in rows:
         lines.append(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} |")
 
+    unjustified = sorted(set(window_flags) - set(WINDOW_JUSTIFICATIONS))
+    lines += [
+        "",
+        "## Low-cardinality window audit (r10 verdict #5)",
+        "",
+        "Queries whose plan contains a Window partitioned ONLY by",
+        "low-cardinality columns (one task per group unless the frame",
+        "is bounded-grain or the sort is range-sliced —",
+        "`functions/windows.py`; sliced windows carry `__slice_id__`",
+        "and never flag). Each flag needs a grain justification in",
+        "`scripts/plan_audit.py::WINDOW_JUSTIFICATIONS`; an",
+        "unjustified flag fails this audit and",
+        "`test_low_card_windows_are_justified`.",
+        "",
+        "| query | flagged partition specs | justification |",
+        "|---|---|---|",
+    ]
+    for n in sorted(window_flags):
+        spec = "; ".join("(" + ", ".join(s) + ")" for s in window_flags[n])
+        just = WINDOW_JUSTIFICATIONS.get(n, "**UNJUSTIFIED**")
+        lines.append(f"| {n} | {spec} | {just} |")
+    stale = sorted(set(WINDOW_JUSTIFICATIONS) - set(window_flags))
+    if stale:
+        lines += ["", f"Stale justifications (no longer flagged): {stale}"]
+
     if failures:
         lines += ["", "## Failed to plan", ""]
         lines += [f"- {n}: {e}" for n, e in failures]
@@ -95,9 +164,10 @@ def main() -> int:
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_md}: {len(rows)} queries, {len(failures)} failures, "
-          f"{n_python} row-python")
+          f"{n_python} row-python, {len(unjustified)} unjustified low-card "
+          f"windows{': ' + str(unjustified) if unjustified else ''}")
     spark.stop()
-    return 1 if (failures or n_python) else 0
+    return 1 if (failures or n_python or unjustified) else 0
 
 
 if __name__ == "__main__":

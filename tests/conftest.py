@@ -25,17 +25,23 @@ def _isolated_artifact_store():
     code, and fixture-corpus training stays warm across sessions);
     per-test monkeypatch.setenv overrides still win, and an explicit
     caller-set SPARK_GRAFT_ARTIFACTS (scratch CI stores) is respected.
+
+    Concurrency (r10 advisor): pytest-xdist workers each get their own
+    subdirectory — two workers publishing/pruning the same kind in one
+    shared store can race (one session's prune evicting an artifact
+    another is mid-read). Plain concurrent `pytest` sessions against
+    this repo remain UNSUPPORTED (same shared-store race); run them
+    with distinct SPARK_GRAFT_ARTIFACTS values if ever needed.
     """
     if "SPARK_GRAFT_ARTIFACTS" in os.environ:
         yield
         return
+    parts = ["spark-warehouse", "_artifacts_tests"]
+    worker = os.environ.get("PYTEST_XDIST_WORKER")
+    if worker:
+        parts.append(worker)
     root = os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__),
-            os.pardir,
-            "spark-warehouse",
-            "_artifacts_tests",
-        )
+        os.path.join(os.path.dirname(__file__), os.pardir, *parts)
     )
     os.environ["SPARK_GRAFT_ARTIFACTS"] = root
     try:

@@ -382,3 +382,64 @@ def test_torn_artifact_under_valid_marker_rebuilds(spark, art_root):
         d for d in os.listdir(os.path.join(art_root, "torn"))
         if ".stage-" in d
     ]
+
+
+def test_token_postings_artifact_serves_cold_process(
+    spark, art_root, monkeypatch
+):
+    """The SN verify frame (distinct token-hash postings) is a lake
+    artifact (r10 verdict #1b): after one publish, a cold process
+    (memo released) must read the published postings WITHOUT paying
+    the explode→distinct shuffle, bit-identically."""
+    import glob
+
+    from energy_data_pipeline_project_spark.operators import dedup
+    from energy_data_pipeline_project_spark.sources import tables
+
+    dedup.release_shared_pairs()
+    try:
+        rows1 = sorted(
+            map(tuple, dedup.shared_token_postings(spark, SF_SMOKE).collect())
+        )
+        fp = A.corpus_fingerprint(SF_SMOKE, table="documents")
+        assert glob.glob(
+            os.path.join(art_root, "tok_postings@*", fp, "_COMPLETE")
+        )
+
+        dedup.release_shared_pairs()  # cold process: memo gone
+
+        def _boom(*a, **k):
+            raise AssertionError(
+                "cold call rebuilt postings instead of reading the store"
+            )
+
+        # the build path starts from load_table; a store hit never does
+        monkeypatch.setattr(dedup, "load_table", _boom)
+        rows2 = sorted(
+            map(tuple, dedup.shared_token_postings(spark, SF_SMOKE).collect())
+        )
+        assert rows1 == rows2
+    finally:
+        dedup.release_shared_pairs()
+        dedup.release_cached_frames()
+
+
+def test_serve_log_records_cold_then_warm(spark, art_root, monkeypatch):
+    """get_or_build must log "cold" when it ran the build chain (store
+    miss OR tier disabled) and "warm" on a store read — the signal
+    bench uses to stop conflating plan changes with store state (r10
+    verdict #3)."""
+    A.drain_serve_log()
+
+    def build():
+        return {"t": spark.range(2)}
+
+    fp = "servefp"
+    A.get_or_build(spark, "ksrv", fp, ("t",), build)
+    assert A.drain_serve_log() == [("ksrv", "cold")]
+    A.get_or_build(spark, "ksrv", fp, ("t",), build)
+    assert A.drain_serve_log() == [("ksrv", "warm")]
+    assert A.drain_serve_log() == []  # drained
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", "off")
+    A.get_or_build(spark, "ksrv", fp, ("t",), build)
+    assert A.drain_serve_log() == [("ksrv", "cold")]

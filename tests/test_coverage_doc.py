@@ -28,3 +28,23 @@ def test_every_query_documented_in_coverage():
 def test_oracle_map_is_subset_of_queries():
     q, o = set(all_queries()), set(all_oracles())
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
+
+
+def test_rows_only_exemption_block_is_current():
+    """The §2.10 rows-only footer is GENERATED from the registry
+    (r10 verdict #7): the block between the exemption markers must
+    equal operators.rows_only_exemptions_md() exactly — a new
+    oracle-less query (or a newly-oracled one) updates the gate map
+    and re-renders, or this fails."""
+    from energy_data_pipeline_project_spark.operators import (
+        rows_only_exemptions_md,
+    )
+
+    with open(os.path.join(_ROOT, "COVERAGE.md")) as f:
+        cov = f.read()
+    want = rows_only_exemptions_md()
+    start = cov.index("<!-- rows-only-exemptions:begin -->")
+    end = cov.index("<!-- rows-only-exemptions:end -->") + len(
+        "<!-- rows-only-exemptions:end -->"
+    )
+    assert cov[start:end] == want

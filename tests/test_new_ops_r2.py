@@ -168,3 +168,23 @@ def test_pagerank_star_graph_centers_rank_highest(spark):
     leaves = {got[i] for i in range(1, 5)}
     assert len(leaves) == 1, "exact arithmetic must tie the leaves"
     assert got[0] > got[1]
+
+
+def test_linear_trend_zero_variance_gates_to_null_exactly(spark):
+    """All events of a type on ONE day → x-variance is exactly zero →
+    slope/intercept/r must be NULL via the EXACT MIN=MAX witness (r10
+    advisor: the rounded IEEE denominator alone can read a tiny
+    nonzero value once n*sxx passes 2^53 and emit a garbage slope);
+    constant y must likewise gate r but keep a defined (zero) slope."""
+    rows = [("a", "2024-01-05 00:00:00", float(v)) for v in (1, 2, 3)]
+    rows += [("b", f"2024-01-{d:02d} 00:00:00", 7.0) for d in (1, 3, 9)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts_s", "value"]).select(
+        "event_type", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    got = {r["event_type"]: r for r in linear_trend(ev).collect()}
+    assert got["a"]["slope_cents_per_day"] is None
+    assert got["a"]["intercept_cents"] is None
+    assert got["a"]["r"] is None
+    # constant-y group: slope exactly 0, r undefined (y never varies)
+    assert got["b"]["slope_cents_per_day"] == 0.0
+    assert got["b"]["r"] is None

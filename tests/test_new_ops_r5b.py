@@ -408,3 +408,33 @@ def test_benford_audit_conserves_counts(spark):
         assert r.abs_dev_permille == abs(
             r.observed_permille - r.benford_permille
         )
+
+
+def test_sorted_neighborhood_pairs_are_slice_invariant(spark):
+    """The range-sliced candidate decomposition (r10 verdict #1a) must
+    produce EXACTLY the single-global-sort pair set whatever the slice
+    count — including one slice (the degenerate single-window
+    formulation), slices that straddle neighborhoods, and more slices
+    than rows (most slices empty, neighbors several slices apart)."""
+    import pyspark.sql.functions as F
+
+    from energy_data_pipeline_project_spark.operators import dedup
+    from energy_data_pipeline_project_spark.operators.dedup import (
+        SN_KEY_LEN,
+        sorted_neighborhood_candidates,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"substr(lower(text), 1, {SN_KEY_LEN})").alias("k"),
+    )
+    n = docs.count()
+    sets = {}
+    for nb in (1, 3, n + 7):
+        sets[nb] = sorted(
+            map(tuple, sorted_neighborhood_candidates(t, n_buckets=nb).collect())
+        )
+        dedup.release_cached_frames()
+    assert sets[1] and sets[3] == sets[1] and sets[n + 7] == sets[1]

@@ -495,3 +495,76 @@ def test_new_r5b_ops_have_distributed_windows(spark):
         timeseries.QUERIES["events_countmin_heavy"](spark, SF_SMOKE)
     )
     assert "BroadcastHashJoin" in rep.plan
+
+
+def test_sorted_neighborhood_sort_is_sliced_not_per_lang(spark):
+    """The SN candidate sort must be the range-sliced decomposition
+    (r10 verdict #1a): an Exchange rangepartitioning on the composite
+    (lang, key, doc_id) order feeds per-(lang, slice) windows, and NO
+    window partitions by lang alone — that shape sorts one dominant
+    language in a single task at scale."""
+    import re
+
+    from energy_data_pipeline_project_spark.operators import dedup
+
+    plan = formatted_plan(
+        dedup.QUERIES["dedup_sorted_neighborhood"](spark, SF_SMOKE)
+    )
+    assert "rangepartitioning(lang" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)[^)]*?, (\w+)", plan)
+    # the row_number window must carry the slice id next to lang; the
+    # tiny offsets window (one row per slice) partitions by lang alone
+    # over a count frame — identified by its cnt input, not raw rows
+    assert any(
+        a == "lang" and b.startswith("__slice_id__") for a, b in specs
+    ), specs
+    dedup.release_cached_frames()
+
+
+def test_low_card_windows_are_justified(spark):
+    """Window-skew audit pin (r10 verdict #5): every query whose plan
+    windows ONLY over low-cardinality partition columns must carry a
+    bounded-grain justification in scripts/plan_audit.py, and the four
+    raw-row candidates must actually be range-SLICED (a
+    __slice_id__-partitioned window in the plan). Runs over the known
+    flagged set — the full-surface sweep is plan_audit.py's job; this
+    test keeps the justified set honest for the queries it names."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+    )
+    from plan_audit import LOW_CARD_COLS, SLICE_COL, WINDOW_JUSTIFICATIONS
+
+    from energy_data_pipeline_project_spark.operators import all_queries
+    from energy_data_pipeline_project_spark.operators._frames import (
+        release_cached_frames,
+    )
+    from energy_data_pipeline_project_spark.plans.analyze import (
+        window_partition_specs,
+    )
+
+    SLICED = {
+        "chunk_pack_sequences",
+        "dedup_sorted_neighborhood",
+        "events_topk_users_per_type",
+        "events_outlier_iqr",
+    }
+    Q = all_queries()
+    for name in sorted(WINDOW_JUSTIFICATIONS):
+        specs = window_partition_specs(
+            formatted_plan(Q[name](spark, SF_SMOKE))
+        )
+        release_cached_frames()
+        flagged = [
+            s for s in specs if s and set(s) <= LOW_CARD_COLS and SLICE_COL not in s
+        ]
+        # the justification must still correspond to a real flag …
+        assert flagged, f"{name}: justification is stale (nothing flags)"
+        # … and a sliced query must really be sliced
+        if name in SLICED:
+            assert any(SLICE_COL in s for s in specs), (
+                f"{name}: lost its range-sliced window"
+            )
