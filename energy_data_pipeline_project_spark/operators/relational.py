@@ -2341,8 +2341,11 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(last_value(o_orderdate) OVER w AS DATE))
                 AS INT) AS span_days
     FROM orders
+    -- NULLS FIRST = Spark's default: a customer holding both NULL
+    -- and real order dates otherwise picks different first/last rows
+    -- (r11 fuzz hunt seeds 22/27/36/37)
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING
                           AND UNBOUNDED FOLLOWING)
     """,

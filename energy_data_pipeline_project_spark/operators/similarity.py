@@ -171,7 +171,7 @@ def _table_bucket_sql(
     "ann_topk_bruteforce",
     f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
-                FROM embeddings),
+                FROM embeddings WHERE {VALID_VEC_DUCK}),
     q AS (SELECT * FROM (
             SELECT vec_id AS query_id, de AS qe,
                    {V.norm_duck('de')} AS qn
@@ -199,9 +199,14 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cos DESC) but DuckDB NaN (total order ranks it ABOVE every
     # number — rank 1 for every query) — latent only because the
     # fixture has no zero vectors (r08 review)
+    # VALID_VEC + positive-norm (r11 fuzz hunt seed 31: a RAGGED
+    # 65-dim candidate's cosine is NULL via Spark's zip_with pad but a
+    # NUMBER via the oracle's generate_series fold, and NaN-element
+    # vectors rank-tie differently per engine — the norm gate alone
+    # passes both shapes)
     emb = load_table(spark, sf_dir, "embeddings").where(
-        V.norm("embedding") > 0.0
-    )
+        VALID_VEC_SPARK
+    ).where(V.norm("embedding") > 0.0)
     q = F.broadcast(
         emb.where(F.col("vec_id") < N_QUERY_VECS).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -427,21 +432,23 @@ def _ivf_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM ep GROUP BY label, pos),
     carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
              HAVING len(list_filter(list(c ORDER BY pos), x -> x != 0)) > 0),
-    scored AS (
-      SELECT e.vec_id, carr.label,
-             {V.cosine_duck('e.qde', 'carr.cv')} AS cos,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                  ORDER BY {V.cosine_duck('e.qde', 'carr.cv')} DESC,
-                           carr.label) AS rn
-      FROM e, carr
-    ),
-    cells AS (SELECT vec_id, label AS cell FROM scored WHERE rn = 1),
-    qcells AS (SELECT vec_id, label AS cell FROM scored
-               WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERY_VECS}),
-    q AS (SELECT e.vec_id AS query_id, e.de AS qe, qcells.cell
-          FROM e JOIN qcells USING (vec_id)),
-    cand AS (SELECT e.vec_id AS neighbor_id, e.de AS ce, cells.cell
-             FROM e JOIN cells USING (vec_id)),
+    -- PER-ROW assignment via LATERAL (not a PARTITION BY vec_id
+    -- window): a DUPLICATE vec_id carrying two different vectors must
+    -- index each ROW under its own nearest cell — the window merged
+    -- the pair and assigned the joint best cell to both, diverging
+    -- from the Spark side's per-row sorted-struct expression (r11
+    -- fuzz hunt seed 25)
+    q AS (SELECT e.vec_id AS query_id, e.de AS qe, l.cell
+          FROM e, LATERAL (
+            SELECT carr.label AS cell FROM carr
+            ORDER BY {V.cosine_duck('e.qde', 'carr.cv')} DESC, carr.label
+            LIMIT {IVF_NPROBE}) l
+          WHERE e.vec_id < {N_QUERY_VECS}),
+    cand AS (SELECT e.vec_id AS neighbor_id, e.de AS ce, l.cell
+             FROM e, LATERAL (
+               SELECT carr.label AS cell FROM carr
+               ORDER BY {V.cosine_duck('e.qde', 'carr.cv')} DESC, carr.label
+               LIMIT 1) l),
     s AS (SELECT q.query_id, cand.neighbor_id,
                  {V.cosine_duck('q.qe', 'cand.ce')} AS cos
           FROM q JOIN cand ON q.cell = cand.cell

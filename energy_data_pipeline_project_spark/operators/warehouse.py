@@ -704,9 +704,14 @@ _DM_WINDOW = 28
     "events_dau_mau",
     f"""
     WITH ud AS (
+      -- a NULL user is not a user: COUNT(DISTINCT) skips it while
+      -- COUNT(*) counted it, so a window whose only activity is
+      -- anonymous rows divided DAU>0 by MAU=0 — Spark ANSI aborted
+      -- the job (r11 fuzz hunt seed 37); with the filter, every
+      -- contrib target has MAU >= 1 by construction
       SELECT DISTINCT user_id,
              date_diff('day', DATE '{_DM_EPOCH}', CAST(ts AS DATE)) AS day_no
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     b AS (SELECT MAX(day_no) AS hi FROM ud),
     contrib AS (
@@ -727,7 +732,8 @@ _DM_WINDOW = 28
 )
 def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
+    # NULL users excluded — see the oracle's ud note (r11 fuzz hunt)
+    ud = ev.where(F.col("user_id").isNotNull()).select(
         "user_id",
         F.datediff(
             F.to_date("ts"), F.lit(_DM_EPOCH).cast("date")
@@ -1652,12 +1658,17 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first GROUP BY cohort_ym
     ),
     rev AS (
+      -- an UNDATED order cannot sit on a months-since curve: its
+      -- NULL months_since row ordered FIRST in Spark's cumulative
+      -- window but LAST in DuckDB's, shifting every cum_cents after
+      -- it (r11 fuzz hunt seed 39)
       SELECT f.cohort_ym,
              year(o.o_orderdate) * 12 + month(o.o_orderdate)
                - f.cohort_ym AS months_since,
              CAST(SUM({_CENTS.format("o.o_totalprice")}) AS BIGINT)
                AS month_cents
       FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      WHERE o.o_orderdate IS NOT NULL
       GROUP BY 1, 2
     ),
     cum AS (
@@ -1682,7 +1693,8 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers")
     )
     rev = (
-        orders.join(first, "o_custkey")
+        orders.where(F.col("o_orderdate").isNotNull())  # see oracle note
+        .join(first, "o_custkey")
         .groupBy(
             "cohort_ym",
             (ym - F.col("cohort_ym")).alias("months_since"),

@@ -326,6 +326,13 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"o_orderkey": 940002, "o_custkey": 900001, "o_orderstatus": "O",
          "o_totalprice": 20.0, "o_orderdate": _dt.datetime(9999, 12, 15),
          "o_orderpriority": "1-URGENT"},
+        # NULL date for a customer who ALSO has real dates: window
+        # NULL ordering (Spark FIRST vs DuckDB LAST) otherwise picks
+        # different first/last rows and shifts the LTV curve's
+        # cumulative window (r11 fuzz hunt seeds 22/27/36/37/39)
+        {"o_orderkey": 940003, "o_custkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": 33.0, "o_orderdate": None,
+         "o_orderpriority": "3-MEDIUM"},
     ])
     emit("lineitem", 600, [
         {"l_orderkey": 900001, "l_partkey": 90001, "l_suppkey": 9001,
@@ -510,6 +517,14 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"event_id": 940007, "ts": _dt.datetime(2024, 3, 5, 12, 0, 2),
          "user_id": 940002, "event_type": "view", "value": 3.0,
          "props": '{"k": 1.0}'},
+        # an ISOLATED anonymous (NULL-user) event: its 28-day DAU/MAU
+        # windows hold no identifiable user, so COUNT(*) counted it
+        # while COUNT(DISTINCT) skipped it — DAU>0 / MAU=0 aborted
+        # Spark's ANSI division (r11 fuzz hunt seed 37; NULL users now
+        # excluded from the engagement frame on both sides)
+        {"event_id": 940008, "ts": _dt.datetime(2024, 6, 1, 12, 0, 0),
+         "user_id": None, "event_type": "view", "value": 1.0,
+         "props": '{"k": 5}'},
     ])
     long_doc = " ".join(["longword%d" % (i % 7) for i in range(5000)])
     spam_doc = " ".join(["spam"] * 200)
@@ -639,6 +654,14 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"vec_id": 940001, "embedding": [0.1] * 63, "label": 8},
         {"vec_id": 940002, "embedding": [0.1] * 65, "label": 8},
         {"vec_id": 940003, "embedding": [0.2], "label": 8},
+        # duplicate vec_id whose two vectors point at DIFFERENT
+        # directions: per-row IVF cell assignment must index each row
+        # under its own nearest cell — a per-vec_id window merged the
+        # pair and gave both the joint best cell (r11 fuzz hunt seed
+        # 25; the wave-1 dup pair 900008 shares a direction, hiding it)
+        {"vec_id": 940004, "embedding": one, "label": 2},
+        {"vec_id": 940004, "embedding": [0.0] * 32 + [1.0] + [0.0] * 31,
+         "label": 5},
     ])
 
 
