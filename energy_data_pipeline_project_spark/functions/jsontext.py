@@ -13,11 +13,24 @@ TRY_CAST to NULL identically in both engines.
 
 Both spellings share :data:`INT_TEXT_RE` so the accepted language
 can't drift per engine.
+
+Anchors are ``\\A``/``\\z``, not ``^``/``$``: Java regex (Spark RLIKE)
+lets ``$`` match BEFORE a trailing newline while RE2 (DuckDB) pins it
+to end-of-text — so a payload value of ``'123\\n'`` passed Spark's
+guard (and Spark's integer cast trims whitespace → 123) while DuckDB
+rejected it (r11 review, verified live). ``\\A``/``\\z`` mean
+end-of-text in BOTH engines.
 """
 
 from __future__ import annotations
 
-INT_TEXT_RE = "^-?[0-9]+$"
+INT_TEXT_RE = r"\A-?[0-9]+\z"
+
+
+def _sql_escape(regex: str) -> str:
+    """Escape a regex for a Spark SQL single-quoted literal (backslash-
+    escaped by default; DuckDB literals pass through verbatim)."""
+    return regex.replace("\\", "\\\\")
 
 # Trailing-fractional-zeros strip for CANONICALIZED numeric text (the
 # variant path): Spark's VARIANT renders JSON decimals canonically
@@ -27,7 +40,7 @@ INT_TEXT_RE = "^-?[0-9]+$"
 # integral-valued decimal convert identically, and '-0' TRY_CASTs to 0
 # identically so no sign special-case is needed. Non-integral and
 # exponent forms keep failing the regex in both engines.
-_STRIP_RE = r"\.0+$"  # one regex; engine-specific literal escaping below
+_STRIP_RE = r"\.0+\z"  # one regex; engine-specific literal escaping below
 
 
 def int_text_spark(
@@ -39,9 +52,9 @@ def int_text_spark(
         # escapedStringLiterals=false): '\\.' in the SQL text reaches
         # the regex engine as '\.'; a single backslash would strip any
         # trailing character before zeros (r11 — collapsed '100'→'1')
-        expr = f"regexp_replace({expr}, '\\\\.0+$', '')"
+        expr = f"regexp_replace({expr}, '{_sql_escape(_STRIP_RE)}', '')"
     return (
-        f"CASE WHEN {expr} RLIKE '{INT_TEXT_RE}'"
+        f"CASE WHEN {expr} RLIKE '{_sql_escape(INT_TEXT_RE)}'"
         f" THEN try_cast({expr} AS {out_type}) END"
     )
 

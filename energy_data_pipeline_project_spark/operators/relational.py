@@ -3539,10 +3539,13 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_outer_probe",
     """
     WITH p AS (
+      -- non-negative mod: a negative p_size under plain % reaches the
+      -- ELSE branch with a bound < 1, where Spark's sequence() counts
+      -- DOWN while DuckDB's range() is empty (r11 fuzz seed 43)
       SELECT p_partkey,
-             CASE WHEN p_size % 4 = 0 THEN NULL
-                  WHEN p_size % 4 = 1 THEN []::BIGINT[]
-                  ELSE range(1, p_size % 4 + 1) END AS arr
+             CASE WHEN ((p_size % 4) + 4) % 4 = 0 THEN NULL
+                  WHEN ((p_size % 4) + 4) % 4 = 1 THEN []::BIGINT[]
+                  ELSE range(1, ((p_size % 4) + 4) % 4 + 1) END AS arr
       FROM part
     )
     SELECT p_partkey,
@@ -3557,9 +3560,9 @@ def explode_outer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = part.select(
         "p_partkey",
         F.expr(
-            "CASE WHEN p_size % 4 = 0 THEN NULL "
-            "WHEN p_size % 4 = 1 THEN CAST(array() AS ARRAY<BIGINT>) "
-            "ELSE sequence(CAST(1 AS BIGINT), CAST(p_size % 4 AS BIGINT)) "
+            "CASE WHEN pmod(p_size, 4) = 0 THEN NULL "
+            "WHEN pmod(p_size, 4) = 1 THEN CAST(array() AS ARRAY<BIGINT>) "
+            "ELSE sequence(CAST(1 AS BIGINT), CAST(pmod(p_size, 4) AS BIGINT)) "
             "END"
         ).alias("arr"),
     )

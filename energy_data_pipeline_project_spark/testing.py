@@ -271,6 +271,17 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"p_partkey": 930001, "p_name": "null priced part",
          "p_brand": "Brand#9", "p_type": "ECONOMY BRASS", "p_size": 5,
          "p_retailprice": None},
+        # --- sixth-wave shape (r11 fuzz seed 43): NEGATIVE p_size —
+        # under plain %, -1 % 4 = -1 reaches a sequence/range bound
+        # < 1 where Spark's sequence() counts DOWN and DuckDB's
+        # range() is empty; derivations over p_size must use
+        # non-negative mod (explode_outer_probe)
+        {"p_partkey": 930002, "p_name": "negative sized part",
+         "p_brand": "Brand#9", "p_type": "ECONOMY BRASS", "p_size": -1,
+         "p_retailprice": 10.0},
+        {"p_partkey": 930003, "p_name": "negative sized part 2",
+         "p_brand": "Brand#9", "p_type": "ECONOMY BRASS", "p_size": -3,
+         "p_retailprice": 10.0},
     ])
     import datetime as _dt
 
@@ -431,6 +442,15 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "value": -1e18, "props": '{"k": 3}'},
         {"event_id": 900011, "ts": t0, "user_id": 900005, "event_type": "view",
          "value": 1e15, "props": '{"k": 4}'},
+        # --- sixth-wave shape (r11 review): digits + trailing NEWLINE
+        # in a JSON string value — Java regex lets '$' match before a
+        # final newline (and Spark's int cast TRIMS whitespace) while
+        # RE2 pins '$' to end-of-text, so '^...$' guards diverged;
+        # the jsontext contract anchors with \A/\z
+        {"event_id": 900012, "ts": t0, "user_id": 900005, "event_type": "view",
+         "value": 1.0, "props": '{"k": "123\\n"}'},
+        {"event_id": 900013, "ts": t0, "user_id": 900005, "event_type": "view",
+         "value": 1.0, "props": '{"k": "9\\n9"}'},
         # --- second-wave shapes (r10): TIMESTAMP(NANOS) boundary
         # instants (a corrupt ns timestamp lands exactly here before it
         # wraps; both sit just inside the pandas ns range so the Arrow
@@ -909,3 +929,120 @@ def write_fuzz_corpus(
          "label": maybe(rnd.randrange(-1, 8))}
         for _ in range(n_extra)
     ])
+
+
+# ---------------------------------------------------------------------------
+# Scale-stress corpus: a xN blow-up of a fixture directory, generated
+# DISTRIBUTED (crossJoin with spark.range(N), no driver-side rows), for
+# measuring how query wall time scales with data volume. Correctness is
+# verified at small sf by the oracle gates; this corpus exists to catch
+# super-linear cliffs (quadratic candidate blow-ups, single-task sorts,
+# broadcast thresholds crossed) before a real cluster does.
+# ---------------------------------------------------------------------------
+
+# Key stride between copies: far above any base-fixture key, far below
+# int64 overflow at any plausible factor (32 copies -> max ~3.2e10).
+SCALE_KEY_STRIDE = 1_000_000_000
+
+
+def write_scaled_corpus(
+    spark,
+    out_dir: str,
+    factor: int,
+    base_dir: str = "/root/testdata/sf0.1",
+    fact_partitions: int = 32,
+) -> None:
+    """Materialize a ``factor``x copy of ``base_dir`` under ``out_dir``.
+
+    Fact tables are replicated ``factor`` times with per-copy key
+    remapping (copy *i* shifts every entity key by ``i *
+    SCALE_KEY_STRIDE``) so join fan-in per key, group cardinality per
+    date, and null patterns all match the base corpus — volume scales,
+    distribution shape doesn't. Dimensions (region, nation) stay
+    fixed, as they would at any real scale factor.
+
+    Deliberate exceptions, documented because they ARE the stress:
+
+    - ``documents.text`` gains a per-copy marker token (copy 0 stays
+      byte-identical), so cross-copy pairs are NEAR-duplicates: every
+      dedup family sees its candidate clusters grow ~``factor``x —
+      the adversarial-skew case for LSH bucket sizes and
+      sorted-neighborhood slices.
+    - ``embeddings.embedding`` is deterministically perturbed per
+      (copy, dim), so ANN/kmeans see ``factor``x distinct vectors
+      rather than ``factor`` exact stacks (exact stacks would make
+      centroid training degenerate, which is not the interesting
+      failure).
+    - Timestamps are NOT shifted: copies land in the same time window,
+      so date-grain groups keep their cardinality and grow in SIZE —
+      the realistic shape for "same period, bigger fleet".
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .sources.tables import TABLES, load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    s = SCALE_KEY_STRIDE
+
+    def shift(col: str, cp="__cp__"):
+        return (F.col(col) + F.col(cp) * F.lit(s)).alias(col)
+
+    for name in TABLES:
+        df = load_table(spark, base_dir, name)
+        if name in ("region", "nation"):
+            out = df
+        else:
+            cp = spark.range(factor).select(F.col("id").alias("__cp__"))
+            x = df.crossJoin(cp)
+            if name == "customer":
+                out = x.select(shift("c_custkey"), "c_name", "c_nationkey",
+                               "c_acctbal", "c_mktsegment")
+            elif name == "supplier":
+                out = x.select(shift("s_suppkey"), "s_name", "s_nationkey",
+                               "s_acctbal")
+            elif name == "part":
+                out = x.select(shift("p_partkey"), "p_name", "p_brand",
+                               "p_type", "p_size", "p_retailprice")
+            elif name == "orders":
+                out = x.select(shift("o_orderkey"), shift("o_custkey"),
+                               "o_orderstatus", "o_totalprice",
+                               "o_orderdate", "o_orderpriority")
+            elif name == "lineitem":
+                out = x.select(shift("l_orderkey"), shift("l_partkey"),
+                               shift("l_suppkey"), "l_linenumber",
+                               "l_quantity", "l_extendedprice", "l_discount",
+                               "l_tax", "l_returnflag", "l_linestatus",
+                               "l_shipdate")
+            elif name == "events":
+                out = x.select(shift("event_id"), "ts", shift("user_id"),
+                               "event_type", "value", "props")
+            elif name == "documents":
+                tag = F.concat(F.lit(" copytag"), F.col("__cp__"))
+                text = F.when(
+                    F.col("text").isNull() | (F.col("__cp__") == 0),
+                    F.col("text"),
+                ).otherwise(F.concat(F.col("text"), tag))
+                n_chars = F.when(
+                    F.col("text").isNull() | (F.col("__cp__") == 0),
+                    F.col("n_chars"),
+                ).otherwise(F.col("n_chars") + F.length(tag))
+                out = x.select(shift("doc_id"), text.alias("text"), "lang",
+                               "source", n_chars.alias("n_chars"))
+            elif name == "embeddings":
+                emb = F.transform(
+                    "embedding",
+                    lambda v, j: (
+                        v * (1.0 + ((F.col("__cp__") * 31 + j) % 7 - 3)
+                             * F.lit(0.001))
+                    ).cast("float"),
+                )
+                out = x.select(shift("vec_id"), emb.alias("embedding"),
+                               "label")
+            else:  # pragma: no cover — TABLES is closed
+                raise ValueError(name)
+            out = out.repartition(fact_partitions)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
