@@ -118,8 +118,19 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     posting array, emitting a (d, d) self-pair the a < b oracles can
     never produce (the r07 prefix-Jaccard bug — r08 fixed it at this
     shared source for the Jaccard/containment consumers too; the
-    minhash MIN is multiplicity-blind either way)."""
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    minhash MIN is multiplicity-blind either way).
+
+    NULL doc_ids are excluded HERE, at the index source: a NULL
+    identity cannot participate in identity pairs (the
+    sorted-neighborhood contract), but the positional bucket
+    expansions downstream pair array entries without ever comparing
+    ids, so a NULL-id doc whose text duplicates another doc's leaked a
+    (NULL, x) pair that every a < b oracle rejects — and its postings
+    counted toward hot-shingle caps only on one side (r11 fuzz seed
+    69). The oracle CTE heads carry the same WHERE."""
+    toks = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    )
     return toks.select(
         "doc_id",
         F.explode(
@@ -150,7 +161,8 @@ def shingle_index_ctes(cap: int = SHINGLE_DOC_CAP) -> str:
     list_distinct matches :func:`_shingle_hashes` exactly, so the
     engines agree even on 32-bit within-doc hash collisions."""
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+           WHERE doc_id IS NOT NULL),  -- pair-identity index: see _shingle_hashes
     hx0 AS (SELECT doc_id, unnest({_POSTINGS_ARRAY_DUCK}) AS h FROM t),
     hx AS (SELECT doc_id, h FROM (
              SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt
@@ -166,7 +178,8 @@ def _prefix_index_ctes() -> str:
     set-semantics spelling is shared — one source with the capped
     variant (r08 review)."""
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+           WHERE doc_id IS NOT NULL),  -- pair-identity index: see _shingle_hashes
     hx AS (SELECT doc_id, unnest({_POSTINGS_ARRAY_DUCK}) AS h FROM t)"""
 
 
@@ -245,7 +258,8 @@ def _minhash_oracle() -> str:
         for i in range(H.MINHASH_K)
     )
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+           WHERE doc_id IS NOT NULL),  -- pair-identity index: see _shingle_hashes
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
            FROM t),
     hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),
@@ -534,7 +548,10 @@ _SHARED_PAIRS: dict[tuple[str, str, str, int], DataFrame] = {}
 # banding, cap or threshold semantics) so a stale published frame can
 # never serve the new code — the constants below ride the kind name,
 # but logic changes need this literal (see pq._PQ_CHAIN_REV).
-_LSH_PAIRS_CHAIN_REV = 1
+# r2: NULL-id docs excluded from the signature population (r11 fuzz
+# seed 69) — a stale r1 pair frame could carry NULL-doc bucket-cap
+# effects.
+_LSH_PAIRS_CHAIN_REV = 2
 
 
 def _shared_corpus_frame(
@@ -666,7 +683,8 @@ def _incremental_oracle() -> str:
         for i in range(H.MINHASH_K)
     )
     return f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+           WHERE doc_id IS NOT NULL),  -- pair-identity index: see _shingle_hashes
     sh AS (SELECT doc_id, unnest({H.shingles_sql("toks", SHINGLE_N, duck=True)}) AS s
            FROM t),
     hx AS (SELECT doc_id, {H.md5_int64("s", duck=True)} AS h FROM sh),

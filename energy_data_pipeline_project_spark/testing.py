@@ -577,6 +577,14 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "n_chars": len(spam_doc)},
         {"doc_id": None, "text": "null id document body", "lang": "en",
          "source": "srcX", "n_chars": 21},
+        # --- sixth-wave shape (r11 fuzz seed 69): a NULL-id doc whose
+        # text DUPLICATES a real doc's — its shingles land in the same
+        # buckets/bands, and the positional bucket-pair expansions
+        # emitted a (NULL, x) pair the a < b oracles reject; NULL ids
+        # are now excluded from the pair-identity index on both sides
+        # (_shingle_hashes and the oracle CTE heads)
+        {"doc_id": None, "text": "exact duplicate text body here",
+         "lang": "en", "source": "srcX", "n_chars": 30},
         # --- second-wave shapes (r10): unicode beyond the BMP,
         # combining characters, zero-width/RTL text, control
         # whitespace, fingerprint-separator characters, and LYING
