@@ -1039,13 +1039,16 @@ def write_scaled_corpus(
                 out = x.select(shift("doc_id"), text.alias("text"), "lang",
                                "source", n_chars.alias("n_chars"))
             elif name == "embeddings":
-                emb = F.transform(
+                # copy 0 stays bit-identical (the documents contract);
+                # other copies perturb per (copy, dim)
+                pert = F.transform(
                     "embedding",
                     lambda v, j: (
                         v * (1.0 + ((F.col("__cp__") * 31 + j) % 7 - 3)
                              * F.lit(0.001))
                     ).cast("float"),
                 )
+                emb = F.when(F.col("__cp__") == 0, F.col("embedding")).otherwise(pert)
                 out = x.select(shift("vec_id"), emb.alias("embedding"),
                                "label")
             else:  # pragma: no cover — TABLES is closed
