@@ -98,8 +98,19 @@ class RunningUserTotals(StatefulProcessor):
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """events stream → per-user lifetime (n_events, value_cents),
-    re-emitted whenever a micro-batch touches the user."""
-    return events.groupBy("user_id").transformWithStateInPandas(
+    re-emitted whenever a micro-batch touches the user.
+
+    Anonymous (NULL user_id) events are excluded: a lifetime rollup
+    has no identity to accumulate under, and the NULL group's key
+    reaches the handler as None, where ``int(user_id)`` would kill the
+    stream (r11 review — the engagement-frame posture of
+    events_dau_mau applied here; the parity test's batch aggregate
+    carries the same filter)."""
+    import pyspark.sql.functions as F
+
+    return events.where(
+        F.col("user_id").isNotNull()
+    ).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningUserTotals(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",

@@ -150,6 +150,9 @@ def test_tws_running_totals_match_batch(spark, event_dir):
     batch = {
         r["user_id"]: (r["n"], r["cents"])
         for r in spark.read.parquet(event_dir)
+        # anonymous events are excluded from the lifetime rollup on
+        # both sides (see running_user_totals, r11 review)
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
