@@ -2111,9 +2111,14 @@ def _sn_oracle() -> str:
              {leads}
       FROM t WINDOW w AS (PARTITION BY lang ORDER BY k NULLS LAST, doc_id)
     ),
-    pairs AS (
+    pairs0 AS (
 {pair_sel}
     ),
+    -- SET of distinct-identity pairs: duplicate doc_ids hold two
+    -- window rows, re-emitting (a, b) per adjacency (the multiplicity
+    -- drove c past min(na, nb) and the denominator to zero) and
+    -- pairing a doc with its own other row (r11 fuzz seed 125)
+    pairs AS (SELECT DISTINCT a, b FROM pairs0 WHERE a <> b),
     tok AS (
       SELECT DISTINCT doc_id, {h} AS h
       FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents)
@@ -2180,13 +2185,25 @@ def sorted_neighborhood_candidates(
     )
     # null-SAFE on lang: NULL lang is a window GROUP in the oracle's
     # PARTITION BY, and a plain equi-join dropped its pairs (r11 fuzz)
-    return tgt.join(
-        nxt,
-        F.col("lang").eqNullSafe(F.col("r_lang"))
-        & (F.col("tpos") == F.col("r_pos")),
-    ).select(
-        F.least("l_id", "r_id").alias("a"),
-        F.greatest("l_id", "r_id").alias("b"),
+    return (
+        tgt.join(
+            nxt,
+            F.col("lang").eqNullSafe(F.col("r_lang"))
+            & (F.col("tpos") == F.col("r_pos")),
+        )
+        .select(
+            F.least("l_id", "r_id").alias("a"),
+            F.greatest("l_id", "r_id").alias("b"),
+        )
+        # SET of distinct-identity pairs: a doc_id carried by TWO rows
+        # (duplicate ids, different text) holds two positions, so the
+        # same (a, b) was emitted per adjacency and the verify join's
+        # multiplicity-counted intersection c exceeded min(na, nb) —
+        # driving the Jaccard denominator (na + nb - c) to ZERO (ANSI
+        # div crash, r11 fuzz seed 125); and a doc paired with its own
+        # other row is an identity self-pair, not a near-dup verdict
+        .where(F.col("a") != F.col("b"))
+        .distinct()
     )
 
 

@@ -2823,11 +2823,22 @@ def proj_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# XML-invalid character class: C0 controls minus \t and \n (\x0B \x0C
+# are unrepresentable in XML 1.0 even as char refs; \r is valid but
+# line-ending-NORMALIZED by every conforming parser, so it can't
+# round-trip either). One spelling — \x escapes parse identically in
+# Java regex and RE2; no SQL-literal escaping needed (no backslash
+# reaches a string literal: the Spark side passes the pattern via the
+# Python API).
+_XML_INVALID_RE = "[\\x00-\\x08\\x0B-\\x1F]"
+
+
 @query(
     "events_xml_extract",
-    """
+    f"""
     SELECT event_id,
-           COALESCE(event_type, '') AS xml_type,
+           COALESCE(regexp_replace(event_type, '{_XML_INVALID_RE}', '', 'g'),
+                    '') AS xml_type,
            CAST(user_id AS BIGINT) AS xml_user,
            value AS xml_value
     FROM events
@@ -2857,9 +2868,19 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified), the inherent NULL→'' normalization of XML without
     xsi:nil, and the oracle states the same COALESCE."""
     ev = load_table(spark, sf_dir, "events")
+    # XML 1.0 cannot carry C0 controls AT ALL (numeric char refs of
+    # them are illegal too) and parsers normalize \\r line endings — a
+    # control-char event_type PERMISSIVE-parsed to an all-NULL struct
+    # while the oracle kept the raw bytes (r11 fuzz seeds 86-138). A
+    # real producer must strip them before payload assembly; both
+    # sides strip the identical class (\\t and \\n are valid XML text
+    # and round-trip untouched).
+    stripped = F.regexp_replace(
+        F.col("event_type"), _XML_INVALID_RE, ""
+    )
     escaped = F.replace(
         F.replace(
-            F.replace(F.col("event_type"), F.lit("&"), F.lit("&amp;")),
+            F.replace(stripped, F.lit("&"), F.lit("&amp;")),
             F.lit("<"),
             F.lit("&lt;"),
         ),
@@ -2882,7 +2903,16 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = ev.where(F.col("value").isNotNull()).select(
         "event_id",
-        F.from_xml(xml, "t STRING, u BIGINT, v DOUBLE").alias("x"),
+        # ignoreSurroundingSpaces defaults TRUE: the parser trimmed
+        # leading/trailing \t\n from element text (a whitespace-only
+        # type read back '' where the oracle kept '\t\n' — r11 fuzz
+        # seed 99); false preserves text verbatim, the lossless
+        # round-trip this probe certifies
+        F.from_xml(
+            xml,
+            "t STRING, u BIGINT, v DOUBLE",
+            {"ignoreSurroundingSpaces": "false"},
+        ).alias("x"),
     )
     return parsed.select(
         "event_id",

@@ -489,6 +489,26 @@ _MOM_X = _whole_units("l_quantity", _QTY_ABS_MAX)
 _MOM_Y = _whole_units("l_extendedprice", 3.0e7)
 
 
+# the moment doubles as ONE spelling each — the CASE gates below must
+# evaluate the IDENTICAL IEEE tree the readouts divide by (the
+# _OLS_SLOPE precedent; r11 fuzz seed 129)
+_HM_MX = "(CAST(sx AS DOUBLE) / n)"
+_HM_MY = "(CAST(sy AS DOUBLE) / n)"
+_HM_M2X = f"(CAST(sxx AS DOUBLE) / n - {_HM_MX} * {_HM_MX})"
+_HM_M2Y = f"(CAST(syy AS DOUBLE) / n - {_HM_MY} * {_HM_MY})"
+_HM_M3 = (
+    f"(CAST(sxxx AS DOUBLE) / n - 3 * {_HM_MX} * (CAST(sxx AS DOUBLE) / n)"
+    f" + 2 * {_HM_MX} * {_HM_MX} * {_HM_MX})"
+)
+_HM_M4 = (
+    f"(CAST(sxxxx AS DOUBLE) / n - 4 * {_HM_MX} * (CAST(sxxx AS DOUBLE) / n)"
+    f" + 6 * {_HM_MX} * {_HM_MX} * (CAST(sxx AS DOUBLE) / n)"
+    f" - 3 * pow({_HM_MX}, 4.0))"
+)
+_HM_X_VARIES = f"(mnx <> mxx AND {_HM_M2X} <> 0)"
+_HM_Y_VARIES = f"(mny <> mxy AND {_HM_M2Y} <> 0)"
+
+
 @query(
     "agg_higher_moments",
     f"""
@@ -500,34 +520,26 @@ _MOM_Y = _whole_units("l_extendedprice", 3.0e7)
              SUM({_MOM_X} * {_MOM_X} * {_MOM_X} * {_MOM_X}) AS sxxxx,
              SUM({_MOM_Y}) AS sy,
              SUM({_MOM_Y} * {_MOM_Y}) AS syy,
-             SUM({_MOM_X} * {_MOM_Y}) AS sxy
+             SUM({_MOM_X} * {_MOM_Y}) AS sxy,
+             MIN({_MOM_X}) AS mnx,
+             MAX({_MOM_X}) AS mxx,
+             MIN({_MOM_Y}) AS mny,
+             MAX({_MOM_Y}) AS mxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           CAST(sx AS DOUBLE) / n AS mean_qty,
-           ROUND((CAST(sxxx AS DOUBLE) / n
-                  - 3 * (CAST(sx AS DOUBLE) / n) * (CAST(sxx AS DOUBLE) / n)
-                  + 2 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
-                      * (CAST(sx AS DOUBLE) / n))
-                 / pow(CAST(sxx AS DOUBLE) / n
-                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
-                       1.5), 4) AS skew_qty,
-           ROUND((CAST(sxxxx AS DOUBLE) / n
-                  - 4 * (CAST(sx AS DOUBLE) / n) * (CAST(sxxx AS DOUBLE) / n)
-                  + 6 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
-                      * (CAST(sxx AS DOUBLE) / n)
-                  - 3 * pow(CAST(sx AS DOUBLE) / n, 4.0))
-                 / pow(CAST(sxx AS DOUBLE) / n
-                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
-                       2.0) - 3.0, 4) AS kurt_qty,
-           ROUND((CAST(sxy AS DOUBLE) / n
-                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-                 / sqrt((CAST(sxx AS DOUBLE) / n
-                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
-                        * (CAST(syy AS DOUBLE) / n
-                           - (CAST(sy AS DOUBLE) / n)
-                             * (CAST(sy AS DOUBLE) / n))), 4)
-             AS corr_qty_price
+           {_HM_MX} AS mean_qty,
+           CASE WHEN {_HM_X_VARIES} THEN
+             ROUND({_HM_M3} / pow({_HM_M2X}, 1.5), 4)
+           END AS skew_qty,
+           CASE WHEN {_HM_X_VARIES} THEN
+             ROUND({_HM_M4} / pow({_HM_M2X}, 2.0) - 3.0, 4)
+           END AS kurt_qty,
+           CASE WHEN {_HM_X_VARIES} AND {_HM_Y_VARIES}
+                 AND {_HM_M2X} * {_HM_M2Y} > 0 THEN
+             ROUND((CAST(sxy AS DOUBLE) / n - {_HM_MX} * {_HM_MY})
+                   / sqrt({_HM_M2X} * {_HM_M2Y}), 4)
+           END AS corr_qty_price
     FROM s
     """,
 )
@@ -557,6 +569,10 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(y).alias("sy"),
         dsum(y * y).alias("syy"),
         dsum(x * y).alias("sxy"),
+        F.min(x).alias("mnx"),
+        F.max(x).alias("mxx"),
+        F.min(y).alias("mny"),
+        F.max(y).alias("mxy"),
     )
     d = lambda c: F.col(c).cast("double") / F.col("n")  # noqa: E731
     mx, my = d("sx"), d("sy")
@@ -569,15 +585,28 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6 * mx * mx * d("sxx")
         - 3 * F.pow(mx, F.lit(4.0))
     )
+    # Zero-variance gates, the _OLS_SLOPE spelling (relational.py):
+    # a constant-x group has pow(m2x, 1.5) = 0 and Spark's ANSI double
+    # division aborts the job where DuckDB answers (r11 fuzz seed 129
+    # — a fuzz returnflag seen on exactly one row). Exact MIN<>MAX
+    # witness AND the IDENTICAL IEEE denominator tree both engines
+    # evaluate; undefined moments are NULL, never a dead job.
+    x_varies = (F.col("mnx") != F.col("mxx")) & (m2x != 0)
+    y_varies = (F.col("mny") != F.col("mxy")) & (m2y != 0)
     return s.select(
         "l_returnflag",
         "n",
         mx.alias("mean_qty"),
-        F.round(m3 / F.pow(m2x, F.lit(1.5)), 4).alias("skew_qty"),
-        F.round(m4 / F.pow(m2x, F.lit(2.0)) - 3.0, 4).alias("kurt_qty"),
-        F.round((d("sxy") - mx * my) / F.sqrt(m2x * m2y), 4).alias(
-            "corr_qty_price"
+        F.when(x_varies, F.round(m3 / F.pow(m2x, F.lit(1.5)), 4)).alias(
+            "skew_qty"
         ),
+        F.when(
+            x_varies, F.round(m4 / F.pow(m2x, F.lit(2.0)) - 3.0, 4)
+        ).alias("kurt_qty"),
+        F.when(
+            x_varies & y_varies & (m2x * m2y > 0),
+            F.round((d("sxy") - mx * my) / F.sqrt(m2x * m2y), 4),
+        ).alias("corr_qty_price"),
     )
 
 
@@ -919,7 +948,12 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT cur.month_start, cur.rev_cents, prev.rev_cents AS prev_rev_cents,
-           CAST(cur.rev_cents AS DOUBLE) / prev.rev_cents AS yoy_ratio
+           -- NULLIF: a prior-year month netting to EXACTLY zero cents
+           -- (credits cancel sales) made Spark's ANSI double division
+           -- abort where DuckDB answered (r11 fuzz seed 81); an
+           -- undefined ratio is NULL, never a dead job
+           CAST(cur.rev_cents AS DOUBLE) / NULLIF(prev.rev_cents, 0)
+             AS yoy_ratio
     FROM m cur JOIN m prev ON cur.mkey = prev.mkey + 12
     """,
 )
@@ -945,7 +979,9 @@ def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur.rev_cents").alias("rev_cents"),
         F.col("prev.rev_cents").alias("prev_rev_cents"),
         (
-            F.col("cur.rev_cents").cast("double") / F.col("prev.rev_cents")
+            F.col("cur.rev_cents").cast("double")
+            # see the oracle's NULLIF note (r11 fuzz seed 81)
+            / F.nullif(F.col("prev.rev_cents"), F.lit(0))
         ).alias("yoy_ratio"),
     )
 

@@ -64,11 +64,15 @@ def main() -> int:
         app_name="fuzz-hunt", master="local[8]", shuffle_partitions=8
     )
 
+    # density knob: more adversarial rows per table reach cap/boundary
+    # interactions the default-density seeds miss
+    n_extra = int(os.environ.get("FUZZ_N_EXTRA", "30"))
+
     n_fail = 0
     for seed in range(start, end):
         t0 = time.time()
         with tempfile.TemporaryDirectory(prefix=f"fuzz{seed}-") as d:
-            write_fuzz_corpus(d, seed)
+            write_fuzz_corpus(d, seed, n_extra=n_extra)
             fails = []
             for name in panel(seed):
                 try:
