@@ -495,6 +495,14 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
          "event_type": "bad\x1f\x0ctype", "value": 2.0, "props": None},
         {"event_id": 900018, "ts": t0, "user_id": 900006,
          "event_type": "\t\n", "value": 3.0, "props": None},
+        # --- sixth-wave shape (r11 dense fuzz seeds 219/226): one day
+        # holding TWO max-domain readings — day_cents = 6e9, whose
+        # int64 SQUARE (3.6e19) overflowed the seasonal-decompose
+        # moment where DuckDB promoted and answered (DECIMAL now)
+        {"event_id": 900019, "ts": t0, "user_id": 900007,
+         "event_type": "edgeday", "value": 3.0e7, "props": None},
+        {"event_id": 900020, "ts": t0, "user_id": 900007,
+         "event_type": "edgeday", "value": 3.0e7, "props": None},
         # --- second-wave shapes (r10): TIMESTAMP(NANOS) boundary
         # instants (a corrupt ns timestamp lands exactly here before it
         # wraps; both sit just inside the pandas ns range so the Arrow
