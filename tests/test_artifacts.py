@@ -443,3 +443,40 @@ def test_serve_log_records_cold_then_warm(spark, art_root, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", "off")
     A.get_or_build(spark, "ksrv", fp, ("t",), build)
     assert A.drain_serve_log() == [("ksrv", "cold")]
+
+
+def test_fuzz_hunt_script_isolates_artifact_store(tmp_path):
+    """scripts/fuzz_hunt.py must point SPARK_GRAFT_ARTIFACTS at its own
+    store at import time: every hunted seed is a fresh tmp corpus = a
+    fresh fingerprint, so a hunt mints far more fingerprints per kind
+    than KEEP_FINGERPRINTS and, in the default repo store, would evict
+    the sf0.1/sf0.01 fixture artifacts the bench/parity flows serve
+    from (the r10 pytest-churn bug via a different entry point). An
+    explicit env value must still win (setdefault semantics)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "fuzz_hunt.py")
+    probe = (
+        "import runpy, os, sys; sys.argv=['fuzz_hunt']; "
+        f"runpy.run_path({script!r}, run_name='probe'); "
+        "print(os.environ.get('SPARK_GRAFT_ARTIFACTS', ''))"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k != "SPARK_GRAFT_ARTIFACTS"}
+    out = subprocess.run(
+        [_sys.executable, "-c", probe], env=env,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith(
+        os.path.join("spark-warehouse", "_artifacts_hunt")
+    ), out.stdout
+    env["SPARK_GRAFT_ARTIFACTS"] = str(tmp_path / "explicit")
+    out = subprocess.run(
+        [_sys.executable, "-c", probe], env=env,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == str(tmp_path / "explicit"), out.stdout
