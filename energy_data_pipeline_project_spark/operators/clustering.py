@@ -248,7 +248,23 @@ def label_spectrum(emb: DataFrame) -> DataFrame:
                     "cov_trace", "top_eigenvalue", "top_eig_share",
                 ],
             )
-        c = np.cov(m, rowvar=False)
+        if d == 0:
+            # a label whose MODAL vector length is 0 (all-empty arrays
+            # are valid, finite, uniform-length): there is no spectrum
+            # — same zero readout as the no-valid-vectors branch, but
+            # with the group's true n (r11 fuzz seed 162)
+            return pd.DataFrame(
+                [[int(pdf["label"].iloc[0]), n, 0, 0.0, 0.0, 0.0]],
+                columns=[
+                    "label", "n_vectors", "dim",
+                    "cov_trace", "top_eigenvalue", "top_eig_share",
+                ],
+            )
+        # d == 1: np.cov(rowvar=False) collapses an (n, 1) matrix to a
+        # 0-D scalar and eigvalsh raises LinAlgError (r11 fuzz seed
+        # 162 — a label group whose modal dim is 1). atleast_2d keeps
+        # the same math: top eigenvalue == variance == trace, share 1.
+        c = np.atleast_2d(np.cov(m, rowvar=False))
         ev = float(np.linalg.eigvalsh(c)[-1])
         tr = float(np.trace(c))
         # tr == 0 when every vector in the label is identical (dup

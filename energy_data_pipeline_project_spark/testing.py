@@ -752,6 +752,16 @@ def write_degenerate_corpus(out_dir: str, base_dir: str = "/root/testdata/sf0.00
         {"vec_id": 940004, "embedding": one, "label": 2},
         {"vec_id": 940004, "embedding": [0.0] * 32 + [1.0] + [0.0] * 31,
          "label": 5},
+        # --- r11 fuzz seed 162: a label whose MODAL dim is 1 —
+        # np.cov(rowvar=False) of an (n, 1) matrix is a 0-D scalar and
+        # eigvalsh raised LinAlgError in the spectrum kernel; and a
+        # label of all-EMPTY vectors (modal dim 0 — valid, finite,
+        # uniform length) which has no spectrum at all. Both now take
+        # explicit branches (dim-1: atleast_2d, ev == var == tr).
+        {"vec_id": 950001, "embedding": [0.5], "label": 9},
+        {"vec_id": 950002, "embedding": [0.7], "label": 9},
+        {"vec_id": 950003, "embedding": [], "label": 10},
+        {"vec_id": 950004, "embedding": [], "label": 10},
     ])
 
 

@@ -60,3 +60,40 @@ def test_label_spectrum_matches_local_numpy(spark):
         assert got[label]["top_eigenvalue"] == round(
             float(np.linalg.eigvalsh(c)[-1]), 6
         )
+
+
+def test_label_spectrum_degenerate_dims(spark):
+    """Modal dim 1 and modal dim 0 label groups (r11 fuzz seed 162).
+
+    np.cov(rowvar=False) of an (n, 1) matrix is a 0-D scalar —
+    eigvalsh raised LinAlgError and killed the whole job; an all-empty
+    group has no spectrum. dim-1 math: top eigenvalue == variance ==
+    trace, share 1. The mixed group keeps only its modal (dim-1)
+    members."""
+    from energy_data_pipeline_project_spark.operators.clustering import (
+        label_spectrum,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5], 9),
+            (2, [0.7], 9),
+            (3, [], 10),
+            (4, [], 10),
+            # modal dim 1 with a ragged 2-dim outlier (dropped)
+            (5, [0.1], 11),
+            (6, [0.3], 11),
+            (7, [0.1, 0.2], 11),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["label"]: r for r in label_spectrum(df).collect()}
+    var9 = round(0.02, 6)  # np.cov ddof=1 of [0.5, 0.7]
+    assert (got[9]["n_vectors"], got[9]["dim"]) == (2, 1)
+    assert got[9]["cov_trace"] == var9
+    assert got[9]["top_eigenvalue"] == var9
+    assert got[9]["top_eig_share"] == 1.0
+    assert (got[10]["n_vectors"], got[10]["dim"]) == (2, 0)
+    assert (got[10]["cov_trace"], got[10]["top_eigenvalue"]) == (0.0, 0.0)
+    assert (got[11]["n_vectors"], got[11]["dim"]) == (2, 1)
+    assert got[11]["top_eig_share"] == 1.0
