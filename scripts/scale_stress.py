@@ -151,6 +151,10 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(json.dumps({k: summary[k] for k in ("factor", "superlinear")}))
+    # without this the non-daemon py4j/JVM threads keep the process
+    # alive after main() returns (observed: the x64 run slept forever
+    # post-summary and needed a kill)
+    spark.stop()
     return 0
 
 
