@@ -2037,7 +2037,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SN_WINDOW-1 neighbors in that order — O(w*n) candidate pairs by
 # construction, no pair-space blowup possible. At 100 TB the sort is a
 # range-partitioned shuffle (Spark's sort machinery) decomposed into
-# SN_BUCKETS contiguous slices — NOT one window task per language (r10
+# size-adaptive contiguous slices — NOT one window task per language (r10
 # verdict #1: one dominant language would otherwise sort the whole
 # corpus in a single task). Each slice sorts independently; a tiny
 # per-slice count frame turns local row numbers into global positions,
@@ -2052,7 +2052,9 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 SN_WINDOW = 3  # compare with the next 2 neighbors in sort order
 SN_KEY_LEN = 24  # normalized-prefix sort key length
 SN_THRESHOLD_PERMILLE = 400  # token-set Jaccard >= 0.4
-SN_BUCKETS = 32  # contiguous range slices of the global sort order
+# Slice count is adaptive (functions/windows._auto_buckets): derived
+# from the input's estimated bytes so each slice sorts a bounded range
+# at any scale — 2 slices on the test corpus, thousands at 100 TB.
 
 # Bump on any change to the posting-frame derivation (tokenizer, hash
 # family, distinct semantics) — see _LSH_PAIRS_CHAIN_REV.
@@ -2142,7 +2144,7 @@ def _sn_oracle() -> str:
 
 
 def sorted_neighborhood_candidates(
-    t: DataFrame, *, n_buckets: int = SN_BUCKETS
+    t: DataFrame, *, n_buckets: int | None = None
 ) -> DataFrame:
     """``(a, b)`` candidate pairs: each doc with its next SN_WINDOW-1
     followers in ``(lang, k NULLS LAST, doc_id)`` order, WITHOUT a

@@ -51,10 +51,11 @@ SLICE_COL = "__slice_id__"
 WINDOW_JUSTIFICATIONS: dict[str, str] = {
     # sliced raw windows: the (col,) entry remaining after the slice
     # filter is the per-slice OFFSETS frame — ≤ n_slices rows per group
-    "chunk_pack_sequences": "(lang) = slice-offsets frame, ≤32 rows/lang",
-    "dedup_sorted_neighborhood": "(lang) = slice-offsets frame, ≤32 rows/lang",
-    "events_topk_users_per_type": "(event_type) = slice-offsets frame, ≤32 rows/type",
-    "events_outlier_iqr": "(event_type) = slice-offsets frame, ≤32 rows/type",
+    # (n_slices adaptive to input bytes, capped at windows.MAX_SLICES)
+    "chunk_pack_sequences": "(lang) = slice-offsets frame, ≤n_slices rows/lang",
+    "dedup_sorted_neighborhood": "(lang) = slice-offsets frame, ≤n_slices rows/lang",
+    "events_topk_users_per_type": "(event_type) = slice-offsets frame, ≤n_slices rows/type",
+    "events_outlier_iqr": "(event_type) = slice-offsets frame, ≤n_slices rows/type",
     # bounded-grain frames under the window (not raw rows)
     "events_anomaly_zscore": "(event_type) over DAY-grain frame — calendar-bounded rows/type",
     "events_gap_fill": "(event_type) over dense CALENDAR frame — days/type",

@@ -432,9 +432,38 @@ def test_sorted_neighborhood_pairs_are_slice_invariant(spark):
     )
     n = docs.count()
     sets = {}
-    for nb in (1, 3, n + 7):
+    # None = the adaptive default (slice count derived from the input's
+    # estimated bytes, r11 optimization round) — must land on the same
+    # pair set as every explicit count
+    for nb in (1, 3, n + 7, None):
         sets[nb] = sorted(
             map(tuple, sorted_neighborhood_candidates(t, n_buckets=nb).collect())
         )
         dedup.release_cached_frames()
     assert sets[1] and sets[3] == sets[1] and sets[n + 7] == sets[1]
+    assert sets[None] == sets[1]
+
+
+def test_sliced_window_bucket_count_adapts_to_input_size(spark):
+    """The slice count is derived from Catalyst's size estimate
+    (guide §2: scale-adaptive partitioning, not a constant tuned for
+    one deployment): tiny inputs collapse to the 2-slice floor so the
+    decomposition overhead stays bounded, the count grows with
+    estimated bytes, and the cap bounds the offsets frame."""
+    from energy_data_pipeline_project_spark.functions.windows import (
+        MAX_SLICES,
+        TARGET_SLICE_BYTES,
+        _auto_buckets,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert _auto_buckets(docs.select("doc_id", "lang")) == 2
+
+    # a frame whose estimate spans multiple targets gets more slices;
+    # range() has an exact 8-byte/row estimate and is never executed
+    # here (_auto_buckets only reads the optimized plan's stats)
+    rows = 2 * TARGET_SLICE_BYTES // 8  # estimate = 2 × target bytes
+    assert 2 < _auto_buckets(spark.range(rows)) <= MAX_SLICES
+    # the cap bounds a (hypothetical) exabyte estimate
+    huge = spark.range(rows).crossJoin(spark.range(10_000_000))
+    assert _auto_buckets(huge) == MAX_SLICES
