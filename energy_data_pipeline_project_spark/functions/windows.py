@@ -37,10 +37,15 @@ raw rows); serves SURVEY.md §4.3's scale posture.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 
 from ..operators._frames import cached as _cached
+
+_log = logging.getLogger(__name__)
 
 # Collision-proof internal columns (the skew.salted_join convention).
 _SLC = "__slice_id__"
@@ -61,20 +66,52 @@ DEFAULT_SLICES = 32  # fallback when the input size can't be estimated
 TARGET_SLICE_BYTES = 256 << 20
 MAX_SLICES = 4096
 
+# Catalyst size estimates above this are treated as UNKNOWN, not real:
+# unsizable leaves report spark.sql.defaultSizeInBytes (Long.MaxValue)
+# and join-multiplied product estimates can reach exabytes on tiny
+# data — clamping garbage to MAX_SLICES would buy a 4096-way range
+# shuffle plus sampling job for nothing (r11 advisor). 1 PB is far
+# above any single window input this engine plans for.
+_EST_SANITY_CEILING = 1 << 50
+
+# one-time signal when the estimate path fails: under Spark Connect or
+# a future private-API change the except would otherwise silently pin
+# every sliced window back to the fixed DEFAULT_SLICES — exactly the
+# posture the adaptive count was added to remove (r11 advisor)
+_warned_estimate_unavailable = False
+
 
 def _auto_buckets(df: DataFrame) -> int:
+    global _warned_estimate_unavailable
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:  # noqa: BLE001 - estimate is best-effort
+        if not _warned_estimate_unavailable:
+            _warned_estimate_unavailable = True
+            _log.warning(
+                "sliced-window input size estimate unavailable "
+                "(private queryExecution API failed); every sliced "
+                "window falls back to DEFAULT_SLICES=%d",
+                DEFAULT_SLICES,
+            )
         return DEFAULT_SLICES
-    if est <= 0:
+    if est <= 0 or est >= _EST_SANITY_CEILING:
         return DEFAULT_SLICES
     return max(2, min(MAX_SLICES, -(-est // TARGET_SLICE_BYTES) + 1))
 
 
 def _sliced(df: DataFrame, order_cols, n_buckets: int | None) -> DataFrame:
+    # Persist the (already projected) input BEFORE the range exchange:
+    # repartitionByRange first runs a sampling job over its child to
+    # draw range boundaries, then the exchange recomputes the child —
+    # an unpersisted input pays its full lineage twice, which at
+    # 100 TB is a second corpus pass (r11 verdict #2; guide §5 —
+    # cache only what is reused AND expensive to recompute). Inputs
+    # the caller already persisted ride through untouched.
+    if df.storageLevel == StorageLevel.NONE:
+        df = _cached(df)
     if n_buckets is None:
         n_buckets = _auto_buckets(df)
     return df.repartitionByRange(n_buckets, *order_cols).withColumn(

@@ -172,6 +172,20 @@ def semantic_cluster_assignment(
     )
 
 
+def semantic_assigned_melt(
+    emb: DataFrame, *, k: int = SEM_K
+) -> DataFrame:
+    """``(vec_id, cluster, dim, qv)`` — every valid vector's
+    cosine-grid melt tagged with its SemDeDup cluster: the trained
+    assignment attached to the quantized features, i.e. exactly the
+    frame the within-cluster pair stage consumes. All-integer columns,
+    so a parquet round-trip is bit-exact (the artifact-tier
+    contract)."""
+    m = _semantic_melt(emb)
+    asn = semantic_cluster_assignment(emb, k=k, m=m)
+    return m.join(asn, "vec_id").select("vec_id", "cluster", "dim", "qv")
+
+
 def semantic_dup_pairs(
     emb: DataFrame, *, k: int = SEM_K, threshold: float = SEM_THRESHOLD
 ) -> DataFrame:
@@ -187,12 +201,22 @@ def semantic_dup_pairs(
     path for the pair stage is the Arrow/BLAS kernel in
     ``similarity.ann_topk_numpy``.
     """
-    m = _semantic_melt(emb)
-    asn = semantic_cluster_assignment(emb, k=k, m=m)
-    nrm = m.groupBy("vec_id").agg(
+    ec = _cached(semantic_assigned_melt(emb, k=k))
+    return semantic_pairs_from_assigned(ec, threshold=threshold)
+
+
+def semantic_pairs_from_assigned(
+    ec: DataFrame, *, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """The SemDeDup pair stage over an (already persisted/published)
+    assigned-melt frame. Norms are derived from ``ec`` itself: a valid
+    vector that joined no centroid dim (and so was never assigned)
+    cannot appear in any within-cluster pair, so restricting n2 to
+    assigned vectors changes nothing — pinned by the oracle, whose nrm
+    CTE covers all valid vectors but only ever joins assigned ones."""
+    nrm = ec.groupBy("vec_id").agg(
         F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("n2")
     )
-    ec = m.join(asn, "vec_id").select("vec_id", "cluster", "dim", "qv")
     a = ec.select(
         F.col("vec_id").alias("vec_a"),
         "cluster",
@@ -228,9 +252,43 @@ def semantic_dup_pairs(
     )
 
 
+# Bump on ANY change to the melt/assignment derivation (quantization
+# grids, K, centroid init, VALID_VEC semantics, tie-break) — see
+# dedup._LSH_PAIRS_CHAIN_REV for the discipline.
+_SEM_EC_CHAIN_REV = 1
+
+
+def shared_semantic_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Published SemDeDup assigned-melt frame of ``{sf_dir}/embeddings``
+    — the k-means assignment chain as a train-once/serve-many artifact
+    (r11 verdict #3): the coarse clustering is a model trained on the
+    corpus, so a warm process reads the published assignment instead
+    of re-melting and re-assigning per query. All-integer columns
+    (vec_id, cluster, dim, qv) make the parquet round-trip bit-exact,
+    and the kind signature carries every constant of the chain."""
+    kind = (
+        f"sem_ec@r{_SEM_EC_CHAIN_REV}"
+        f"-k{SEM_K}q{SEM_QUANT}c{COSINE_QUANT}"
+    )
+    return D._shared_corpus_frame(
+        spark,
+        sf_dir,
+        kind,
+        "ec",
+        lambda: semantic_assigned_melt(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        table="embeddings",
+    )
+
+
 @query("dedup_semantic", _semantic_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semantic_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return semantic_pairs_from_assigned(
+        shared_semantic_assignment(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -436,11 +494,13 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inner doc's own shingle count. Call
     ``dedup.release_cached_frames()`` after consuming.
     """
-    docs = load_table(spark, sf_dir, "documents")
     # the ONE capped-index core (dedup.py): in-row-distinct postings +
     # hot-shingle cap + sizes — this function carried a ~25-line copy
-    # that a set-semantics or cap fix would silently miss (r08 review)
-    hx = _cached(D._shingle_hashes(docs))
+    # that a set-semantics or cap fix would silently miss (r08 review).
+    # Postings ride the published shingle-postings artifact (r11
+    # verdict #6): a warm process pays a parquet read, not the
+    # tokenize→shingle→md5 explode.
+    hx = D.shared_shingle_postings(spark, sf_dir)
     grouped, sz = D.capped_posting_arrays(hx)
     common = (
         grouped.where(F.size("ds") >= 2)

@@ -560,15 +560,18 @@ def _shared_corpus_frame(
     kind: str,
     frame: str,
     build,
+    table: str = "documents",
 ) -> DataFrame:
     """Session-memoized, lake-published deterministic derivation of
-    ``{sf_dir}/documents`` (the train-once/serve-many tier, generalized
-    r11 from the LSH pair frame to every shared corpus frame). ``kind``
-    must carry an ``@rN-...`` signature covering every constant and
-    logic revision of the derivation; ``build()`` returns the frame."""
+    ``{sf_dir}/{table}`` (the train-once/serve-many tier, generalized
+    r11 from the LSH pair frame to every shared corpus frame; r12
+    adds the ``table`` parameter so embeddings-derived frames ride the
+    same tier). ``kind`` must carry an ``@rN-...`` signature covering
+    every constant and logic revision of the derivation; ``build()``
+    returns the frame."""
     import os
 
-    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
@@ -595,7 +598,7 @@ def _shared_corpus_frame(
         df = A.get_or_build(
             spark,
             kind,
-            A.corpus_fingerprint(sf_dir, table="documents"),
+            A.corpus_fingerprint(sf_dir, table=table),
             (frame,),
             lambda: {frame: build()},
         )[frame].persist()
@@ -1054,7 +1057,9 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact Jaccard via PREFIX FILTERING (PPJoin-style) — lossless candidates
 # ---------------------------------------------------------------------------
-def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, hx: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-Jaccard join with prefix-filtering candidates.
 
     The scalable EXACT alternative to both the capped inverted index
@@ -1101,8 +1106,11 @@ def prefix_filter_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # in-row, 6.09s -> under the r06 4.55s at sf0.1, then centralized
     # it here). The oracle's hx0 CTE runs the same in-row
     # list_distinct, so the engines agree even on degenerate
-    # duplicated-doc_id inputs.
-    hx = _cached(_shingle_hashes(docs))
+    # duplicated-doc_id inputs. ``hx`` optionally supplies a
+    # precomputed (persisted/published) postings frame — the query
+    # wrapper passes the shingle-postings artifact (r11 verdict #6).
+    if hx is None:
+        hx = _cached(_shingle_hashes(docs))
     dfreq = hx.groupBy("h").agg(F.count("*").alias("dfreq"))
     # One row per doc: shingle hashes in global rarity order plus the
     # exact prefix length p = n - ceil(n/2) + 1, ceil in INT arithmetic.
@@ -1196,7 +1204,10 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle is the NAIVE UNCAPPED all-pairs join at the same
     t = 4/5 threshold: a hash match here is a proof on real data that
     prefix filtering lost nothing."""
-    return prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        hx=shared_shingle_postings(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1718,10 +1729,13 @@ def _lsh_eval_oracle() -> str:
 @query("dedup_lsh_quality_eval", _lsh_eval_oracle())
 def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # ONE persisted postings frame feeds both the exact-Jaccard truth
-    # and the MinHash signatures — the shingle explode + md5 is this
-    # audit's dominant stage, previously run twice (r06 review).
-    hx = _cached(_shingle_hashes(docs))
+    # ONE postings frame feeds both the exact-Jaccard truth and the
+    # MinHash signatures — the shingle explode + md5 is this audit's
+    # dominant stage, previously run twice (r06 review), then per
+    # process (r11 verdict #6): it now rides the published
+    # shingle-postings artifact, so a warm process pays a parquet
+    # read, not the explode.
+    hx = shared_shingle_postings(spark, sf_dir)
     truth = shingle_jaccard_pairs(docs, hx=hx).select(
         "doc_a", "doc_b", F.lit(1).alias("in_truth")
     )
@@ -2059,6 +2073,35 @@ SN_THRESHOLD_PERMILLE = 400  # token-set Jaccard >= 0.4
 # Bump on any change to the posting-frame derivation (tokenizer, hash
 # family, distinct semantics) — see _LSH_PAIRS_CHAIN_REV.
 _TOK_POSTINGS_CHAIN_REV = 1
+
+# Bump on any change to _shingle_hashes (tokenizer, shingling, hash
+# family, in-row distinct, NULL-id exclusion).
+_SHINGLE_POSTINGS_CHAIN_REV = 1
+
+
+def shared_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published ``_shingle_hashes`` postings of the documents table —
+    the shared first stage of shingle-Jaccard, containment, MinHash
+    signatures, and the LSH quality audit. The tokenize→shingle→md5
+    explode is the dominant scan of every consumer (r06 review), and
+    it is a deterministic corpus derivation, so it rides the same
+    session-memo + published-artifact tier as the LSH pair frame and
+    the token postings (r11 verdict #6): a cold process reads the
+    published postings instead of re-shingling the corpus. Headline
+    consumers (dedup_minhash_lsh, dedup_shingle_jaccard) deliberately
+    keep computing the postings in-plan so their benched cost stays
+    comparable with r01–r11; the audit/containment/prefix extras ride
+    the artifact."""
+    kind = (
+        f"shingle_postings@r{_SHINGLE_POSTINGS_CHAIN_REV}-n{SHINGLE_N}"
+    )
+    return _shared_corpus_frame(
+        spark,
+        sf_dir,
+        kind,
+        "postings",
+        lambda: _shingle_hashes(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def shared_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -118,9 +118,19 @@ def window_partition_specs(plan_text: str) -> list[tuple[str, ...]]:
                 continue
             # split top-level bracket groups
             groups = re.findall(r"\[([^\[\]]*(?:\[[^\]]*\][^\[\]]*)*)\]", m.group(1))
-            if len(groups) >= 2:
+            if len(groups) >= 3:
+                # Window: [windowExprs], [partitionSpec], [orderSpec]
                 part = groups[-2]
+            elif len(groups) == 2 and "windowspecdefinition" in groups[0]:
+                # Window whose argString DROPPED an empty bracket group
+                # (TreeNode.argString omits empty seqs — r11 verdict
+                # #4: every GLOBAL window parsed as a garbage spec that
+                # could never flag). [fns], [order] when the partition
+                # spec is empty (order carries ASC/DESC); [fns],
+                # [parts] when the ORDER is the empty one.
+                part = "" if re.search(r"\b(ASC|DESC)\b", groups[1]) else groups[1]
             elif groups:
+                # WindowGroupLimit: [partitionSpec], [orderSpec]
                 part = groups[0]
             else:
                 break

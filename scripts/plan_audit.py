@@ -33,10 +33,15 @@ from energy_data_pipeline_project_spark.plans.analyze import (
 )
 from energy_data_pipeline_project_spark.session import get_spark_session
 
-# --- Low-cardinality window audit (r10 verdict #5) --------------------------
+# --- Low-cardinality / GLOBAL window audit (r10 verdict #5, r11 #4) ---------
 # A Window whose ENTIRE partition spec is low-cardinality columns sorts
 # one task per group: at 100 TB a dominant language/event type is the
-# whole corpus in a single task. Every such window must either be
+# whole corpus in a single task. An UNPARTITIONED window (empty spec —
+# rendered "()" below) moves ALL its input to one task, the shape the
+# driver log's "No Partition Defined for Window" warnings point at
+# (r11 verdict #4: these previously escaped the audit because Spark's
+# argString drops the empty bracket group and the parser mis-read the
+# function list as the spec). Every flagged window must either be
 # range-SLICED (functions/windows — the __slice_id__ column rides the
 # partition spec, so it never flags here) or carry a bounded-grain
 # justification below. An unjustified flag fails this audit (exit 1)
@@ -61,10 +66,20 @@ WINDOW_JUSTIFICATIONS: dict[str, str] = {
     "events_gap_fill": "(event_type) over dense CALENDAR frame — days/type",
     "events_quantile_histogram": "(event_type, week) over fixed histogram BINS — constant rows/group",
     "window_running_sum": "(l_returnflag) over DAY-grain aggregate — calendar-bounded",
-    "orders_abc_classification": "(band) = banded prefix scan — grain/band_width rows per band by construction",
-    "skyline_parts": "(band) = banded running-min — price-grain/band_width rows per band",
+    "orders_abc_classification": "(band)+() = banded prefix scan — grain/band_width rows per band; the global window is the one-row-per-BAND summary prefix",
+    "skyline_parts": "(band)+() = banded running-min — price-grain/band_width rows per band; the global window is the one-row-per-BAND summary prefix",
     "docs_source_cap": "(source) = phase-2 over ≤ SALT×N phase-1 survivors (80 rows/source); phase-1 is (source, salt)",
     "embedding_label_outliers": "(label) over per-vector d² frame — bounded ≲1.9e4 vectors/label by the documented DRIFT_Q int64 envelope (shrink DRIFT_Q past it)",
+    # GLOBAL windows (empty partition spec, r11 verdict #4): each runs
+    # over a deliberately bounded-grain frame, never raw rows
+    "window_lag_delta": "() over DAY-grain aggregate — calendar-bounded rows",
+    "window_range_7day": "() over DAY-grain aggregate — calendar-bounded rows",
+    "events_error_budget": "() = day-grain burn-down prefix — calendar-bounded rows",
+    "events_conversion_latency": "() = latency-grain CDF — ≤1801 distinct gap_s by the 30-min join cap",
+    "ntile_customer_quartiles": "() = running sum over DISTINCT c_acctbal — value-domain-bounded (fixed range, 2 decimals)",
+    "percent_rank_suppliers": "() = running sum over DISTINCT s_acctbal — value-domain-bounded",
+    "text_vocab_coverage": "() = prefix over distinct frequency LEVELS — O(√corpus_tokens) rows by Zipf",
+    "text_heavy_hitters": "() = rank over merged Misra-Gries sketch — ≤ n_tasks×HH_K rows by sketch size",
 }
 
 
@@ -95,10 +110,11 @@ def main() -> int:
             ("udtf" if rep.python_udtf else
              ("arrow" if rep.arrow_eval else "-")),
         ))
+        # empty spec (global window) ⇒ set() <= LOW_CARD_COLS flags it
         flagged = [
             s
             for s in window_partition_specs(rep.plan)
-            if s and set(s) <= LOW_CARD_COLS and SLICE_COL not in s
+            if set(s) <= LOW_CARD_COLS and SLICE_COL not in s
         ]
         if flagged:
             window_flags[name] = flagged
@@ -136,11 +152,13 @@ def main() -> int:
     unjustified = sorted(set(window_flags) - set(WINDOW_JUSTIFICATIONS))
     lines += [
         "",
-        "## Low-cardinality window audit (r10 verdict #5)",
+        "## Low-cardinality / global window audit (r10 verdict #5, r11 #4)",
         "",
         "Queries whose plan contains a Window partitioned ONLY by",
-        "low-cardinality columns (one task per group unless the frame",
-        "is bounded-grain or the sort is range-sliced —",
+        "low-cardinality columns, or not partitioned at all (`()` —",
+        "the \"No Partition Defined for Window\" warnings in the",
+        "driver's bench log; one task for the WHOLE input unless the",
+        "frame is bounded-grain or the sort is range-sliced —",
         "`functions/windows.py`; sliced windows carry `__slice_id__`",
         "and never flag). Each flag needs a grain justification in",
         "`scripts/plan_audit.py::WINDOW_JUSTIFICATIONS`; an",

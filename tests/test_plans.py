@@ -558,8 +558,10 @@ def test_low_card_windows_are_justified(spark):
             formatted_plan(Q[name](spark, SF_SMOKE))
         )
         release_cached_frames()
+        # empty spec (GLOBAL window, r11 verdict #4) flags too:
+        # set(()) <= LOW_CARD_COLS — same filter as plan_audit.py
         flagged = [
-            s for s in specs if s and set(s) <= LOW_CARD_COLS and SLICE_COL not in s
+            s for s in specs if set(s) <= LOW_CARD_COLS and SLICE_COL not in s
         ]
         # the justification must still correspond to a real flag …
         assert flagged, f"{name}: justification is stale (nothing flags)"
