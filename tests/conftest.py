@@ -81,6 +81,20 @@ _FULL_TIER_FILES = {
 }
 
 
+# Individual heavyweight equivalence/e2e tests outside those files
+# (full-suite durations, 2026-08-18): each re-proves a cross-process /
+# cross-tier equivalence that the fast tier's parity+pin gates already
+# cover at the result level. Together they were ~170s of the fast
+# tier's budget.
+_FULL_TIER_TESTS = {
+    "test_no_complex_types_in_query_outputs",   # 73s — materializes all 220 outputs; parity hashes them anyway
+    "test_ivfpq_artifact_equals_fresh_training",  # 31s retrain-vs-read
+    "test_streamed_ann_matches_batch",            # 23s streaming e2e
+    "test_concurrent_publishers_race_one_complete_artifact",  # 17s race
+    "test_approx_percentile_within_tolerance",    # 26s tolerance sweep
+}
+
+
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("SPARK_GRAFT_FULL_TESTS", "") not in ("", "0"):
         return
@@ -89,7 +103,10 @@ def pytest_collection_modifyitems(config, items):
         "the driver verify inside its window; r11 verdict #4)"
     )
     for item in items:
-        if os.path.basename(str(item.fspath)) in _FULL_TIER_FILES:
+        if (
+            os.path.basename(str(item.fspath)) in _FULL_TIER_FILES
+            or getattr(item, "originalname", item.name) in _FULL_TIER_TESTS
+        ):
             item.add_marker(skip)
 
 
